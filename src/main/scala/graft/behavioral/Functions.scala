@@ -1,0 +1,86 @@
+package graft.behavioral
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+
+/** Registration + typed Column API for the behavioral function family.
+  *
+  * SQL:  `BehavioralFunctions.register(spark)` then
+  *       `SELECT user_id, window_funnel(INTERVAL '1' HOUR, ts, a, b, c) FROM t GROUP BY 1`
+  * DataFrame: `df.groupBy($"u").agg(window_funnel(lit(...), $"ts", $"a", $"b"))`
+  *
+  * Registration mirrors the reference's one-call extension load
+  * (`src/ffi/mod.rs:64-84`) — but Spark function builders are natively
+  * variadic, so the reference's 31-overloads-per-arity workaround
+  * (`docs/src/internals/architecture.md:68-77`) is unnecessary.
+  */
+object BehavioralFunctions {
+
+  private def agg(a: AggregateFunction): Column =
+    ExpressionUtils.column(a.toAggregateExpression())
+
+  private def e(c: Column): Expression = ExpressionUtils.expression(c)
+
+  // ---- DataFrame/Column API --------------------------------------------
+
+  /** Window function: use `.over(Window.partitionBy(...).orderBy(ts))`.
+    * Requires `register(spark)` first (like the reference's `LOAD behavioral`):
+    * a directly-embedded WindowFunction expression trips Spark 4's
+    * WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE check in the Column API path, so we
+    * resolve through the FunctionRegistry exactly as the SQL path does. */
+  def sessionize(ts: Column, gap: Column): Column =
+    ExpressionUtils.fn("sessionize", ts, gap)
+
+  def retention(conds: Column*): Column =
+    agg(RetentionAgg(conds.map(e)))
+
+  def window_funnel(window: Column, ts: Column, conds: Column*): Column =
+    agg(WindowFunnelAgg(e(window) +: e(ts) +: conds.map(e)))
+
+  def window_funnel(window: Column, mode: String, ts: Column, conds: Column*): Column =
+    agg(WindowFunnelAgg(e(window) +:
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(mode),
+        org.apache.spark.sql.types.StringType) +: e(ts) +: conds.map(e)))
+
+  def sequence_match(pattern: String, ts: Column, conds: Column*): Column =
+    agg(SequenceMatchAgg(strLit(pattern) +: e(ts) +: conds.map(e)))
+
+  def sequence_count(pattern: String, ts: Column, conds: Column*): Column =
+    agg(SequenceCountAgg(strLit(pattern) +: e(ts) +: conds.map(e)))
+
+  def sequence_match_events(pattern: String, ts: Column, conds: Column*): Column =
+    agg(SequenceMatchEventsAgg(strLit(pattern) +: e(ts) +: conds.map(e)))
+
+  def sequence_next_node(direction: String, base: String, ts: Column, value: Column,
+      baseCond: Column, stepConds: Column*): Column =
+    agg(SequenceNextNodeAgg(strLit(direction) +: strLit(base) +: e(ts) +: e(value) +:
+      e(baseCond) +: stepConds.map(e)))
+
+  private def strLit(s: String): Expression =
+    org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
+
+  // ---- SQL registration -------------------------------------------------
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("sessionize",
+      exprs => SessionizeWindow(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("retention",
+      exprs => RetentionAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("window_funnel",
+      exprs => WindowFunnelAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("sequence_match",
+      exprs => SequenceMatchAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("sequence_count",
+      exprs => SequenceCountAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("sequence_match_events",
+      exprs => SequenceMatchEventsAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("sequence_next_node",
+      exprs => SequenceNextNodeAgg(exprs), "scala_udf")
+  }
+}

@@ -1,0 +1,319 @@
+package graft.behavioral
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Buffer for `sequence_next_node`: every row is stored (any event can be the
+  * answer, reference `src/sequence_next_node.rs:186-192`). `flags` packs the
+  * step-condition bitmask in bits 0..31 and the base-condition in bit 32.
+  * Values are kept as UTF8String refs (NULL allowed) and only serialized at
+  * shuffle boundaries.
+  */
+final class NNBuf(
+    var ts: Array[Long],
+    var flags: Array[Long],
+    var values: Array[UTF8String],
+    var n: Int) {
+
+  def this(capacity: Int) =
+    this(new Array[Long](capacity), new Array[Long](capacity),
+      new Array[UTF8String](capacity), 0)
+
+  private def ensure(extra: Int): Unit = {
+    val need = n + extra
+    if (need > ts.length) {
+      var cap = math.max(ts.length * 2, 16)
+      while (cap < need) cap *= 2
+      ts = java.util.Arrays.copyOf(ts, cap)
+      flags = java.util.Arrays.copyOf(flags, cap)
+      values = java.util.Arrays.copyOf(values, cap)
+    }
+  }
+
+  def append(t: Long, f: Long, v: UTF8String): Unit = {
+    ensure(1)
+    ts(n) = t; flags(n) = f; values(n) = v
+    n += 1
+  }
+
+  def appendAll(o: NNBuf): Unit = {
+    ensure(o.n)
+    System.arraycopy(o.ts, 0, ts, n, o.n)
+    System.arraycopy(o.flags, 0, flags, n, o.n)
+    System.arraycopy(o.values, 0, values, n, o.n)
+    n += o.n
+  }
+
+  def sortByTs(): Unit = {
+    var sorted = true
+    var i = 1
+    while (sorted && i < n) { if (ts(i - 1) > ts(i)) sorted = false; i += 1 }
+    if (!sorted) {
+      // index sort then permute (values are refs; dual-pivot on 3 arrays is
+      // not worth the code here — groups are modest)
+      val idx = (0 until n).sortBy(ts(_)).toArray
+      val t2 = new Array[Long](n); val f2 = new Array[Long](n)
+      val v2 = new Array[UTF8String](n)
+      i = 0
+      while (i < n) { t2(i) = ts(idx(i)); f2(i) = flags(idx(i)); v2(i) = values(idx(i)); i += 1 }
+      ts = t2; flags = f2; values = v2
+    }
+  }
+
+  def serialize(): Array[Byte] = {
+    var bytes = 4 + n * 16
+    var i = 0
+    while (i < n) {
+      bytes += 4 + (if (values(i) == null) 0 else values(i).numBytes())
+      i += 1
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(n)
+    i = 0
+    while (i < n) {
+      bb.putLong(ts(i)); bb.putLong(flags(i))
+      if (values(i) == null) bb.putInt(-1)
+      else {
+        val b = values(i).getBytes
+        bb.putInt(b.length); bb.put(b)
+      }
+      i += 1
+    }
+    bb.array()
+  }
+}
+
+object NNBuf {
+  def deserialize(bytes: Array[Byte]): NNBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new NNBuf(math.max(n, 16))
+    var i = 0
+    while (i < n) {
+      val t = bb.getLong; val f = bb.getLong
+      val len = bb.getInt
+      val v = if (len < 0) null
+      else {
+        val b = new Array[Byte](len)
+        bb.get(b)
+        UTF8String.fromBytes(b)
+      }
+      buf.append(t, f, v)
+      i += 1
+    }
+    buf
+  }
+}
+
+/** `sequence_next_node(direction, base, ts, value, base_cond, ev1..evN) ->
+  * STRING` — the value of the event adjacent to a matched chain
+  * (ClickHouse `sequenceNextNode`; reference `src/sequence_next_node.rs`).
+  *
+  *   - `direction` = `'forward'` (answer = value immediately AFTER the last
+  *     matched event) or `'backward'` (value immediately BEFORE the earliest
+  *     matched event); case-insensitive.
+  *   - `base` = `'head'` (first row with base_cond true) | `'tail'` (last) |
+  *     `'first_match'` | `'last_match'`.
+  *   - NULL ts rows are skipped; NULL value rows are stored and returned as
+  *     NULL if selected; no match / no adjacent event → NULL.
+  *
+  * Unlike the other aggregates, ALL rows are buffered (no condition
+  * pre-filter): the adjacent "next node" can be any event. At scale this
+  * means O(group-size) state carrying the value strings — the dominant cost
+  * is the shuffle of the value column itself, same as the reference's
+  * 32-byte-event memory ceiling (`PERF.md:1000-1005`).
+  */
+case class SequenceNextNodeAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[NNBuf] {
+
+  // direction: true = forward
+  @transient private lazy val forward: Option[Boolean] =
+    Option(IntervalArg.string(children(0), "sequence_next_node direction"))
+      .map(_.trim.toLowerCase) match {
+      case Some("forward") => Some(true)
+      case Some("backward") => Some(false)
+      case _ => None
+    }
+  // base: 0=head, 1=tail, 2=first_match, 3=last_match
+  @transient private lazy val base: Option[Int] =
+    Option(IntervalArg.string(children(1), "sequence_next_node base"))
+      .map(_.trim.toLowerCase) match {
+      case Some("head") => Some(0)
+      case Some("tail") => Some(1)
+      case Some("first_match") => Some(2)
+      case Some("last_match") => Some(3)
+      case _ => None
+    }
+  @transient private lazy val tsExpr = children(2)
+  @transient private lazy val valueExpr = children(3)
+  @transient private lazy val baseCondExpr = children(4)
+  @transient private lazy val stepExprs: Array[Expression] = children.drop(5).toArray
+  private def numSteps: Int = stepExprs.length
+
+  override def createAggregationBuffer(): NNBuf = new NNBuf(16)
+
+  override def update(buf: NNBuf, input: InternalRow): NNBuf = {
+    val t = tsExpr.eval(input)
+    if (t == null) return buf
+    var f = 0L
+    var i = 0
+    while (i < stepExprs.length) {
+      val v = stepExprs(i).eval(input)
+      if (v != null && v.asInstanceOf[Boolean]) f |= 1L << i
+      i += 1
+    }
+    val bc = baseCondExpr.eval(input)
+    if (bc != null && bc.asInstanceOf[Boolean]) f |= 1L << 32
+    val value = valueExpr.eval(input) match {
+      case null => null
+      case s: UTF8String => s.clone() // own the bytes: input row memory is reused
+      case other => UTF8String.fromString(other.toString)
+    }
+    buf.append(t.asInstanceOf[Long], f, value)
+    buf
+  }
+
+  override def merge(buf: NNBuf, other: NNBuf): NNBuf = {
+    buf.appendAll(other)
+    buf
+  }
+
+  @inline private def baseCond(buf: NNBuf, i: Int): Boolean = ((buf.flags(i) >>> 32) & 1L) != 0
+  @inline private def stepCond(buf: NNBuf, i: Int, step: Int): Boolean =
+    ((buf.flags(i) >>> step) & 1L) != 0
+
+  override def eval(buf: NNBuf): Any = {
+    if (buf.n == 0 || numSteps == 0) return null
+    (forward, base) match {
+      case (Some(fwd), Some(b)) =>
+        buf.sortByTs()
+        if (fwd) matchForward(buf, b) else matchBackward(buf, b)
+      case _ => null // unparseable direction/base → NULL result
+    }
+  }
+
+  private def matchForward(buf: NNBuf, b: Int): Any = {
+    val n = buf.n
+    b match {
+      case 0 => // head: first row with base_cond
+        var s = 0
+        while (s < n && !baseCond(buf, s)) s += 1
+        if (s == n) null else tryForwardFrom(buf, s)
+      case 1 => // tail: last row with base_cond
+        var s = n - 1
+        while (s >= 0 && !baseCond(buf, s)) s -= 1
+        if (s < 0) null else tryForwardFrom(buf, s)
+      case 2 => // first_match
+        var s = 0
+        while (s < n) {
+          if (baseCond(buf, s)) {
+            val v = tryForwardFrom(buf, s)
+            if (v != null) return v
+          }
+          s += 1
+        }
+        null
+      case _ => // last_match
+        var result: Any = null
+        var s = 0
+        while (s < n) {
+          if (baseCond(buf, s)) {
+            val v = tryForwardFrom(buf, s)
+            if (v != null) result = v
+          }
+          s += 1
+        }
+        result
+    }
+  }
+
+  /** Matches ev1 at `start`, then ev2.. at later events; returns the value of
+    * the event immediately after the last matched one (NULL value → NULL —
+    * the reference's `null`-valued next node is a NULL result). */
+  private def tryForwardFrom(buf: NNBuf, start: Int): Any = {
+    if (!stepCond(buf, start, 0)) return null
+    var lastMatched = start
+    var step = 1
+    var pos = start + 1
+    while (pos < buf.n && step < numSteps) {
+      if (stepCond(buf, pos, step)) { lastMatched = pos; step += 1 }
+      pos += 1
+    }
+    if (step != numSteps) return null
+    val nextIdx = lastMatched + 1
+    if (nextIdx >= buf.n) null else buf.values(nextIdx)
+  }
+
+  private def matchBackward(buf: NNBuf, b: Int): Any = {
+    val n = buf.n
+    b match {
+      case 1 => // tail
+        var s = n - 1
+        while (s >= 0 && !baseCond(buf, s)) s -= 1
+        if (s < 0) null else tryBackwardFrom(buf, s)
+      case 0 => // head
+        var s = 0
+        while (s < n && !baseCond(buf, s)) s += 1
+        if (s == n) null else tryBackwardFrom(buf, s)
+      case 2 => // first_match scans right-to-left (reference :352-363)
+        var s = n - 1
+        while (s >= 0) {
+          if (baseCond(buf, s)) {
+            val v = tryBackwardFrom(buf, s)
+            if (v != null) return v
+          }
+          s -= 1
+        }
+        null
+      case _ => // last_match: last complete match in right-to-left scan order
+        var result: Any = null
+        var s = n - 1
+        while (s >= 0) {
+          if (baseCond(buf, s)) {
+            val v = tryBackwardFrom(buf, s)
+            if (v != null) result = v
+          }
+          s -= 1
+        }
+        result
+    }
+  }
+
+  /** Matches ev1 at `start`, ev2.. at progressively earlier events; returns
+    * the value immediately before the earliest matched event. */
+  private def tryBackwardFrom(buf: NNBuf, start: Int): Any = {
+    if (!stepCond(buf, start, 0)) return null
+    var earliest = start
+    var step = 1
+    var pos = start - 1
+    while (pos >= 0 && step < numSteps) {
+      if (stepCond(buf, pos, step)) { earliest = pos; step += 1 }
+      pos -= 1
+    }
+    if (step != numSteps) return null
+    if (earliest == 0) null else buf.values(earliest - 1)
+  }
+
+  override def serialize(buf: NNBuf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): NNBuf = NNBuf.deserialize(bytes)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sequence_next_node"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}

@@ -1,0 +1,183 @@
+package graft.behavioral
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.types._
+
+/** Funnel strictness modes as a combinable bitmask (reference:
+  * `src/window_funnel.rs:51-182`). SQL strings are comma-separable
+  * (`'strict_increase, strict_once'`); `'strict'` and `'strict_deduplication'`
+  * are ClickHouse aliases for the same bit, while `'timestamp_dedup'` is the
+  * extension-only timestamp-dedup mode. An unparseable mode string silently
+  * keeps the default (matching the reference FFI,
+  * `src/ffi/window_funnel.rs:168-172`).
+  */
+object FunnelMode {
+  val Default = 0
+  val Strict = 0x01
+  val StrictOrder = 0x02
+  val TimestampDedup = 0x04
+  val StrictIncrease = 0x08
+  val StrictOnce = 0x10
+  val AllowReentry = 0x20
+
+  def parse(s: String): Int = {
+    if (s == null) return Default
+    var result = Default
+    for (tok <- s.split(',')) {
+      tok.trim match {
+        case "" => ()
+        case "strict" | "strict_deduplication" => result |= Strict
+        case "strict_order" => result |= StrictOrder
+        case "timestamp_dedup" => result |= TimestampDedup
+        case "strict_increase" => result |= StrictIncrease
+        case "strict_once" => result |= StrictOnce
+        case "allow_reentry" => result |= AllowReentry
+        case _ => return Default // unknown mode: keep default, like the reference FFI
+      }
+    }
+    result
+  }
+}
+
+/** `window_funnel(window, [mode,] ts, cond1, ..., condN) -> INT` — max funnel
+  * step reached.
+  *
+  * Searches for the longest chain cond1 → cond2 → ... → condN where every
+  * matched event is within `window` of the chain's FIRST event
+  * (reference: `src/window_funnel.rs:305-434`; ClickHouse `windowFunnel`).
+  *
+  *   - rows with NULL ts are skipped; NULL conditions are false;
+  *   - events with no true conditions are pre-filtered at update time
+  *     (10-100x memory saver, reference `src/window_funnel.rs:249-254`);
+  *   - in default mode one event can advance multiple consecutive steps;
+  *   - empty group → 0.
+  *
+  * Scale shape: the buffer is O(events-per-group) packed 12-byte records;
+  * update/merge never sort (deferred to eval). Spark plans this as
+  * ObjectHashAggregate with map-side partial aggregation, so each group's
+  * events serialize once across the shuffle boundary.
+  */
+case class WindowFunnelAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[EventBuf] {
+
+  // children: window, [mode,] ts, cond1..condN
+  private lazy val hasMode = children(1).dataType == StringType
+  private lazy val windowMicros = IntervalArg.micros(children.head, "window_funnel window")
+  private lazy val mode: Int =
+    if (hasMode) FunnelMode.parse(IntervalArg.string(children(1), "window_funnel mode"))
+    else FunnelMode.Default
+  private lazy val tsExpr = children(if (hasMode) 2 else 1)
+  private lazy val condExprs: Array[Expression] =
+    children.drop(if (hasMode) 3 else 2).toArray
+  private def numConds: Int = condExprs.length
+
+  override def createAggregationBuffer(): EventBuf = EventBuf.empty()
+
+  override def update(buf: EventBuf, input: InternalRow): EventBuf = {
+    val t = tsExpr.eval(input)
+    if (t == null) return buf
+    var mask = 0
+    var i = 0
+    while (i < condExprs.length) {
+      val v = condExprs(i).eval(input)
+      if (v != null && v.asInstanceOf[Boolean]) mask |= 1 << i
+      i += 1
+    }
+    if (mask != 0) buf.append(t.asInstanceOf[Long], mask)
+    buf
+  }
+
+  override def merge(buf: EventBuf, other: EventBuf): EventBuf = {
+    buf.appendAll(other)
+    buf
+  }
+
+  override def eval(buf: EventBuf): Any = {
+    if (buf.isEmpty || numConds == 0) return Integer.valueOf(0)
+    buf.sortByTs()
+    var maxStep = 0
+    var i = 0
+    while (i < buf.n && maxStep < numConds) {
+      if ((buf.conds(i) & 1) != 0) { // entry condition
+        val s = scanFunnel(buf, i, buf.ts(i))
+        if (s > maxStep) maxStep = s
+      }
+      i += 1
+    }
+    Integer.valueOf(maxStep)
+  }
+
+  @inline private def condAt(buf: EventBuf, i: Int, idx: Int): Boolean =
+    ((buf.conds(i) >>> idx) & 1) != 0
+
+  /** Greedy forward scan from an entry event; each active mode adds an
+    * independent constraint, evaluated in the reference's order. */
+  private def scanFunnel(buf: EventBuf, startIdx: Int, entryTs: Long): Int = {
+    var currentStep = 1 // step 0 matched at startIdx
+    var prevMatchedTs = entryTs
+    var j = startIdx + 1
+    while (j < buf.n) {
+      val evTs = buf.ts(j)
+      // window measured from the chain's FIRST event; strictly-greater breaks
+      if (evTs - entryTs > windowMicros) return currentStep
+
+      var skip = false
+      if ((mode & FunnelMode.AllowReentry) != 0 && currentStep > 1 && condAt(buf, j, 0)) {
+        // entry fired mid-chain: reset to step 1 at this event
+        currentStep = 1
+        prevMatchedTs = evTs
+        skip = true
+      }
+      if (!skip && (mode & FunnelMode.Strict) != 0 && currentStep > 0 &&
+          condAt(buf, j, currentStep - 1) && !condAt(buf, j, currentStep)) {
+        return currentStep // previously-matched condition re-fired: chain breaks
+      }
+      if (!skip && (mode & FunnelMode.StrictOrder) != 0) {
+        var k = 0
+        while (k < currentStep) {
+          if (condAt(buf, j, k)) return currentStep // earlier condition fired
+          k += 1
+        }
+      }
+      if (!skip && (mode & FunnelMode.TimestampDedup) != 0 &&
+          evTs == prevMatchedTs && condAt(buf, j, currentStep)) {
+        skip = true // same-ts event can't advance
+      }
+      if (!skip && (mode & FunnelMode.StrictIncrease) != 0 &&
+          condAt(buf, j, currentStep) && evTs <= prevMatchedTs) {
+        skip = true // next step needs strictly larger ts
+      }
+      if (!skip) {
+        // default mode: one event may advance multiple consecutive steps
+        var advancing = true
+        while (advancing && condAt(buf, j, currentStep)) {
+          currentStep += 1
+          prevMatchedTs = evTs
+          if (currentStep >= numConds) return numConds
+          if ((mode & FunnelMode.StrictOnce) != 0) advancing = false
+        }
+      }
+      j += 1
+    }
+    currentStep
+  }
+
+  override def serialize(buf: EventBuf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): EventBuf = EventBuf.deserialize(bytes)
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "window_funnel"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Manual end-to-end drive of the behavioral library over the real testdata
+  * parquet — the library's public surface (register + SQL / Column API), not
+  * unit tests. Used by the project verify recipe:
+  *   sbt "runMain graft.tools.Drive [sfDir]"
+  */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-drive")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.behavioral.BehavioralFunctions.register(spark)
+    graft.sources.Tables.events(spark, sfDir).createOrReplaceTempView("events")
+
+    println("=== sessionize over real events (30 min gap), first 10 rows ===")
+    spark.sql(
+      """SELECT user_id, ts, sessionize(ts, INTERVAL '30' MINUTE)
+        |         OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |FROM events ORDER BY user_id, ts LIMIT 10""".stripMargin).show(false)
+
+    println("=== sessions per user (top 5) ===")
+    spark.sql(
+      """WITH s AS (SELECT user_id, sessionize(ts, INTERVAL '30' MINUTE)
+        |                    OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |            FROM events)
+        |SELECT user_id, max(sid) AS n_sessions FROM s GROUP BY user_id
+        |ORDER BY n_sessions DESC, user_id LIMIT 5""".stripMargin).show(false)
+
+    println("=== window_funnel view->click->purchase, 1h, default + strict_order ===")
+    spark.sql(
+      """SELECT user_id,
+        |  window_funnel(INTERVAL '1' HOUR, ts,
+        |    event_type='view', event_type='click', event_type='purchase') AS steps,
+        |  window_funnel(INTERVAL '1' HOUR, 'strict_order', ts,
+        |    event_type='view', event_type='click', event_type='purchase') AS steps_strict
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 8""".stripMargin).show(false)
+
+    println("=== retention: active day1 / day1&2 / day1&3 ===")
+    spark.sql(
+      """SELECT retention(CAST(ts AS DATE)=DATE'2024-01-01',
+        |                 CAST(ts AS DATE)=DATE'2024-01-02',
+        |                 CAST(ts AS DATE)=DATE'2024-01-03') AS r
+        |FROM events""".stripMargin).show(false)
+
+    println("=== sequence_match / count / events per user ===")
+    spark.sql(
+      """SELECT user_id,
+        |  sequence_match('(?1).*(?2)', ts, event_type='view', event_type='purchase') AS m,
+        |  sequence_count('(?1).*(?2)', ts, event_type='view', event_type='purchase') AS c,
+        |  sequence_match_events('(?1)(?2)', ts, event_type='view', event_type='click') AS ev
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin).show(false)
+
+    println("=== sequence_next_node: what follows signup? ===")
+    spark.sql(
+      """SELECT user_id,
+        |  sequence_next_node('forward', 'first_match', ts, event_type,
+        |                     event_type='signup', event_type='signup') AS next_after_signup
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 8""".stripMargin).show(false)
+
+    println("=== probes ===")
+    println("-- invalid pattern -> NULL, garbage mode ignored, month interval:")
+    spark.sql(
+      """SELECT sequence_match('(?0', ts, event_type='view') AS bad_pattern,
+        |       sequence_count('garbage', ts, event_type='view') AS bad_pattern2
+        |FROM events""".stripMargin).show(false)
+    try {
+      spark.sql(
+        """SELECT sessionize(ts, INTERVAL '1' MONTH) OVER (ORDER BY ts)
+          |FROM events LIMIT 1""".stripMargin).collect()
+      println("month interval: NO ERROR (unexpected?)")
+    } catch { case e: Throwable =>
+      println(s"month interval rejected: ${e.getMessage.linesIterator.next()}") }
+    try {
+      spark.sql(
+        """SELECT window_funnel(INTERVAL '1' HOUR, 'bogus_mode', ts, event_type='view', event_type='click')
+          |FROM events""".stripMargin).show(false)
+    } catch { case e: Throwable =>
+      println(s"bogus mode: ${e.getMessage.linesIterator.next()}") }
+
+    println("=== Column API (DataFrame, no SQL) ===")
+    import graft.behavioral.BehavioralFunctions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = spark.table("events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    ev.select(col("user_id"), col("ts"),
+        sessionize(col("ts"), expr("INTERVAL '30' MINUTE")).over(w).as("sid"))
+      .groupBy("user_id").agg(max("sid").as("n_sessions"))
+      .orderBy("user_id").show(5, false)
+    ev.groupBy("user_id")
+      .agg(window_funnel(expr("INTERVAL '1' HOUR"), col("ts"),
+        col("event_type") === "view", col("event_type") === "purchase").as("steps"))
+      .orderBy("user_id").show(5, false)
+
+    spark.stop()
+  }
+}

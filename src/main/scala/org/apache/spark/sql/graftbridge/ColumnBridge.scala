@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column <-> Expression converters.
+  * Lives under `org.apache.spark.sql` so the package-private accessors
+  * resolve; everything else in this project stays in `graft.*`.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Registry-resolved function call — same resolution path as SQL. */
+  def fn(name: String, args: Column*): Column = Column.fn(name, args: _*)
+}
