@@ -1,13 +1,331 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.behavioral.BehavioralFunctions
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` has a DuckDB-runnable ANSI SQL twin in `oracleSql`
+  * computing the same result with the SAME column names and (cast-normalized)
+  * types. Timestamps are compared as epoch microseconds (BIGINT) because the
+  * testdata events parquet is TIMESTAMP_NANOS: both Spark (via Tables.events)
+  * and DuckDB truncate ns→µs, so the µs longs agree exactly. Floating-point
+  * aggregates are rounded to keep sum-order noise out of the hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Per-user session stats over the events stream (reference README's
+    * session-analysis demo re-expressed Spark-first). */
+  def entry(spark: SparkSession): DataFrame = {
+    BehavioralFunctions.register(spark)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    ev.select(col("user_id"), col("ts"),
+        BehavioralFunctions.sessionize(col("ts"), expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           unix_micros(max(col("ts"))).minus(unix_micros(min(col("ts")))).as("duration_us"))
+      .groupBy("user_id")
+      .agg(max(col("session_id")).as("n_sessions"),
+           round(avg(col("n_events")), 2).as("avg_events_per_session"),
+           round(avg(col("duration_us")) / 1e6, 2).as("avg_session_sec"))
+      .orderBy("user_id")
+  }
+
+  private def prep(s: SparkSession, dir: String): Unit =
+    BehavioralFunctions.register(s)
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    prep(s, dir)
+    Tables.events(s, dir)
+  }
+
+  // Shared window gap / funnel window in microseconds.
+  private val GapUs = 30L * 60 * 1000000
+  private val HourUs = 3600L * 1000000
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- 2.1 sessionize ------------------------------------------------
+    "q01_sessionize" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      ev.select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          BehavioralFunctions.sessionize(col("ts"), expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
+    },
+
+    // ---- 2.2 retention -------------------------------------------------
+    "q02_retention" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.retention(
+          to_date(col("ts")) === lit("2024-01-01"),
+          to_date(col("ts")) === lit("2024-01-02"),
+          to_date(col("ts")) === lit("2024-01-03")).as("r"))
+        .select(col("user_id"),
+          get(col("r"), lit(0)).as("d1"),
+          get(col("r"), lit(1)).as("d2"),
+          get(col("r"), lit(2)).as("d3"))
+    },
+
+    // ---- 2.3 window_funnel (default mode) ------------------------------
+    "q03_window_funnel" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("steps"))
+    },
+
+    // ---- 2.4 sequence_match --------------------------------------------
+    "q04_seq_match_wild" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match("(?1).*(?2)", col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "purchase").as("matched"))
+    },
+
+    "q05_seq_match_adj" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match("(?1)(?2)", col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click").as("matched"))
+    },
+
+    // ---- 2.5 sequence_count --------------------------------------------
+    "q06_seq_count" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_count("(?1)", col("ts"),
+          col("event_type") === "purchase").as("n"))
+    },
+
+    // ---- 2.6 sequence_match_events -------------------------------------
+    "q07_seq_match_events" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match_events("(?1)(?2)", col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click").as("r"))
+        .select(col("user_id"),
+          unix_micros(get(col("r"), lit(0))).as("ev1_us"),
+          unix_micros(get(col("r"), lit(1))).as("ev2_us"))
+    },
+
+    // ---- 2.7 sequence_next_node ----------------------------------------
+    "q08_seq_next_node" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_next_node("forward", "head", col("ts"),
+          col("event_type"),
+          col("event_type") === "signup",
+          col("event_type") === "signup").as("next_node"))
+    },
+
+    // ---- 2.9 host-engine surface: scan + agg + window (TPC-H Q1-ish) ----
+    "q09_tpch_q1" -> { (s, dir) =>
+      prep(s, dir)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             round(sum(col("l_extendedprice")), 2).as("sum_price"),
+             round(avg(col("l_discount")), 6).as("avg_disc"),
+             count(lit(1)).as("n_rows"))
+    },
+
+    // ---- 2.9 host-engine surface: joins (broadcast dims) ---------------
+    "q10_join_revenue" -> { (s, dir) =>
+      prep(s, dir)
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      val nation = Tables.load(s, dir, "nation")
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    },
+
+    // ---- LLM pipeline: exact dedup -------------------------------------
+    "q11_dedup_exact" -> { (s, dir) =>
+      prep(s, dir)
+      Tables.load(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+             count(lit(1)).as("dup_count"))
+        .select(col("keep_id"), col("dup_count"))
+    },
+
+    // ---- LLM pipeline: text stats (tokens / chars) ----------------------
+    "q12_text_stats" -> { (s, dir) =>
+      prep(s, dir)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+    },
+
+    // ---- LLM pipeline: per-language quality roll-up ---------------------
+    "q13_lang_stats" -> { (s, dir) =>
+      prep(s, dir)
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(col("n_chars")), 4).as("avg_chars"))
+    },
+
+    // ---- LLM pipeline: brute-force cosine top-k -------------------------
+    "q14_ann_cosine" -> { (s, dir) =>
+      prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = broadcast(emb.filter(col("vec_id") === 0).select(col("v").as("qv")))
+      emb.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id"),
+          (aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+            / (sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+               * sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM l""".stripMargin,
+
+    "q02_retention" ->
+      """SELECT user_id,
+        |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false) AS d1,
+        |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false)
+        |    AND coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-02'), false) AS d2,
+        |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false)
+        |    AND coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-03'), false) AS d3
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q03_window_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |c2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type = 'click'
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(x.t) AS t3
+        |       FROM c2 LEFT JOIN e x
+        |         ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+        |        AND c2.t2 IS NOT NULL AND x.t > c2.t2 AND x.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM c3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
+
+    "q04_seq_match_wild" ->
+      """SELECT user_id,
+        |  (min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) IS NOT NULL
+        |   AND max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) IS NOT NULL
+        |   AND min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |     < max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS matched
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q05_seq_match_adj" ->
+      """WITH f AS (SELECT user_id, ts, event_type FROM events WHERE event_type IN ('view', 'click')),
+        |l AS (SELECT user_id, event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt FROM f)
+        |SELECT e.user_id, coalesce(m.matched, false) AS matched
+        |FROM (SELECT DISTINCT user_id FROM events) e
+        |LEFT JOIN (SELECT user_id, bool_or(event_type = 'view' AND nxt = 'click') AS matched
+        |           FROM l GROUP BY user_id) m ON e.user_id = m.user_id""".stripMargin,
+
+    "q06_seq_count" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q07_seq_match_events" ->
+      """WITH f AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |l AS (SELECT user_id, t, event_type,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY t) AS ne FROM f),
+        |mm AS (SELECT user_id, t AS ev1, nt AS ev2,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+        |       FROM l WHERE event_type = 'view' AND ne = 'click')
+        |SELECT u.user_id, mm.ev1 AS ev1_us, mm.ev2 AS ev2_us
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN mm ON u.user_id = mm.user_id AND mm.rn = 1""".stripMargin,
+
+    "q08_seq_next_node" ->
+      """WITH o AS (SELECT user_id, ts,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        |           FROM events),
+        |a AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT u.user_id, o.nxt AS next_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN a ON a.user_id = u.user_id
+        |LEFT JOIN o ON o.user_id = u.user_id AND o.ts = a.t0""".stripMargin,
+
+    "q09_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
+        |  CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q11_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q12_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        |FROM documents""".stripMargin,
+
+    "q13_lang_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q14_ann_cosine" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |        list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+        |          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |             * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS sim
+        |      FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, CAST(round(sim, 6) AS DOUBLE) AS sim
+        |FROM s ORDER BY s.sim DESC, vec_id LIMIT 10""".stripMargin
+  )
 }

@@ -101,6 +101,11 @@ object Drive {
         col("event_type") === "view", col("event_type") === "purchase").as("steps"))
       .orderBy("user_id").show(5, false)
 
+    println("=== SparkEntry.entry flagship (driver smoke) ===")
+    val e = graft.SparkEntry.entry(spark)
+    e.show(5, false)
+    println(s"entry rows: ${e.count()}")
+
     spark.stop()
   }
 }
