@@ -183,6 +183,94 @@ object SparkEntry {
              round(avg(col("n_chars")), 4).as("avg_chars"))
     },
 
+    // ---- 2.3 window_funnel strict_order mode (rows-only check) ---------
+    "q15_funnel_strict_order" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), "strict_order", col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("steps"))
+    },
+
+    // ---- 2.4 time-constrained pattern (?t<=N) ---------------------------
+    "q16_seq_match_time" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match("(?1)(?t<=600)(?2)", col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click").as("matched"))
+    },
+
+    // ---- 2.7 sequence_next_node backward/tail ---------------------------
+    "q17_next_node_backward" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_next_node("backward", "tail", col("ts"),
+          col("event_type"),
+          col("event_type") === "purchase",
+          col("event_type") === "purchase").as("prev_node"))
+    },
+
+    // ---- LLM pipeline: exact n-gram Jaccard dedup (inverted index) ------
+    "q18_jaccard_dups" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Dedup.jaccardJoin(Tables.load(s, dir, "documents"), threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // ---- LLM pipeline: MinHash + LSH dedup (same verified output) -------
+    "q19_minhash_lsh" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Dedup.minhashLshJoin(Tables.load(s, dir, "documents"), threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // ---- LLM pipeline: embedding cosine near-dup self-join --------------
+    "q20_embed_neardup" -> { (s, dir) =>
+      prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      ops.Similarity.selfJoinPairs(emb, threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+    },
+
+    // ---- LLM pipeline: language-ID heuristic ----------------------------
+    "q21_langid" -> { (s, dir) =>
+      prep(s, dir)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), ops.TextAnalysis.langId(col("text")).as("lang_guess"))
+    },
+
+    // ---- LLM pipeline: quality scoring ----------------------------------
+    "q22_quality" -> { (s, dir) =>
+      prep(s, dir)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          ops.TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"),
+          round(ops.TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(ops.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    },
+
+    // ---- LLM pipeline: winnowing fingerprints ---------------------------
+    "q23_fingerprint" -> { (s, dir) =>
+      prep(s, dir)
+      val fp = ops.TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 4)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(fp).cast("long").as("n_fp"),
+          array_min(fp).as("min_fp"))
+    },
+
+    // ---- LLM pipeline: binary-column stats (multimodal plumbing) --------
+    "q24_binary_stats" -> { (s, dir) =>
+      prep(s, dir)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          substring(md5(col("text").cast("binary")), 1, 8).as("header_hex"))
+    },
+
     // ---- LLM pipeline: brute-force cosine top-k -------------------------
     "q14_ann_cosine" -> { (s, dir) =>
       prep(s, dir)
@@ -317,6 +405,122 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // q15_funnel_strict_order: mode semantics have no clean ANSI form — rows-only check.
+
+    "q16_seq_match_time" ->
+      """WITH f AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |l AS (SELECT user_id, t, event_type,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY t) AS ne FROM f)
+        |SELECT e.user_id, coalesce(m.matched, false) AS matched
+        |FROM (SELECT DISTINCT user_id FROM events) e
+        |LEFT JOIN (SELECT user_id,
+        |             bool_or(event_type = 'view' AND ne = 'click'
+        |                     AND (nt - t) // 1000000 <= 600) AS matched
+        |           FROM l GROUP BY user_id) m ON e.user_id = m.user_id""".stripMargin,
+
+    "q17_next_node_backward" ->
+      """WITH o AS (SELECT user_id, ts,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prv
+        |           FROM events),
+        |a AS (SELECT user_id, max(ts) AS t0 FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT u.user_id, o.prv AS prev_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN a ON a.user_id = u.user_id
+        |LEFT JOIN o ON o.user_id = u.user_id AND o.ts = a.t0""".stripMargin,
+
+    "q18_jaccard_dups" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS DOUBLE) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
+
+    "q19_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS DOUBLE) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
+
+    "q20_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS DOUBLE) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
+
+    "q21_langid" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, text,
+        |        len(list_intersect(toks, ['the','a','of','and','to','in','is'])) AS c_en,
+        |        len(list_intersect(toks, ['el','la','de','que','y','en','los'])) AS c_es,
+        |        len(list_intersect(toks, ['der','die','das','und','ist','von','mit'])) AS c_de,
+        |        len(list_intersect(toks, ['le','les','et','des','une','est','dans'])) AS c_fr
+        |      FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+        |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+        |       WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+        |       WHEN c_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_guess
+        |FROM c""".stripMargin,
+
+    "q22_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+        |             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |               / length(text) AS punct_ratio,
+        |             CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\s+'),
+        |                  ['the','a','of','and','to','in','is'])) AS DOUBLE)
+        |               / len(string_split_regex(trim(lower(text)), '\s+')) AS stop_ratio
+        |      FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(round(punct_ratio, 6) AS DOUBLE) AS punct_ratio,
+        |  CAST(round(least(1.0, n_tok / 50.0) * 0.5
+        |       + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3
+        |       + least(1.0, stop_ratio * 5.0) * 0.2, 6) AS DOUBLE) AS quality
+        |FROM t""".stripMargin,
+
+    "q23_fingerprint" ->
+      """WITH g AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |h AS (SELECT doc_id, L,
+        |        list_transform(range(1, L - 8 + 2),
+        |          i -> md5(substr(text, CAST(i AS INTEGER), 8))) AS hs
+        |      FROM g),
+        |f AS (SELECT doc_id,
+        |        CASE WHEN L >= 11 THEN
+        |          list_distinct(list_transform(range(1, L - 8 + 2 - 3),
+        |            j -> list_aggregate(hs[j:j+3], 'min')))
+        |        ELSE [] END AS fps
+        |      FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, list_aggregate(fps, 'min') AS min_fp
+        |FROM f""".stripMargin,
+
+    "q24_binary_stats" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS header_hex
+        |FROM documents""".stripMargin,
 
     "q14_ann_cosine" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design notes (the point of each shape):
+  *   - exact dedup is a single hash aggregation on a text digest — one
+  *     shuffle on a 32-byte key, never on the document body;
+  *   - the exact Jaccard join uses an INVERTED INDEX on shingles (shuffle on
+  *     shingle, then on the pair key) instead of a cross join: cost is
+  *     sum-over-shingles(df²) not n² — the only exact-similarity shape that
+  *     survives 100 TB;
+  *   - MinHash compresses each document to a fixed k-long signature
+  *     (k·8 bytes, independent of document size), and LSH banding turns the
+  *     similarity join into an equi-join on (band, bandHash) — candidates
+  *     are then verified exactly. Tune bands/rows for the target threshold:
+  *     P(candidate) = 1 - (1 - J^r)^b;
+  *   - SimHash compresses to a single 64-bit fingerprint; near-dups are
+  *     pairs within small Hamming distance, found by equi-joining on
+  *     16-bit bands (any pair with distance ≤ 3 shares at least one of 4
+  *     bands — pigeonhole).
+  *
+  * Everything is built-in columns (codegen'd); no UDFs, no driver loops.
+  */
+object Dedup {
+
+  /** Word k-shingles (distinct), the unit of n-gram similarity. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokensWs(text)
+    val n = size(toks)
+    when(n >= k,
+      array_distinct(transform(
+        sequence(lit(1), n - lit(k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + lit(o))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact duplicate groups: documents with byte-identical text, keyed by a
+    * 256-bit digest so the shuffle never carries the body. */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact n-gram Jaccard self-join via inverted index.
+    * Returns (doc_a, doc_b, jaccard) for all pairs with J >= threshold.
+    *
+    * @param maxShingleFreq drop shingles appearing in more than this many
+    *   docs before pairing (classic stop-shingle skew guard for web-scale
+    *   corpora. None = exact semantics; set it at scale, where a shingle in
+    *   100k docs would otherwise emit 10^10 pairs).
+    */
+  def jaccardJoin(docs: DataFrame, threshold: Double, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val inv = maxShingleFreq match {
+      case Some(cap) =>
+        val freq = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        inv0.join(freq, "shingle")
+      case None => inv0
+    }
+    val common = inv.as("x").join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: array of `numHashes` minima of seeded xxHash64 over
+    * the shingle set. Fixed-size sketch per document. */
+  def minhashSignature(sh: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => ColumnBridge.xxhash64(seed.toLong, s)))
+    }: _*)
+
+  /** MinHash + LSH banding + exact verification.
+    * Returns (doc_a, doc_b, jaccard) with exact J >= threshold among LSH
+    * candidates. With numHashes=64, bands=16 (r=4), a pair at J=0.9 is
+    * caught with probability 1 - (1 - 0.9^4)^16 ≈ 1 - 2e-8.
+    */
+  def minhashLshJoin(docs: DataFrame, threshold: Double, k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // one (band, bandHash) row per band; equi-join key for candidates
+    val banded = sig.select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verification on candidates only
+    cands.select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+         size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash fingerprint per document: per-bit majority vote over
+    * the xxHash64 of each distinct token. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokensWs(col(textCol)))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val voted = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    voted.select(col("id").as(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (≤ 3 with the
+    * 4-band split: pigeonhole guarantees one identical 16-bit band). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, idCol, textCol).select(col(idCol).as("id"), col("simhash"))
+    val banded = sh.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+    val popcnt = (x: Column) => bit_count(x)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_bits") === col("y.band_bits") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        popcnt(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxDist)
+  }
+}

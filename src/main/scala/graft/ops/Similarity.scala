@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>` /
+  * `array<double>`).
+  *
+  * Two tiers, mirroring how ANN actually deploys on Spark:
+  *   - brute force: exact, one pass, no index — the correctness baseline
+  *     and the right answer when one side is small (a query batch
+  *     broadcast against the corpus);
+  *   - random-hyperplane LSH: each vector is bucketed by the sign pattern
+  *     of `planes` fixed random projections, turning the self-join into an
+  *     equi-join on the bucket key; multi-table repetition recovers recall.
+  *     This is the shape that survives a corpus that no longer fits one
+  *     executor: bucket keys shuffle, vectors stream.
+  *
+  * Dot products run through `zip_with`/`aggregate` higher-order functions —
+  * Catalyst expressions, distributed, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact top-k nearest to one query vector (given as a 1-row DataFrame
+    * with column `qv`), by cosine. The query side is broadcast; the corpus
+    * is scanned once — the canonical "small queries × huge corpus" plan. */
+  def bruteTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
+    corpus.crossJoin(broadcast(query))
+      .select(col(idCol), cosine(col(vecCol), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Exact all-pairs self-join with cosine >= threshold. O(n²) — the
+    * verification baseline; use `lshSelfJoin` when n is large. */
+  def selfJoinPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
+    corpus.as("a").join(corpus.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim"))
+      .filter(col("sim") >= threshold)
+
+  /** Deterministic pseudo-random unit-free hyperplanes (fixed seed so plans
+    * are stable across runs and executors). */
+  private def planesFor(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern bucket key of `v` under `nPlanes` fixed hyperplanes. */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int = 12, seed: Long = 42L): Column = {
+    val ps = planesFor(dim, nPlanes, seed)
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed near-neighbor self-join: only vectors sharing a bucket in
+    * at least one of `tables` independent hashings are compared, then
+    * filtered by exact cosine >= threshold. Recall is tunable via
+    * tables × planes; candidates verify exactly, so precision is 1. */
+  def lshSelfJoin(corpus: DataFrame, threshold: Double, dim: Int,
+      nPlanes: Int = 12, tables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col(vecCol), dim, nPlanes, seed = 1000L + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, and winnowing document
+  * fingerprints.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs), so the operators stay inside whole-stage codegen, push down
+  * through Catalyst, and scale linearly with input splits — a doc-level map
+  * with no shuffle at all.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the baseline tokenizer; deterministic split). */
+  def tokensWs(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks — the classic byte-pair-encoding pre-split
+    * shape. Returns the token array. */
+  def tokensBpe(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Count of BPE-ish tokens. */
+  def tokenCountBpe(text: Column): Column = size(tokensBpe(text))
+
+  // ---- language ID -----------------------------------------------------
+
+  /** Tiny per-language stopword marker lists for the n-gram/stopword
+    * language-ID heuristic. Deliberately small and fixed: the operator is a
+    * deterministic heuristic, not a trained model. */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "los")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "mit")
+  val StopFr: Seq[String] = Seq("le", "les", "et", "des", "une", "est", "dans")
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  /** Language-ID heuristic: CJK codepoints → zh; otherwise argmax of
+    * stopword-marker hits with a fixed tie-break order (en, es, de, fr);
+    * no hits → 'und'. Pure column expression (SQL-mirrorable). */
+  def langId(text: Column): Column = {
+    val toks = tokensWs(lower(text))
+    val cEn = stopHits(toks, StopEn)
+    val cEs = stopHits(toks, StopEs)
+    val cDe = stopHits(toks, StopDe)
+    val cFr = stopHits(toks, StopFr)
+    when(regexp_count(text, lit("[\\u4e00-\\u9fff]")) > 0, "zh")
+      .when(cEn >= cEs && cEn >= cDe && cEn >= cFr && cEn > 0, "en")
+      .when(cEs >= cDe && cEs >= cFr && cEs > 0, "es")
+      .when(cDe >= cFr && cDe > 0, "de")
+      .when(cFr > 0, "fr")
+      .otherwise("und")
+  }
+
+  // ---- quality scoring -------------------------------------------------
+
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?]")).cast("double") / length(text)
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokensWs(lower(text))
+    stopHits(toks, StopEn).cast("double") / size(toks)
+  }
+
+  /** Deterministic document quality score in [0,1]: rewards reasonable
+    * length, light punctuation, and natural-language stopword density.
+    * (Heuristic in the C4/Gopher-rules tradition, kept SQL-mirrorable.) */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokensWs(text)).cast("double")
+    least(lit(1.0), nTok / 50.0) * 0.5 +
+      (lit(1.0) - least(lit(1.0), punctRatio(text) * 10.0)) * 0.3 +
+      least(lit(1.0), stopwordRatio(text) * 5.0) * 0.2
+  }
+
+  // ---- winnowing fingerprints ------------------------------------------
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * md5 every k-char gram, then keep the minimum hash of every w-gram
+    * window. Near-identical documents share most fingerprints, so an
+    * inverted index on the fingerprint column finds clones without pairwise
+    * comparison. md5-hex strings compare lexicographically the same in every
+    * engine, which keeps the operator oracle-checkable.
+    *
+    * Returns the DISTINCT fingerprint array per document.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val nGrams = length(text) - lit(k - 1) // # of k-char grams
+    val hashes = transform(
+      sequence(lit(1), greatest(nGrams, lit(1))),
+      i => md5(text.substr(i, lit(k)).cast("binary")))
+    val fps = transform(
+      sequence(lit(1), nGrams - lit(w - 1)),
+      j => array_min(slice(hashes, j, lit(w))))
+    // guarded: sequence(1, x) with x < 1 would run descending
+    when(length(text) >= k + w - 1, array_distinct(fps))
+      .otherwise(array().cast("array<string>"))
+  }
+}

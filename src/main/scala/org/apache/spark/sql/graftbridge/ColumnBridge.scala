@@ -13,4 +13,12 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   /** Registry-resolved function call — same resolution path as SQL. */
   def fn(name: String, args: Column*): Column = Column.fn(name, args: _*)
+
+  /** Seeded 64-bit xxHash of the given columns (functions.xxhash64 pins
+    * seed=42; MinHash/SimHash need a hash family, i.e. many seeds). Native
+    * codegen'd Catalyst expression — no UDF in the hot path. */
+  def xxhash64(seed: Long, cols: Column*): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        cols.map(ExpressionUtils.expression), seed))
 }

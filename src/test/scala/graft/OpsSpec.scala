@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different content about spark aggregation engines here"),
+    (5L, "about content different completely here engines aggregation spark") // permutation of 4
+
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups byte-identical docs") {
+    val got = Dedup.exactDupGroups(docs).collect()
+    assert(got.length === 4) // 1+2 merged
+    val dupGroup = got.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("jaccard inverted-index join finds exact and near dups") {
+    val pairs = Dedup.jaccardJoin(docs, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 === 1.0)
+  }
+
+  test("minhash LSH join agrees with the exact join on high-sim pairs") {
+    val exact = Dedup.jaccardJoin(docs, 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshJoin(docs, 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("minhash signature is deterministic and length-k") {
+    val sig1 = docs.select(Dedup.minhashSignature(Dedup.shingles(col("text")), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val sig2 = docs.select(Dedup.minhashSignature(Dedup.shingles(col("text")), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig1.toSeq === sig2.toSeq)
+    assert(sig1.forall(_.length == 16))
+    // identical docs → identical signatures
+    assert(sig1(0) === sig1(1))
+  }
+
+  test("simhash: identical docs get identical hashes, near dups small hamming") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) === sh(2L))
+    val hamming13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hamming14 = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hamming13 < hamming14) // near-dup closer than unrelated
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // 4 and 5 share the same word multiset — same tokens → same simhash
+    assert(sh(4L) === sh(5L))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0, 0.0, 0.0)),
+    (1L, Array(0.9, 0.1, 0.0)),   // close to 0
+    (2L, Array(0.0, 1.0, 0.0)),   // orthogonal to 0
+    (3L, Array(-1.0, 0.0, 0.0)),  // opposite of 0
+    (4L, Array(0.95, 0.05, 0.0))  // close to 0 and 1
+  ).toDF("vec_id", "v")
+
+  test("cosine column computes the exact value") {
+    val sim = vecs.filter($"vec_id" === 1L)
+      .select(Similarity.cosine($"v", array(lit(1.0), lit(0.0), lit(0.0))).as("s"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(sim - 0.9 / math.sqrt(0.82)) < 1e-12)
+  }
+
+  test("bruteTopK ranks by cosine desc") {
+    val q = vecs.filter($"vec_id" === 0L).select($"v".as("qv"))
+    val top = Similarity.bruteTopK(vecs.filter($"vec_id" =!= 0L), q, 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(top === Seq(4L, 1L))
+  }
+
+  test("lshSelfJoin finds the high-cosine pairs the exact join finds") {
+    val exact = Similarity.selfJoinPairs(vecs, 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshSelfJoin(vecs, 0.9, dim = 3, nPlanes = 8, tables = 6)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact) // high-sim vectors collide in ≥1 of 6 tables w.h.p.
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("langId identifies real multilingual samples") {
+    val samples = Seq(
+      ("the cat is on the roof of a house", "en"),
+      ("el perro y la casa de los vecinos que viven en madrid", "es"),
+      ("der hund und die katze ist von mit dem haus", "de"),
+      ("le chien et les chats dans une maison est grande", "fr"),
+      ("这是一个中文句子", "zh"),
+      ("xyzzy qwerty asdf", "und")
+    ).toDF("text", "expected")
+    val got = samples.select(col("expected"), TextAnalysis.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0), r.toString))
+  }
+
+  test("tokensBpe splits letter runs, digit runs, and marks") {
+    val got = Seq("ab12,cd!").toDF("t")
+      .select(TextAnalysis.tokensBpe(col("t"))).collect()(0).getSeq[String](0)
+    assert(got === Seq("ab", "12", ",", "cd", "!"))
+  }
+
+  test("qualityScore is in [0,1] and penalizes punctuation soup") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hills in the morning",
+      "!!! ??? ... ;;; :::"
+    ).toDF("t").select(TextAnalysis.qualityScore(col("t")).as("q"))
+    val Array(good, bad) = df.collect().map(_.getDouble(0))
+    assert(good > bad)
+    assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
+  }
+
+  test("winnowing: identical docs share fingerprints, short docs get none") {
+    val df = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz"),
+      (2L, "abcdefghijklmnopqrstuvwxyz"),
+      (3L, "tiny")
+    ).toDF("id", "t").select(col("id"),
+      TextAnalysis.winnowFingerprints(col("t"), 8, 4).as("fp"))
+    val rows = df.collect().map(r => r.getAs[Long]("id") -> r.getSeq[String](1)).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L).nonEmpty)
+    assert(rows(3L).isEmpty)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("demo table round-trips the binary column with typed metadata") {
+    val media = Multimodal.demoTable(spark, 30)
+    val rows = media.collect()
+    assert(rows.length === 30)
+    assert(rows.forall(_.bytes.length > 4))
+    assert(rows.count(_.kind == "image") === 10)
+  }
+
+  test("feature extraction is deterministic and validates the stub header") {
+    val media = Multimodal.demoTable(spark, 30)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.forall(_.header_ok))
+    assert(f1.forall(f => f.mean_byte >= 0 && f.mean_byte <= 255))
+  }
+
+  test("frame sampling only emits for video and strides the payload") {
+    val media = Multimodal.demoTable(spark, 30)
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_bytes.length == 16))
+    val videoIds = media.filter(col("kind") === "video").collect().map(_.media_id).toSet
+    assert(frames.map(_.media_id).toSet.subsetOf(videoIds))
+    assert(frames.forall(_.frame_idx % 2 == 0))
+  }
+
+  test("metadata-only query prunes the binary column at the scan") {
+    val media = Multimodal.demoTable(spark, 30)
+    // write+read as parquet so column pruning is observable in the plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val stats = Multimodal.metadataStats(spark.read.parquet(dir))
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("bytes"), s"binary column not pruned:\n$plan")
+    assert(stats.collect().length === 3)
+  }
+}
