@@ -41,6 +41,83 @@ object FunnelMode {
   }
 }
 
+/** The funnel state machine itself, shared by the batch aggregate and the
+  * Structured Streaming `flatMapGroupsWithState` operator. */
+object FunnelScan {
+
+  /** Max funnel step over the (sorted-on-demand) event buffer. */
+  def maxStep(buf: EventBuf, windowMicros: Long, mode: Int, numConds: Int): Int = {
+    if (buf.isEmpty || numConds == 0) return 0
+    buf.sortByTs()
+    var best = 0
+    var i = 0
+    while (i < buf.n && best < numConds) {
+      if ((buf.conds(i) & 1) != 0) { // entry condition
+        val s = scanFunnel(buf, i, buf.ts(i), windowMicros, mode, numConds)
+        if (s > best) best = s
+      }
+      i += 1
+    }
+    best
+  }
+
+  @inline private def condAt(buf: EventBuf, i: Int, idx: Int): Boolean =
+    ((buf.conds(i) >>> idx) & 1) != 0
+
+  /** Greedy forward scan from an entry event; each active mode adds an
+    * independent constraint, evaluated in the reference's order. */
+  private def scanFunnel(buf: EventBuf, startIdx: Int, entryTs: Long,
+      windowMicros: Long, mode: Int, numConds: Int): Int = {
+    var currentStep = 1 // step 0 matched at startIdx
+    var prevMatchedTs = entryTs
+    var j = startIdx + 1
+    while (j < buf.n) {
+      val evTs = buf.ts(j)
+      // window measured from the chain's FIRST event; strictly-greater breaks
+      if (evTs - entryTs > windowMicros) return currentStep
+
+      var skip = false
+      if ((mode & FunnelMode.AllowReentry) != 0 && currentStep > 1 && condAt(buf, j, 0)) {
+        // entry fired mid-chain: reset to step 1 at this event
+        currentStep = 1
+        prevMatchedTs = evTs
+        skip = true
+      }
+      if (!skip && (mode & FunnelMode.Strict) != 0 && currentStep > 0 &&
+          condAt(buf, j, currentStep - 1) && !condAt(buf, j, currentStep)) {
+        return currentStep // previously-matched condition re-fired: chain breaks
+      }
+      if (!skip && (mode & FunnelMode.StrictOrder) != 0) {
+        var k = 0
+        while (k < currentStep) {
+          if (condAt(buf, j, k)) return currentStep // earlier condition fired
+          k += 1
+        }
+      }
+      if (!skip && (mode & FunnelMode.TimestampDedup) != 0 &&
+          evTs == prevMatchedTs && condAt(buf, j, currentStep)) {
+        skip = true // same-ts event can't advance
+      }
+      if (!skip && (mode & FunnelMode.StrictIncrease) != 0 &&
+          condAt(buf, j, currentStep) && evTs <= prevMatchedTs) {
+        skip = true // next step needs strictly larger ts
+      }
+      if (!skip) {
+        // default mode: one event may advance multiple consecutive steps
+        var advancing = true
+        while (advancing && condAt(buf, j, currentStep)) {
+          currentStep += 1
+          prevMatchedTs = evTs
+          if (currentStep >= numConds) return numConds
+          if ((mode & FunnelMode.StrictOnce) != 0) advancing = false
+        }
+      }
+      j += 1
+    }
+    currentStep
+  }
+}
+
 /** `window_funnel(window, [mode,] ts, cond1, ..., condN) -> INT` — max funnel
   * step reached.
   *
@@ -97,75 +174,8 @@ case class WindowFunnelAgg(
     buf
   }
 
-  override def eval(buf: EventBuf): Any = {
-    if (buf.isEmpty || numConds == 0) return Integer.valueOf(0)
-    buf.sortByTs()
-    var maxStep = 0
-    var i = 0
-    while (i < buf.n && maxStep < numConds) {
-      if ((buf.conds(i) & 1) != 0) { // entry condition
-        val s = scanFunnel(buf, i, buf.ts(i))
-        if (s > maxStep) maxStep = s
-      }
-      i += 1
-    }
-    Integer.valueOf(maxStep)
-  }
-
-  @inline private def condAt(buf: EventBuf, i: Int, idx: Int): Boolean =
-    ((buf.conds(i) >>> idx) & 1) != 0
-
-  /** Greedy forward scan from an entry event; each active mode adds an
-    * independent constraint, evaluated in the reference's order. */
-  private def scanFunnel(buf: EventBuf, startIdx: Int, entryTs: Long): Int = {
-    var currentStep = 1 // step 0 matched at startIdx
-    var prevMatchedTs = entryTs
-    var j = startIdx + 1
-    while (j < buf.n) {
-      val evTs = buf.ts(j)
-      // window measured from the chain's FIRST event; strictly-greater breaks
-      if (evTs - entryTs > windowMicros) return currentStep
-
-      var skip = false
-      if ((mode & FunnelMode.AllowReentry) != 0 && currentStep > 1 && condAt(buf, j, 0)) {
-        // entry fired mid-chain: reset to step 1 at this event
-        currentStep = 1
-        prevMatchedTs = evTs
-        skip = true
-      }
-      if (!skip && (mode & FunnelMode.Strict) != 0 && currentStep > 0 &&
-          condAt(buf, j, currentStep - 1) && !condAt(buf, j, currentStep)) {
-        return currentStep // previously-matched condition re-fired: chain breaks
-      }
-      if (!skip && (mode & FunnelMode.StrictOrder) != 0) {
-        var k = 0
-        while (k < currentStep) {
-          if (condAt(buf, j, k)) return currentStep // earlier condition fired
-          k += 1
-        }
-      }
-      if (!skip && (mode & FunnelMode.TimestampDedup) != 0 &&
-          evTs == prevMatchedTs && condAt(buf, j, currentStep)) {
-        skip = true // same-ts event can't advance
-      }
-      if (!skip && (mode & FunnelMode.StrictIncrease) != 0 &&
-          condAt(buf, j, currentStep) && evTs <= prevMatchedTs) {
-        skip = true // next step needs strictly larger ts
-      }
-      if (!skip) {
-        // default mode: one event may advance multiple consecutive steps
-        var advancing = true
-        while (advancing && condAt(buf, j, currentStep)) {
-          currentStep += 1
-          prevMatchedTs = evTs
-          if (currentStep >= numConds) return numConds
-          if ((mode & FunnelMode.StrictOnce) != 0) advancing = false
-        }
-      }
-      j += 1
-    }
-    currentStep
-  }
+  override def eval(buf: EventBuf): Any =
+    Integer.valueOf(FunnelScan.maxStep(buf, windowMicros, mode, numConds))
 
   override def serialize(buf: EventBuf): Array[Byte] = buf.serialize()
   override def deserialize(bytes: Array[Byte]): EventBuf = EventBuf.deserialize(bytes)

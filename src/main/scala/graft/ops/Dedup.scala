@@ -28,16 +28,54 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object Dedup {
 
-  /** Word k-shingles (distinct), the unit of n-gram similarity. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokensWs(text)
+  /** Persist + eagerly materialize: within a single action, parallel
+    * (broadcast) subtrees race the lazy cache population and each recompute
+    * the lineage; materializing first guarantees every branch reads the
+    * cache. The frames this wraps are small sketches (ids, shingles,
+    * signatures), never full documents. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
+  /** Word k-shingles (distinct, sorted), the unit of n-gram similarity.
+    *
+    * IMPORTANT: pass a BOUND tokens column (an attribute), not the
+    * `split(...)` expression itself — an expression is re-evaluated inside
+    * every lambda element reference, turning shingling quadratic. Use
+    * `shingleFrame` for the standard two-step projection.
+    * Arrays come out lexicographically sorted so the verification kernel
+    * (`sorted_intersect_count`) can two-pointer-merge them. */
+  def shinglesOfTokens(toks: Column, k: Int = 3): Column = {
     val n = size(toks)
     when(n >= k,
-      array_distinct(transform(
+      array_sort(array_distinct(transform(
         sequence(lit(1), n - lit(k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + lit(o))): _*))))
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + lit(o))): _*)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Convenience for tests / small frames: tokenizes and shingles in one
+    * column expression. Do NOT use on large data (see shinglesOfTokens). */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesOfTokens(TextAnalysis.tokensWs(text), k)
+
+  /** (id, sh) with tokens bound to an attribute between the two
+    * projections — shingling is one pass per document.
+    *
+    * Deliberately NO `filter(size(sh) > 0)` here: predicate pushdown would
+    * substitute the whole shingle expression into the filter and evaluate
+    * the pipeline twice per row (observed 13s vs <1s at 5k docs). Empty
+    * arrays are harmless downstream — explode() emits nothing for them. */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("id"), TextAnalysis.tokensWs(col(textCol)).as("toks"))
+      .select(col("id"), shinglesOfTokens(col("toks"), k).as("sh"))
+
+  private def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Exact duplicate groups: documents with byte-identical text, keyed by a
     * 256-bit digest so the shuffle never carries the body. */
@@ -57,10 +95,12 @@ object Dedup {
   def jaccardJoin(docs: DataFrame, threshold: Double, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
-    val inv0 = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    // self-join sides and the verification joins all reference these
+    // frames; persist so the shingle/window lineage runs once, not once
+    // per branch (a self-join recomputes each side's whole subtree)
+    val sh = materialize(shingleFrame(docs, idCol, textCol, k))
+    val inv0 = sh.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
     val inv = maxShingleFreq match {
       case Some(cap) =>
         val freq = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -68,15 +108,35 @@ object Dedup {
         inv0.join(freq, "shingle")
       case None => inv0
     }
-    val common = inv.as("x").join(inv.as("y"),
+    // PREFIX FILTERING (AllPairs/PPJoin): rank shingles by ascending global
+    // frequency; a pair with J >= t must share a shingle within each doc's
+    // first (n - ceil(t*n) + 1) rarest shingles. Only that prefix enters the
+    // inverted index, so frequent "stop shingles" never explode the join.
+    // Candidates are then verified with the exact intersection, so the
+    // result is EXACT — identical to the naive all-pairs join.
+    val df_ = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = inv.join(df_, "shingle")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = ranked
+      .withColumn("rk", row_number().over(wOrd))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("shingle"))
+    val prefixM = materialize(prefix)
+    val cands = prefixM.as("x").join(prefixM.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verification on candidates only
+    val bySh = sh.select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+    cands
+      .join(bySh.select(col("id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
+      .join(bySh.select(col("id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
+      // two-step projection so the intersection is computed once per pair
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        sortedIntersectCount(col("sha"), col("shb")).cast("double").as("common"))
       .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -97,15 +157,24 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val sh = materialize(shingleFrame(docs, idCol, textCol, k))
+    // signature via explode + vectorized hash-aggregate of `numHashes` mins —
+    // one codegen'd pass over the inverted index, instead of re-traversing
+    // the shingle array once per hash seed
+    val minCols = (0 until numHashes).map(seed =>
+      min(ColumnBridge.xxhash64(seed.toLong, col("shingle"))).as(s"h$seed"))
+    val sigFlat = sh.select(col("id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val sig = sigFlat.select(col("id"),
+        array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+      .join(sh, "id")
     // one (band, bandHash) row per band; equi-join key for candidates
     val banded = sig.select(col("id"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val cands = banded.as("x").join(banded.as("y"),
+    val bandedM = materialize(banded)
+    val cands = bandedM.as("x").join(bandedM.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.id") < col("y.id"))
@@ -113,9 +182,12 @@ object Dedup {
         col("x.sh").as("sha"), col("y.sh").as("shb"))
       .dropDuplicates("doc_a", "doc_b")
     // exact verification on candidates only
-    cands.select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-         size(array_union(col("sha"), col("shb")))).as("jaccard"))
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        sortedIntersectCount(col("sha"), col("shb")).cast("double").as("common"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -146,6 +218,7 @@ object Dedup {
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+      .persist() // both sides of the candidate self-join
     val popcnt = (x: Column) => bit_count(x)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&

@@ -21,12 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Persist + eagerly materialize (see Dedup.materialize: parallel
+    * broadcast subtrees race a lazy cache). */
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
   /** Cosine similarity between two array<double> columns. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Dot product via the native codegen'd DotProduct expression (tight
+    * primitive loop; same left-to-right summation as the HOF chain and
+    * DuckDB's list_dot_product, so values are bit-identical). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** Exact top-k nearest to one query vector (given as a 1-row DataFrame
     * with column `qv`), by cosine. The query side is broadcast; the corpus
@@ -39,13 +53,20 @@ object Similarity {
       .limit(k)
 
   /** Exact all-pairs self-join with cosine >= threshold. O(n²) — the
-    * verification baseline; use `lshSelfJoin` when n is large. */
+    * verification baseline; use `lshSelfJoin` when n is large.
+    * Norms are computed once per vector BEFORE the join (n sqrt+dot calls,
+    * not n²); per-pair work is a single dot product. The arithmetic
+    * (dot / (norm_a * norm_b)) is unchanged, so values match the per-pair
+    * formulation bit-for-bit. */
   def selfJoinPairs(corpus: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
-    corpus.as("a").join(corpus.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
-        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim"))
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val normed = materialize(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm")))
+    normed.as("a").join(normed.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
+  }
 
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed so plans
     * are stable across runs and executors). */
@@ -75,7 +96,8 @@ object Similarity {
       posexplode(array((0 until tables).map(t =>
         lshBucket(col(vecCol), dim, nPlanes, seed = 1000L + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
+    val bucketedM = materialize(bucketed)
+    bucketedM.as("a").join(bucketedM.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingBehavioral
+import graft.streaming.StreamingBehavioral.{FunnelEvent, FunnelUpdate}
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming sessionize via session_window groups by gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = StreamingBehavioral.sessionStats(events, "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+        (1L, ts("2024-01-01 02:00:00")),
+        (2L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // user 1: one 2-event session + one 1-event session; user 2: one session
+      assert(rows === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel advances steps across micro-batches and times out state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val out = StreamingBehavioral.streamingFunnel(
+      input.toDS(), windowMicros = 3600L * 1000000, numConds = 3,
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      // batch 1: view only → step 1
+      input.addData(FunnelEvent(7L, ts("2024-01-01 00:00:00"), 1))
+      q.processAllAvailable()
+      // batch 2: click + purchase arrive later → step 3
+      input.addData(
+        FunnelEvent(7L, ts("2024-01-01 00:05:00"), 2),
+        FunnelEvent(7L, ts("2024-01-01 00:10:00"), 4))
+      q.processAllAvailable()
+      val updates = spark.table("funnel").as[FunnelUpdate].collect()
+        .filter(_.user_id == 7L).map(_.steps).toSeq
+      assert(updates.contains(1) && updates.contains(3), updates.toString)
+
+      // advance the watermark far beyond maxTs + window → state times out;
+      // a new event afterwards starts a fresh chain at step 1
+      input.addData(FunnelEvent(99L, ts("2024-01-02 12:00:00"), 1))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(7L, ts("2024-01-02 12:00:01"), 2))
+      q.processAllAvailable()
+      val after = spark.table("funnel").as[FunnelUpdate].collect()
+        .filter(u => u.user_id == 7L).map(_.steps).toSeq
+      // the final update for user 7 (fresh state, click with no view) is step 0
+      assert(after.last === 0, after.toString)
+    } finally q.stop()
+  }
+}
