@@ -271,6 +271,49 @@ object SparkEntry {
           substring(md5(col("text").cast("binary")), 1, 8).as("header_hex"))
     },
 
+    // ---- 2.3 remaining funnel modes (rows-only checks) ------------------
+    "q25_funnel_modes" -> { (s, dir) =>
+      val ev = events(s, dir)
+      def f(mode: String) = BehavioralFunctions.window_funnel(
+        expr("INTERVAL '1' HOUR"), mode, col("ts"),
+        col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase")
+      ev.groupBy(col("user_id"))
+        .agg(f("strict").as("strict"),
+          f("strict_once").as("strict_once"),
+          f("timestamp_dedup").as("ts_dedup"),
+          f("strict_increase").as("strict_inc"),
+          f("allow_reentry").as("reentry"),
+          f("strict_increase, strict_once").as("combined"))
+    },
+
+    // ---- 2.7 next-node forward/tail ------------------------------------
+    "q26_next_node_fwd_tail" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_next_node("forward", "tail", col("ts"),
+          col("event_type"),
+          col("event_type") === "signup",
+          col("event_type") === "signup").as("next_node"))
+    },
+
+    // ---- 2.7 next-node backward/head ------------------------------------
+    "q27_next_node_bwd_head" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_next_node("backward", "head", col("ts"),
+          col("event_type"),
+          col("event_type") === "purchase",
+          col("event_type") === "purchase").as("prev_node"))
+    },
+
+    // ---- LLM pipeline: SimHash fingerprints (rows-only) -----------------
+    "q28_simhash" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Dedup.simhash(Tables.load(s, dir, "documents"))
+    },
+
     // ---- LLM pipeline: brute-force cosine top-k -------------------------
     "q14_ann_cosine" -> { (s, dir) =>
       prep(s, dir)
@@ -406,7 +449,29 @@ object SparkEntry {
         |  CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
         |FROM documents GROUP BY lang""".stripMargin,
 
-    // q15_funnel_strict_order: mode semantics have no clean ANSI form — rows-only check.
+    // q15_funnel_strict_order, q25_funnel_modes: mode semantics have no clean
+    // ANSI form — rows-only checks. q28_simhash: hash internals not
+    // reproducible in SQL — rows-only; determinism is unit-tested.
+
+    "q26_next_node_fwd_tail" ->
+      """WITH o AS (SELECT user_id, ts,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        |           FROM events),
+        |a AS (SELECT user_id, max(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT u.user_id, o.nxt AS next_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN a ON a.user_id = u.user_id
+        |LEFT JOIN o ON o.user_id = u.user_id AND o.ts = a.t0""".stripMargin,
+
+    "q27_next_node_bwd_head" ->
+      """WITH o AS (SELECT user_id, ts,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prv
+        |           FROM events),
+        |a AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT u.user_id, o.prv AS prev_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN a ON a.user_id = u.user_id
+        |LEFT JOIN o ON o.user_id = u.user_id AND o.ts = a.t0""".stripMargin,
 
     "q16_seq_match_time" ->
       """WITH f AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events

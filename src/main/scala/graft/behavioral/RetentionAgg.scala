@@ -33,6 +33,15 @@ case class RetentionAgg(
   // empty because Java deserialization re-runs superclass init with null fields)
   private final val SeenBit = 1L << 62
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.isEmpty || children.size > 32)
+      TypeCheckFailure(s"retention takes 1..32 boolean conditions, got ${children.size}")
+    else if (children.exists(_.dataType != BooleanType))
+      TypeCheckFailure("retention conditions must be BOOLEAN")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): Array[Long] = Array(0L)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

@@ -36,6 +36,17 @@ abstract class SequenceAggBase extends TypedImperativeAggregate[EventBuf] {
   @transient private lazy val tsExpr = children(1)
   @transient private lazy val condExprs: Array[Expression] = children.drop(2).toArray
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size < 3)
+      TypeCheckFailure(s"$prettyName needs (pattern, ts, cond1, ...)")
+    else if (children.size - 2 > 32)
+      TypeCheckFailure(s"$prettyName supports at most 32 conditions, got ${children.size - 2}")
+    else if (children.drop(2).exists(_.dataType != BooleanType))
+      TypeCheckFailure(s"$prettyName conditions must be BOOLEAN")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): EventBuf = EventBuf.empty()
 
   override def update(buf: EventBuf, input: InternalRow): EventBuf = {

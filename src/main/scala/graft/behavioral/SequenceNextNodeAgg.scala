@@ -157,6 +157,17 @@ case class SequenceNextNodeAgg(
   @transient private lazy val valueExpr = children(3)
   @transient private lazy val baseCondExpr = children(4)
   @transient private lazy val stepExprs: Array[Expression] = children.drop(5).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size < 6)
+      TypeCheckFailure("sequence_next_node needs (direction, base, ts, value, baseCond, ev1, ...)")
+    else if (children.size - 5 > 32)
+      TypeCheckFailure(s"sequence_next_node supports at most 32 step conditions, got ${children.size - 5}")
+    else if (children.drop(4).exists(_.dataType != BooleanType))
+      TypeCheckFailure("sequence_next_node base/step conditions must be BOOLEAN")
+    else TypeCheckSuccess
+  }
   private def numSteps: Int = stepExprs.length
 
   override def createAggregationBuffer(): NNBuf = new NNBuf(16)

@@ -153,6 +153,17 @@ case class WindowFunnelAgg(
     children.drop(if (hasMode) 3 else 2).toArray
   private def numConds: Int = condExprs.length
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size < (if (hasMode) 4 else 3))
+      TypeCheckFailure("window_funnel needs (window, [mode,] ts, cond1, ...)")
+    else if (numConds > 32)
+      TypeCheckFailure(s"window_funnel supports at most 32 conditions, got $numConds")
+    else if (condExprs.exists(_.dataType != BooleanType))
+      TypeCheckFailure("window_funnel conditions must be BOOLEAN")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): EventBuf = EventBuf.empty()
 
   override def update(buf: EventBuf, input: InternalRow): EventBuf = {

@@ -1,0 +1,101 @@
+package graft
+
+import graft.behavioral.{EventBuf, FunnelMode, FunnelScan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary cases ported from the reference's mutation-killing unit tests:
+  * 32-condition bit boundaries (reference src/common/event.rs:326-331),
+  * extreme i64 timestamps (src/common/event.rs:363-371), and the arity
+  * limits the FFI enforces per overload.
+  */
+class BoundarySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("retention accepts exactly 32 conditions; bit 31 is preserved") {
+    val conds = (1 to 32).map(i => if (i == 1 || i == 32) "true" else "false")
+      .mkString(", ")
+    val got = spark.sql(s"SELECT retention($conds) FROM VALUES (1) AS t(x)")
+      .collect()(0).getSeq[Boolean](0)
+    assert(got.length === 32)
+    assert(got.head === true)
+    assert(got(31) === true)   // anchor && cond32 — exercises bit 31
+    assert(got(1) === false)
+  }
+
+  test("33 conditions is an analysis error, not silent wraparound") {
+    val conds = (1 to 33).map(_ => "true").mkString(", ")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT retention($conds) FROM VALUES (1) AS t(x)").collect()
+    }
+    assert(e.getMessage.contains("32"), e.getMessage)
+  }
+
+  test("window_funnel with 32 conditions reaches step 32") {
+    val conds = (1 to 32).map(i => s"s = $i").mkString(", ")
+    val rows = (1 to 32).map(i => s"(TIMESTAMP '2024-01-01 00:00:${i.formatted("%02d")}', $i)")
+      .mkString(", ")
+    val got = spark.sql(
+      s"""SELECT window_funnel(INTERVAL '1' HOUR, ts, $conds)
+         |FROM VALUES $rows AS t(ts, s)""".stripMargin).collect()(0).getInt(0)
+    assert(got === 32)
+  }
+
+  test("window_funnel with 33 conditions is an analysis error") {
+    val conds = (1 to 33).map(i => s"s = $i").mkString(", ")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""SELECT window_funnel(INTERVAL '1' HOUR, ts, $conds)
+           |FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', 1) AS t(ts, s)""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("32"), e.getMessage)
+  }
+
+  test("non-boolean condition is an analysis error with a clear message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT retention(x) FROM VALUES (1) AS t(x)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("boolean"), e.getMessage)
+  }
+
+  test("extreme i64 timestamps sort and scan without overflow surprises") {
+    // reference sorts extreme timestamps correctly (src/common/event.rs:363-371);
+    // FunnelScan's window check subtracts, so probe the extremes directly
+    val b = EventBuf.empty()
+    b.append(Long.MaxValue - 1, 1)
+    b.append(Long.MinValue + 1, 1)
+    b.append(0L, 2)
+    b.sortByTs()
+    assert(b.ts(0) === Long.MinValue + 1 && b.ts(2) === Long.MaxValue - 1)
+    // entry at MinValue+1; window of 1h: next event is far outside → step 1
+    val s = FunnelScan.maxStep(b, 3600L * 1000000, FunnelMode.Default, 2)
+    assert(s === 1)
+  }
+
+  test("sequence functions: 32-condition pattern indexes parse and match") {
+    val conds = (1 to 32).map(i => s"s = $i").mkString(", ")
+    val got = spark.sql(
+      s"""SELECT sequence_match('(?32)', ts, $conds)
+         |FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', 32) AS t(ts, s)""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(got === true)
+  }
+
+  test("pattern referencing condition 33 never matches (out of bitmask range)") {
+    val got = spark.sql(
+      """SELECT sequence_match('(?33)', ts, s = 1)
+        |FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', 1) AS t(ts, s)""".stripMargin)
+      .collect()(0)
+    // (?33) parses (valid syntax) but can never match a 32-bit mask
+    assert(got.getBoolean(0) === false)
+  }
+
+  test("sequence_next_node value NULL propagates (src/ffi/sequence_next_node.rs:140-144)") {
+    val got = spark.sql(
+      """SELECT sequence_next_node('forward', 'head', ts, v, c, c) FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', 'a', true),
+        |  (TIMESTAMP '2024-01-01 00:01:00', CAST(NULL AS STRING), false)
+        |AS t(ts, v, c)""".stripMargin).collect()(0)
+    assert(got.isNullAt(0)) // next node exists but its value is NULL → NULL
+  }
+}
