@@ -314,6 +314,20 @@ object SparkEntry {
       ops.Dedup.simhash(Tables.load(s, dir, "documents"))
     },
 
+    // ---- LLM pipeline: IVF ANN (full probe == exact; partial-probe path
+    // unit-tested) --------------------------------------------------------
+    "q29_ivf_ann" -> { (s, dir) =>
+      prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val queryVec = emb.filter(col("vec_id") === 0)
+        .collect()(0).getSeq[Double](1).toArray
+      val (indexed, centroids) =
+        ops.Similarity.ivfIndex(emb.filter(col("vec_id") =!= 0), nCells = 8, iterations = 2)
+      ops.Similarity.ivfTopK(indexed, centroids, queryVec, k = 10, nProbe = 8)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+    },
+
     // ---- LLM pipeline: brute-force cosine top-k -------------------------
     "q14_ann_cosine" -> { (s, dir) =>
       prep(s, dir)
@@ -586,6 +600,16 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substr(md5(text), 1, 8) AS header_hex
         |FROM documents""".stripMargin,
+
+    "q29_ivf_ann" -> // full-probe IVF is exact -> same oracle as brute force
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |        list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+        |          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |             * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS sim
+        |      FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, CAST(round(sim, 6) AS DOUBLE) AS sim
+        |FROM s ORDER BY s.sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q14_ann_cosine" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

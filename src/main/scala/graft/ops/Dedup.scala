@@ -121,10 +121,15 @@ object Dedup {
     val prefix = ranked
       .withColumn("rk", row_number().over(wOrd))
       .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("n_sh"), col("shingle"))
     val prefixM = materialize(prefix)
+    // length filter: J(a,b) >= t forces t·|a| <= |b| <= |a|/t — a necessary
+    // condition, so pruning by it keeps the join exact while dropping
+    // size-mismatched candidate pairs before dedup/verification
     val cands = prefixM.as("x").join(prefixM.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
+        col("y.n_sh") >= ceil(lit(threshold) * col("x.n_sh")) &&
+        col("x.n_sh") >= ceil(lit(threshold) * col("y.n_sh")))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // exact verification on candidates only

@@ -85,6 +85,69 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means-style coarse
+    * quantization, then exact search inside the `nProbe` clusters nearest
+    * to the query.
+    *
+    * Training is a fixed number of Lloyd iterations run as DataFrame
+    * aggregations (assign = argmin over broadcast centroids, update =
+    * per-cluster mean), with deterministic initialization (first `nCells`
+    * vectors by id). At scale the corpus is written PARTITIONED BY cell, so
+    * a query scans only nProbe/nCells of the data — the IVF counterpart of
+    * partition pruning.
+    */
+  def ivfIndex(corpus: DataFrame, nCells: Int, iterations: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "v"): (DataFrame, Array[Array[Double]]) = {
+    val base = materialize(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+    var centroids: Array[Array[Double]] = base.orderBy(col("id")).limit(nCells)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iterations) {
+      val assigned = assignCells(base, centroids)
+      val dim = centroids(0).length
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = Array.tabulate(centroids.length)(c => centroids(c).clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      centroids = next
+    }
+    (assignCells(base, centroids), centroids)
+  }
+
+  /** argmin-distance cell id per vector, against broadcast centroid
+    * literals (codegen'd; no UDF). */
+  private def assignCells(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    // squared L2 distance to each centroid: |v|² - 2 v·c + |c|²; |v|² is
+    // common to all cells, so argmin needs only (-2 v·c + |c|²)
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.map(lit): _*)
+      struct((dot(col("v"), cArr) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
+        lit(i).as("cell"))
+    }
+    base.withColumn("cell", element_at(array_sort(array(scores: _*)), 1)("cell"))
+  }
+
+  /** Exact top-k within the `nProbe` cells nearest to the query vector. */
+  def ivfTopK(indexed: DataFrame, centroids: Array[Array[Double]],
+      query: Array[Double], k: Int, nProbe: Int,
+      idCol: String = "id"): DataFrame = {
+    def d2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val t = c(i) - query(i); s += t * t; i += 1 }
+      s
+    }
+    val probes = centroids.zipWithIndex.sortBy(p => d2(p._1)).take(nProbe).map(_._2)
+    val qArr = array(query.map(lit): _*)
+    indexed.filter(col("cell").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol), cosine(col("v"), qArr).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed near-neighbor self-join: only vectors sharing a bucket in
     * at least one of `tables` independent hashings are compared, then
     * filtered by exact cosine >= threshold. Recall is tunable via

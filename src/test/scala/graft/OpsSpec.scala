@@ -92,6 +92,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top === Seq(4L, 1L))
   }
 
+  test("IVF index: full probe equals brute force; partial probe is a subset") {
+    // deterministic 2D grid of vectors
+    val grid = (for (x <- 0 until 8; y <- 0 until 8)
+      yield ((x * 8 + y).toLong, Array(x.toDouble + 0.1, y.toDouble + 0.1)))
+      .toDF("vec_id", "v")
+    val (indexed, centroids) = Similarity.ivfIndex(grid, nCells = 4, iterations = 3)
+    assert(indexed.select("cell").distinct().count() <= 4)
+    // many grid vectors tie on cosine (all (d,d) diagonals align with the
+    // query), so compare SIMILARITIES, which are tie-insensitive
+    val query = Array(7.0, 7.0)
+    def sims(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.collect().map(r => math.rint(r.getAs[Double]("sim") * 1e12) / 1e12).toSeq
+    // probing ALL cells == exact brute-force top-k
+    val ivfAll = sims(Similarity.ivfTopK(indexed, centroids, query, k = 5, nProbe = 4))
+    val q = Seq((0L, query)).toDF("qid", "qv").select(col("qv"))
+    val brute = sims(Similarity.bruteTopK(grid, q, 5))
+    assert(ivfAll === brute)
+    // probing 1 cell still finds a best-similarity neighbor
+    val ivf1 = sims(Similarity.ivfTopK(indexed, centroids, query, k = 1, nProbe = 1))
+    assert(ivf1 === brute.take(1))
+  }
+
   test("lshSelfJoin finds the high-cosine pairs the exact join finds") {
     val exact = Similarity.selfJoinPairs(vecs, 0.9)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
