@@ -255,11 +255,14 @@ object SparkEntry {
     // ---- LLM pipeline: winnowing fingerprints ---------------------------
     "q23_fingerprint" -> { (s, dir) =>
       prep(s, dir)
-      val fp = ops.TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 4)
+      // two-step: bind the k-gram hash array, then window it (see
+      // TextAnalysis.winnowFromHashes for why one expression is O(len²))
       Tables.load(s, dir, "documents")
+        .select(col("doc_id"), ops.TextAnalysis.kgramHashes(col("text"), 8).as("h"))
+        .select(col("doc_id"), ops.TextAnalysis.winnowFromHashes(col("h"), 4).as("fp"))
         .select(col("doc_id"),
-          size(fp).cast("long").as("n_fp"),
-          array_min(fp).as("min_fp"))
+          size(col("fp")).cast("long").as("n_fp"),
+          array_min(col("fp")).as("min_fp"))
     },
 
     // ---- LLM pipeline: binary-column stats (multimodal plumbing) --------

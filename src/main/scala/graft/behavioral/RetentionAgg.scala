@@ -44,12 +44,16 @@ case class RetentionAgg(
 
   override def createAggregationBuffer(): Array[Long] = Array(0L)
 
+  // codegen'd input projection — see WindowFunnelAgg.inputProj
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(children.toIndexedSeq)
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val row = inputProj(input)
     var mask = 0L
     var i = 0
     while (i < children.size) {
-      val v = children(i).eval(input)
-      if (v != null && v.asInstanceOf[Boolean]) mask |= 1L << i
+      if (!row.isNullAt(i) && row.getBoolean(i)) mask |= 1L << i
       i += 1
     }
     buf(0) |= mask | SeenBit

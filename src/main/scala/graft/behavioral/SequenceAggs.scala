@@ -49,17 +49,20 @@ abstract class SequenceAggBase extends TypedImperativeAggregate[EventBuf] {
 
   override def createAggregationBuffer(): EventBuf = EventBuf.empty()
 
+  // codegen'd input projection — see WindowFunnelAgg.inputProj
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(tsExpr +: condExprs.toIndexedSeq)
+
   override def update(buf: EventBuf, input: InternalRow): EventBuf = {
-    val t = tsExpr.eval(input)
-    if (t == null) return buf
+    val row = inputProj(input)
+    if (row.isNullAt(0)) return buf
     var mask = 0
     var i = 0
     while (i < condExprs.length) {
-      val v = condExprs(i).eval(input)
-      if (v != null && v.asInstanceOf[Boolean]) mask |= 1 << i
+      if (!row.isNullAt(i + 1) && row.getBoolean(i + 1)) mask |= 1 << i
       i += 1
     }
-    if (mask != 0) buf.append(t.asInstanceOf[Long], mask)
+    if (mask != 0) buf.append(row.getLong(0), mask)
     buf
   }
 

@@ -172,24 +172,25 @@ case class SequenceNextNodeAgg(
 
   override def createAggregationBuffer(): NNBuf = new NNBuf(16)
 
+  // codegen'd input projection: (ts, value, baseCond, step1..stepN) — one
+  // generated evaluation per row instead of N interpreted eval() calls
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      (tsExpr +: valueExpr +: baseCondExpr +: stepExprs.toIndexedSeq))
+
   override def update(buf: NNBuf, input: InternalRow): NNBuf = {
-    val t = tsExpr.eval(input)
-    if (t == null) return buf
+    val row = inputProj(input)
+    if (row.isNullAt(0)) return buf
     var f = 0L
     var i = 0
     while (i < stepExprs.length) {
-      val v = stepExprs(i).eval(input)
-      if (v != null && v.asInstanceOf[Boolean]) f |= 1L << i
+      if (!row.isNullAt(i + 3) && row.getBoolean(i + 3)) f |= 1L << i
       i += 1
     }
-    val bc = baseCondExpr.eval(input)
-    if (bc != null && bc.asInstanceOf[Boolean]) f |= 1L << 32
-    val value = valueExpr.eval(input) match {
-      case null => null
-      case s: UTF8String => s.clone() // own the bytes: input row memory is reused
-      case other => UTF8String.fromString(other.toString)
-    }
-    buf.append(t.asInstanceOf[Long], f, value)
+    if (!row.isNullAt(2) && row.getBoolean(2)) f |= 1L << 32
+    // own the bytes: the projection's backing buffer is reused across rows
+    val value = if (row.isNullAt(1)) null else row.getUTF8String(1).clone()
+    buf.append(row.getLong(0), f, value)
     buf
   }
 

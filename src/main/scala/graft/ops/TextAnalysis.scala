@@ -99,4 +99,26 @@ object TextAnalysis {
     when(length(text) >= k + w - 1, array_distinct(fps))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** The k-gram hash array alone — stage 1 of the scalable two-step form. */
+  def kgramHashes(text: Column, k: Int = 8): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+      i => md5(text.substr(i, lit(k)).cast("binary")))
+
+  /** Windowed minima over a BOUND hash-array column — stage 2.
+    *
+    * Use `df.select(kgramHashes(text).as("h")).select(winnowFromHashes(col("h")))`
+    * on real data: in the single-expression `winnowFingerprints` form,
+    * Catalyst inlines the hash array into the windowing lambda (it is
+    * referenced once, so CollapseProject collapses), and every window
+    * re-hashes the whole document — O(len²) md5 calls. This form references
+    * the bound column several times, which blocks the collapse, keeping the
+    * hash pass O(len). Same output as `winnowFingerprints`. */
+  def winnowFromHashes(h: Column, w: Int = 4): Column =
+    when(size(h) >= w,
+      array_distinct(transform(
+        sequence(lit(1), size(h) - lit(w - 1)),
+        j => array_min(slice(h, j, lit(w))))))
+      .otherwise(array().cast("array<string>"))
 }

@@ -11,6 +11,7 @@ object GraftSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.behavioral.BehavioralFunctions.register(s)

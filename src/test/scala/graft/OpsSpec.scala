@@ -157,6 +157,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
   }
 
+  test("two-step winnowing equals the single-expression form") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"), (2L, "short"), (3L, "exactly11ch")).toDF("id", "t")
+    val single = df.select(col("id"),
+      TextAnalysis.winnowFingerprints(col("t"), 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val twoStep = df
+      .select(col("id"), TextAnalysis.kgramHashes(col("t"), 8).as("h"))
+      .select(col("id"), TextAnalysis.winnowFromHashes(col("h"), 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(single === twoStep)
+  }
+
   test("winnowing: identical docs share fingerprints, short docs get none") {
     val df = Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz"),
