@@ -317,6 +317,13 @@ object SparkEntry {
       ops.Dedup.simhash(Tables.load(s, dir, "documents"))
     },
 
+    // ---- LLM pipeline: duplicate-cluster assignment ---------------------
+    "q30_dup_components" -> { (s, dir) =>
+      prep(s, dir)
+      val pairs = ops.Dedup.jaccardJoin(Tables.load(s, dir, "documents"), threshold = 0.5)
+      ops.Dedup.dupComponents(pairs)
+    },
+
     // ---- LLM pipeline: IVF ANN (full probe == exact; partial-probe path
     // unit-tested) --------------------------------------------------------
     "q29_ivf_ann" -> { (s, dir) =>
@@ -603,6 +610,24 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substr(md5(text), 1, 8) AS header_hex
         |FROM documents""".stripMargin,
+
+    "q30_dup_components" -> // transitive closure of the exact-Jaccard dup pairs
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+        |)
+        |SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u""".stripMargin,
 
     "q29_ivf_ann" -> // full-probe IVF is exact -> same oracle as brute force
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

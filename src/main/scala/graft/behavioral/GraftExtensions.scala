@@ -1,0 +1,54 @@
+package graft.behavioral
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-wide injection point:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.behavioral.GraftExtensions ...
+  * }}}
+  *
+  * registers the behavioral family in every session's function registry —
+  * the deployment-grade equivalent of calling
+  * `BehavioralFunctions.register(spark)` per session (which remains the
+  * programmatic path). The reference's analogue is `LOAD behavioral`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "agg_funcs", "4.0.0", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("sessionize",
+      "sessionize(ts, gap) OVER (PARTITION BY k ORDER BY ts) - gap-based session ids") {
+      exprs => SessionizeWindow(exprs(0), exprs(1))
+    }
+    inject("retention", "retention(cond1, ..., condN) - cohort retention flags") {
+      exprs => RetentionAgg(exprs)
+    }
+    inject("window_funnel",
+      "window_funnel(window[, mode], ts, cond1, ..., condN) - max funnel step") {
+      exprs => WindowFunnelAgg(exprs)
+    }
+    inject("sequence_match", "sequence_match(pattern, ts, cond1, ...) - pattern exists") {
+      exprs => SequenceMatchAgg(exprs)
+    }
+    inject("sequence_count", "sequence_count(pattern, ts, cond1, ...) - non-overlapping matches") {
+      exprs => SequenceCountAgg(exprs)
+    }
+    inject("sequence_match_events",
+      "sequence_match_events(pattern, ts, cond1, ...) - first match step timestamps") {
+      exprs => SequenceMatchEventsAgg(exprs)
+    }
+    inject("sequence_next_node",
+      "sequence_next_node(direction, base, ts, value, baseCond, ev1, ...) - next/prev value") {
+      exprs => SequenceNextNodeAgg(exprs)
+    }
+  }
+}

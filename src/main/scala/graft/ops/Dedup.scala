@@ -196,6 +196,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-duplicate pair list: assigns every
+    * document the MINIMUM doc id reachable through dup pairs — the
+    * "keep one representative per duplicate cluster" step that follows any
+    * of the similarity joins.
+    *
+    * Iterative label propagation (each round: label := min(label,
+    * neighbors' labels)) until fixpoint, checked with a cheap aggregate.
+    * Rounds needed = graph diameter; dup clusters are tiny (pairs/triples),
+    * so this converges in 2-3 rounds even at corpus scale. Returns
+    * (id, component) for every id appearing in `pairs`.
+    */
+  def dupComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxRounds: Int = 10): DataFrame = {
+    val edges = materialize(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct())
+    var labels = materialize(
+      edges.groupBy(col("u").as("id")).agg(min(col("v")).as("c"))
+        .select(col("id"), least(col("id"), col("c")).as("c")))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val viaNeighbors = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u").as("id")).agg(min(col("c")).as("nc"))
+      val next = materialize(
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"), least(col("c"), coalesce(col("nc"), col("c"))).as("c")))
+      val changed = next.as("n").join(labels.as("p"), "id")
+        .filter(col("n.c") =!= col("p.c")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels.select(col("id"), col("c").as("component"))
+  }
+
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over
     * the xxHash64 of each distinct token. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",

@@ -14,6 +14,17 @@ object ColumnBridge {
   /** Registry-resolved function call — same resolution path as SQL. */
   def fn(name: String, args: Column*): Column = Column.fn(name, args: _*)
 
+  /** Applies a SparkSessionExtensions configurator to an existing session's
+    * function registry — the testable equivalent of the static
+    * `spark.sql.extensions` conf (which only applies at SparkContext
+    * creation). */
+  def applyFunctionExtensions(spark: org.apache.spark.sql.SparkSession,
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    configure(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
+
   /** Seeded 64-bit xxHash of the given columns (functions.xxhash64 pins
     * seed=42; MinHash/SimHash need a hash family, i.e. many seeds). Native
     * codegen'd Catalyst expression — no UDF in the hot path. */

@@ -225,3 +225,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.collect().length === 3)
   }
 }
+
+class DupComponentsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import org.apache.spark.sql.functions.col
+
+  test("dupComponents assigns min-id labels across transitive clusters") {
+    import spark.implicits._
+    // clusters: {1,2,3} via 1-2, 2-3; {7,9}; chain {10,11,12,13}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.dupComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+}
+
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("GraftExtensions injects all seven functions into a session registry") {
+    // spark.sql.extensions is a STATIC conf (applies only when the
+    // SparkContext is created), so exercise the same code path directly:
+    // build the extensions object and register into a fresh session's
+    // registry, then resolve + run through SQL.
+    val spark = GraftSpark.spark.newSession()
+    org.apache.spark.sql.graftbridge.ColumnBridge.applyFunctionExtensions(
+      spark, new graft.behavioral.GraftExtensions())
+    val funnel = spark.sql(
+      """SELECT window_funnel(INTERVAL '1' HOUR, ts, c1, c2) FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', true, false),
+        |  (TIMESTAMP '2024-01-01 00:10:00', false, true) AS t(ts, c1, c2)""".stripMargin)
+      .collect()(0).getInt(0)
+    assert(funnel === 2)
+    val sid = spark.sql(
+      """SELECT sessionize(ts, INTERVAL '30' MINUTE) OVER (ORDER BY ts)
+        |FROM (SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(sid === 1L)
+    for (f <- Seq("retention", "sequence_match", "sequence_count",
+        "sequence_match_events", "sequence_next_node")) {
+      assert(spark.catalog.functionExists(f), f)
+    }
+  }
+}
