@@ -93,6 +93,36 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: nearest-neighbor downsample of the payload treated as a
+    * width×height byte raster (a real build calls an image library; the
+    * per-partition batch shape, metadata update, and output schema are the
+    * production plumbing). */
+  def resize(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "image" || r.width <= 0 || r.height <= 0) r
+        else {
+          val payload = r.bytes.drop(Magic.length)
+          val out = new Array[Byte](newW * newH)
+          var y = 0
+          while (y < newH) {
+            var x = 0
+            while (x < newW) {
+              val sx = x * r.width / newW
+              val sy = y * r.height / newH
+              val src = (sy * r.width + sx) % math.max(payload.length, 1)
+              out(y * newW + x) = if (payload.isEmpty) 0 else payload(src)
+              x += 1
+            }
+            y += 1
+          }
+          r.copy(bytes = Magic ++ out, width = newW, height = newH)
+        }
+      }
+    }
+  }
+
   /** Metadata-only projection — demonstrates that `bytes` is pruned at the
     * scan when untouched (check `.explain` ReadSchema). */
   def metadataStats(media: DataFrame): DataFrame =

@@ -268,3 +268,54 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class SourcesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("behavioral queries run identically over parquet, csv, and json sources") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sources").toString
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    ev.write.mode("overwrite").parquet(s"$dir/p")
+    ev.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    ev.write.mode("overwrite").json(s"$dir/j")
+    def funnelOver(df: org.apache.spark.sql.DataFrame): Map[Long, Int] = {
+      df.createOrReplaceTempView("src_events")
+      spark.sql(
+        """SELECT CAST(user_id AS BIGINT) AS user_id,
+          |  window_funnel(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP),
+          |  event_type='view', event_type='click') AS s
+          |FROM src_events GROUP BY 1""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    val fromParquet = funnelOver(spark.read.parquet(s"$dir/p"))
+    val fromCsv = funnelOver(spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/c"))
+    val fromJson = funnelOver(spark.read.json(s"$dir/j"))
+    assert(fromParquet === fromCsv)
+    assert(fromParquet === fromJson)
+    assert(fromParquet.nonEmpty)
+  }
+}
+
+class ResizeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("resize stub rewrites dims and payload for images only, deterministically") {
+    val media = graft.ops.Multimodal.demoTable(spark, 12)
+    val resized = graft.ops.Multimodal.resize(media, 8, 8).collect()
+      .map(r => r.media_id -> r).toMap
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    resized.values.filter(_.kind == "image").foreach { r =>
+      assert(r.width === 8 && r.height === 8)
+      assert(r.bytes.length === 4 + 64) // magic + 8x8 raster
+    }
+    resized.values.filter(_.kind != "image").foreach { r =>
+      assert(r.bytes.sameElements(orig(r.media_id).bytes)) // untouched
+    }
+    val again = graft.ops.Multimodal.resize(media, 8, 8).collect()
+      .map(r => r.media_id -> r.bytes.toSeq).toMap
+    assert(resized.view.mapValues(_.bytes.toSeq).toMap === again)
+  }
+}
