@@ -34,7 +34,7 @@ object Dedup {
     * cache. The frames this wraps are small sketches (ids, shingles,
     * signatures), never full documents. */
   private def materialize(df: DataFrame): DataFrame = {
-    val p = df.persist()
+    val p = OpCaches.track(df.persist())
     p.count()
     p
   }

@@ -24,7 +24,7 @@ object Similarity {
   /** Persist + eagerly materialize (see Dedup.materialize: parallel
     * broadcast subtrees race a lazy cache). */
   private def materialize(df: DataFrame): DataFrame = {
-    val p = df.persist()
+    val p = OpCaches.track(df.persist())
     p.count()
     p
   }
