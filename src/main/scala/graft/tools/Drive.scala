@@ -101,6 +101,28 @@ object Drive {
         col("event_type") === "view", col("event_type") === "purchase").as("steps"))
       .orderBy("user_id").show(5, false)
 
+    println("=== LLM-pipeline ops over documents/embeddings ===")
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    println("-- exact dup groups (top counts):")
+    graft.ops.Dedup.exactDupGroups(docs)
+      .orderBy(col("dup_count").desc, col("keep_id")).show(3, false)
+    println("-- near-dup pairs (MinHash LSH, J>=0.5):")
+    graft.ops.Dedup.minhashLshJoin(docs, 0.5)
+      .orderBy(col("doc_a")).show(5, false)
+    println("-- language ID + quality + tokens (first 5 docs):")
+    docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.langId(col("text")).as("lang"),
+        round(graft.ops.TextAnalysis.qualityScore(col("text")), 3).as("quality"),
+        graft.ops.TextAnalysis.tokenCountBpe(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id").show(5, false)
+    println("-- cosine top-5 neighbors of vec 0:")
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.ops.Similarity.bruteTopK(
+      emb.filter(col("vec_id") =!= 0),
+      emb.filter(col("vec_id") === 0).select(col("v").as("qv")), 5).show(false)
+    graft.ops.OpCaches.unpersistAll()
+
     println("=== SparkEntry.entry flagship (driver smoke) ===")
     val e = graft.SparkEntry.entry(spark)
     e.show(5, false)
