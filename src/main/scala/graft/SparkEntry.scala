@@ -317,6 +317,13 @@ object SparkEntry {
       ops.Dedup.simhash(Tables.load(s, dir, "documents"))
     },
 
+    // ---- LLM pipeline: composed curation (dedup -> lang/quality gate) ---
+    "q31_curation" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Pipeline.curate(Tables.load(s, dir, "documents"),
+        dupThreshold = 0.5, minQuality = 0.5)
+    },
+
     // ---- LLM pipeline: duplicate-cluster assignment ---------------------
     "q30_dup_components" -> { (s, dir) =>
       prep(s, dir)
@@ -610,6 +617,57 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substr(md5(text), 1, 8) AS header_hex
         |FROM documents""".stripMargin,
+
+    "q31_curation" -> // dup-representative filter + language/quality gate
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+        |),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        |kept AS (SELECT d.* FROM documents d
+        |         LEFT JOIN comp c ON d.doc_id = c.id AND c.component <> c.id
+        |         WHERE c.id IS NULL),
+        |sc AS (SELECT doc_id, text,
+        |         string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+        |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |           / length(text) AS punct_ratio
+        |       FROM kept),
+        |sc2 AS (SELECT doc_id, text, n_tok,
+        |          CAST(len(list_intersect(ltoks, ['the','a','of','and','to','in','is'])) AS DOUBLE)
+        |            / len(ltoks) AS stop_ratio,
+        |          punct_ratio,
+        |          len(list_intersect(ltoks, ['the','a','of','and','to','in','is'])) AS c_en,
+        |          len(list_intersect(ltoks, ['el','la','de','que','y','en','los'])) AS c_es,
+        |          len(list_intersect(ltoks, ['der','die','das','und','ist','von','mit'])) AS c_de,
+        |          len(list_intersect(ltoks, ['le','les','et','des','une','est','dans'])) AS c_fr
+        |        FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+        |       WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+        |       WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+        |       WHEN c_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_guess,
+        |  CAST(round(least(1.0, n_tok / 50.0) * 0.5
+        |       + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3
+        |       + least(1.0, stop_ratio * 5.0) * 0.2, 6) AS DOUBLE) AS quality,
+        |  CAST(n_tok AS BIGINT) AS n_tokens
+        |FROM sc2
+        |WHERE round(least(1.0, n_tok / 50.0) * 0.5
+        |       + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3
+        |       + least(1.0, stop_ratio * 5.0) * 0.2, 6) >= 0.5""".stripMargin,
 
     "q30_dup_components" -> // transitive closure of the exact-Jaccard dup pairs
       """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
