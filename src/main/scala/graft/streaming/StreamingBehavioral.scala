@@ -35,6 +35,18 @@ object StreamingBehavioral {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming exact dedup: keeps the first occurrence of each text digest
+    * within the watermark horizon — the streaming counterpart of
+    * `Dedup.exactDupGroups`. State is one 32-byte digest per distinct doc,
+    * GC'd by the watermark. */
+  def streamingExactDedup(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .drop("text_hash")
+
   /** One input event for the streaming funnel: condition bitmask packed
     * exactly like the batch EventBuf (bit i = condition i). */
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, conds: Int)

@@ -70,3 +70,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("streaming exact dedup keeps first occurrence within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = graft.streaming.StreamingBehavioral
+      .streamingExactDedup(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "doc A"),
+        (ts("2024-01-01 00:01:00"), "doc B"),
+        (ts("2024-01-01 00:02:00"), "doc A")) // dup of first
+      q.processAllAvailable()
+      // advance watermark far enough to emit append results
+      input.addData((ts("2024-01-01 01:00:00"), "doc C"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(texts.count(_ == "doc A") === 1, texts)
+      assert(texts.contains("doc B"))
+    } finally q.stop()
+  }
+}
