@@ -99,3 +99,33 @@ class BoundarySpec extends AnyFunSuite {
     assert(got.isNullAt(0)) // next node exists but its value is NULL → NULL
   }
 }
+
+class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("hot-key group: one user with 100k events among 100k singleton users") {
+    import org.apache.spark.sql.functions._
+    // hot user 0 alternates view/click/purchase every second; everyone else
+    // has a single view event
+    val hot = spark.range(100000).select(
+      lit(0L).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts"),
+      element_at(array(lit("view"), lit("click"), lit("purchase")),
+        (col("id") % 3 + 1).cast("int")).as("event_type"))
+    val cold = spark.range(1, 100001).select(
+      col("id").as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id")).as("ts"),
+      lit("view").as("event_type"))
+    hot.union(cold).createOrReplaceTempView("skewed")
+    val got = spark.sql(
+      """SELECT user_id, window_funnel(INTERVAL '1' HOUR, ts,
+        |  event_type='view', event_type='click', event_type='purchase') AS s
+        |FROM skewed GROUP BY user_id""".stripMargin)
+    val rows = got.collect()
+    assert(rows.length === 100001)
+    val byUser = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byUser(0L) === 3)          // hot key completes the funnel
+    assert(byUser(1L) === 1)          // singletons reach step 1 only
+    assert(rows.count(_.getInt(1) == 1) === 100000)
+  }
+}
