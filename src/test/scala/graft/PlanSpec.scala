@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the physical plans these queries produce
+  * ARE the scale design (pushdown, pruning, map-side partial aggregation,
+  * broadcast dimensions). If a refactor silently loses one of these, the
+  * query still returns correct rows — only these assertions catch the
+  * 100×-scale regression.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q09: filter pushed to the parquet scan, columns pruned") {
+    val p = plan("q09_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("q03: funnel aggregates partially on the map side (one shuffle of buffers)") {
+    val p = plan("q03_window_funnel")
+    assert(p.contains("partial_window_funnel"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // exactly one exchange: the group-key shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q10: dimension table is broadcast, not shuffled") {
+    val p = plan("q10_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01: sessionize is one shuffle + sort + window (no extra exchange)") {
+    val p = plan("q01_sessionize")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q12: text stats stay inside whole-stage codegen with a bare scan") {
+    val p = plan("q12_text_stats")
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert(p.contains("*(1) Project"), p)
+    assert(!p.contains("Exchange"), "doc-level map must not shuffle")
+  }
+}
