@@ -148,6 +148,16 @@ object Similarity {
       .limit(k)
   }
 
+  /** Writes the IVF-indexed corpus PARTITIONED BY cell: queries that filter
+    * on the probed cells then PRUNE partitions at the file listing — the
+    * read-side scan touches only nProbe/nCells of the stored bytes, which
+    * is the entire point of IVF at 100 TB. Read back with
+    * `spark.read.parquet(path)` and use `ivfTopK` as usual (`cell` is a
+    * partition column, so the `isin` probe filter becomes a
+    * PartitionFilters entry, verifiable in `.explain`). */
+  def writeIvfPartitioned(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
   /** LSH-bucketed near-neighbor self-join: only vectors sharing a bucket in
     * at least one of `tables` independent hashings are compared, then
     * filtered by exact cosine >= threshold. Recall is tunable via

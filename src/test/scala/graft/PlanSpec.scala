@@ -48,3 +48,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "doc-level map must not shuffle")
   }
 }
+
+class IvfPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("cell-partitioned IVF storage prunes partitions for the probe filter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val grid = (for (x <- 0 until 8; y <- 0 until 8)
+      yield ((x * 8 + y).toLong, Array(x.toDouble + 0.1, y.toDouble + 0.1)))
+      .toDF("vec_id", "v")
+    val (indexed, centroids) = graft.ops.Similarity.ivfIndex(grid, nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.ops.Similarity.writeIvfPartitioned(indexed, dir)
+    val stored = spark.read.parquet(dir)
+    val probed = graft.ops.Similarity.ivfTopK(stored, centroids,
+      Array(7.0, 7.0), k = 3, nProbe = 1)
+    val plan = probed.queryExecution.executedPlan.toString
+    // the cell probe must land in PartitionFilters (file pruning), not in a
+    // post-scan data filter
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cell"), plan)
+    assert(probed.collect().nonEmpty)
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
