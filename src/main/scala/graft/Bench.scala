@@ -33,14 +33,15 @@ object Bench {
       // listing); noop sink forces full evaluation of every output column —
       // count() would let Catalyst prune the very expressions being measured
       val sec = (0 until runs).map { _ =>
+        // full cold start per run: memoized pair lists and operator-internal
+        // sketch caches (OpCaches) must not leak across runs or queries, or
+        // best-of-N measures a cache hit instead of the operator
+        graft.ops.OpCaches.unpersistAll()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.min
-      // release operator-internal caches BETWEEN queries (within a query's
-      // runs the cache manager matches plan-equal frames, so run 2 is warm;
-      // across queries leaked caches would evict each other)
       graft.ops.OpCaches.unpersistAll()
       System.err.println(f"[bench] $name $sec%.2f s")
       name -> sec

@@ -219,23 +219,27 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
-    // ---- LLM pipeline: MinHash + LSH dedup (same verified output) -------
+    // ---- LLM pipeline: MinHash + LSH dedup (verified-exact output) ------
     "q19_minhash_lsh" -> { (s, dir) =>
       prep(s, dir)
-      // 32 hashes / 8 bands (r=4): detection P at J=0.9 is 1-(1-0.9^4)^8
-      // ≈ 0.96, and ≈ 1-1e-9 at the J≈0.99 threshold this query verifies —
-      // half the signature cost of the 64/16 default
-      ops.Dedup.minhashLshJoin(Tables.load(s, dir, "documents"), threshold = 0.5,
-          numHashes = 32, bands = 8)
+      // 96 hashes / 24 bands (r=4): banding miss probability at the J=0.8
+      // query threshold is (1-0.8^4)^24 ≈ 3e-6, ≈ 1e-11 at J=0.9 — the
+      // oracle (exact join at 0.8) and this LSH+exact-verify agree up to
+      // that bound. LSH is the high-similarity tool; moderate thresholds
+      // are q18's exact inverted-index join.
+      ops.Dedup.minhashLshJoin(Tables.load(s, dir, "documents"), threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
     // ---- LLM pipeline: embedding cosine near-dup self-join --------------
     "q20_embed_neardup" -> { (s, dir) =>
       prep(s, dir)
+      // exact threshold join, but as a block-pair equi-join (no cartesian /
+      // nested-loop node): see Similarity.blockedSelfJoinPairs for why the
+      // exact path must stay O(n²)-compute yet can still distribute
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      ops.Similarity.selfJoinPairs(emb, threshold = 0.4)
+      ops.Similarity.blockedSelfJoinPairs(emb, threshold = 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
     },
 
@@ -315,10 +319,12 @@ object SparkEntry {
           col("event_type") === "purchase").as("prev_node"))
     },
 
-    // ---- LLM pipeline: SimHash fingerprints (rows-only) -----------------
+    // ---- LLM pipeline: SimHash fingerprints (md5-based, oracle-checked
+    // bit-for-bit; the xxhash64 production variant is differential- and
+    // determinism-tested in OpsSpec) -------------------------------------
     "q28_simhash" -> { (s, dir) =>
       prep(s, dir)
-      ops.Dedup.simhash(Tables.load(s, dir, "documents"))
+      ops.Dedup.simhashMd5(Tables.load(s, dir, "documents"))
     },
 
     // ---- LLM pipeline: composed curation (dedup -> lang/quality gate) ---
@@ -352,19 +358,103 @@ object SparkEntry {
     // ---- LLM pipeline: brute-force cosine top-k -------------------------
     "q14_ann_cosine" -> { (s, dir) =>
       prep(s, dir)
+      // single query vector collected to the driver (bounded state, same
+      // pattern as the IVF coarse quantizer) and attached as a literal: the
+      // corpus scan has NO join node at all — one codegen'd pass, then the
+      // top-k sort. The DataFrame-in/DataFrame-out variant for query
+      // batches is Similarity.bruteTopK.
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val q = broadcast(emb.filter(col("vec_id") === 0).select(col("v").as("qv")))
-      emb.filter(col("vec_id") =!= 0).crossJoin(q)
-        .select(col("vec_id"),
-          (aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
-            / (sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
-               * sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)))).as("sim"))
+      val queryVec = emb.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1).toArray
+      val qArr = array(queryVec.map(lit): _*)
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), ops.Similarity.cosine(col("v"), qArr).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+    },
+
+    // ---- 2.3 funnel mode strict_increase (disjoint conds: the mode's
+    // skip-on-equal-ts rule is a no-op on tie-free data, so the default-mode
+    // min-ts cascade is a valid oracle for THIS data; the distinguishing
+    // same-ts behavior is golden-tested) ---------------------------------
+    "q32_funnel_strict_increase" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), "strict_increase", col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("steps"))
+    },
+
+    // ---- 2.3 funnel mode strict_once with OVERLAPPING conditions: an
+    // event matching both cond2 and cond3 may advance only ONE step, which
+    // distinguishes strict_once from default multi-advance on this data ---
+    "q33_funnel_strict_once" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), "strict_once", col("ts"),
+          col("event_type").isin("view", "click"),
+          col("event_type").isin("click", "purchase"),
+          col("event_type") === "purchase").as("steps"))
+    },
+
+    // ---- 2.3 funnel mode strict: a re-fire of the just-completed
+    // condition breaks the chain ------------------------------------------
+    "q34_funnel_strict" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), "strict", col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("steps"))
+    },
+
+    // ---- 2.7 next-node forward/first_match ------------------------------
+    "q35_next_node_fwd_first" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_next_node("forward", "first_match", col("ts"),
+          col("event_type"),
+          col("event_type") === "click",
+          col("event_type") === "click").as("next_node"))
+    },
+
+    // ---- 2.7 next-node backward/last_match ------------------------------
+    "q36_next_node_bwd_last" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_next_node("backward", "last_match", col("ts"),
+          col("event_type"),
+          col("event_type") === "click",
+          col("event_type") === "click").as("prev_node"))
     }
   )
+
+  /** DuckDB twin of Dedup.simhashMd5, generated (64 majority votes is
+    * mechanical): decode nibble j of md5(token), vote per bit, re-encode 16
+    * hex chars. Mirrors the Scala layout exactly — char j covers bits
+    * 4(j-1)..4(j-1)+3 with bit p = (nibble >> p) & 1. */
+  private lazy val simhashMd5OracleSql: String = {
+    val votes = (for { j <- 1 to 16; p <- 0 until 4 } yield
+      s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(m, $j, 1)) - 1) >> $p) & 1) = 1" +
+        s" THEN 1 ELSE -1 END) AS v${j}_$p").mkString(",\n        ")
+    val chars = (1 to 16).map { j =>
+      val nib = (0 until 4).map(p => s"(CASE WHEN v${j}_$p > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', 1 + $nib, 1)"
+    }.mkString(" ||\n  ")
+    s"""WITH tok AS (SELECT doc_id,
+       |        unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+       |      FROM documents),
+       |h AS (SELECT doc_id, md5(t) AS m FROM tok),
+       |v AS (SELECT doc_id,
+       |        $votes
+       |      FROM h GROUP BY doc_id)
+       |SELECT doc_id,
+       |  $chars AS simhash_hex
+       |FROM v""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -484,9 +574,145 @@ object SparkEntry {
         |  CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
         |FROM documents GROUP BY lang""".stripMargin,
 
-    // q15_funnel_strict_order, q25_funnel_modes: mode semantics have no clean
-    // ANSI form — rows-only checks. q28_simhash: hash internals not
-    // reproducible in SQL — rows-only; determinism is unit-tested.
+    // q25_funnel_modes (timestamp_dedup / allow_reentry / combined masks):
+    // reset-on-reentry makes the scan state recursive — no clean ANSI form,
+    // rows-only check; those modes are golden-tested against reference
+    // outputs instead.
+
+    // strict_order: an event matching any EARLIER condition kills the chain.
+    // Stage 1: first view-or-click after the entry must be a click; stage 2:
+    // first view-click-or-purchase after the click must be a purchase.
+    "q15_funnel_strict_order" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |s2 AS (SELECT en.user_id, en.t1,
+        |         min(CASE WHEN x.event_type = 'click' THEN x.t END) AS nc,
+        |         min(CASE WHEN x.event_type = 'view' THEN x.t END) AS nv
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type IN ('view', 'click')
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c2 AS (SELECT user_id, t1,
+        |         CASE WHEN nc IS NOT NULL AND (nv IS NULL OR nc < nv) THEN nc END AS t2
+        |       FROM s2),
+        |s3 AS (SELECT c2.user_id, c2.t1, c2.t2,
+        |         min(CASE WHEN y.event_type = 'purchase' THEN y.t END) AS np,
+        |         min(CASE WHEN y.event_type IN ('view', 'click') THEN y.t END) AS nb
+        |       FROM c2 LEFT JOIN e y
+        |         ON y.user_id = c2.user_id AND c2.t2 IS NOT NULL
+        |        AND y.t > c2.t2 AND y.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t2 IS NOT NULL AND np IS NOT NULL AND (nb IS NULL OR np < nb) THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM s3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
+
+    // strict_increase ≡ default mode on tie-free timestamps with disjoint
+    // conditions (the mode only skips same-ts advances) → q03's cascade.
+    "q32_funnel_strict_increase" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |c2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type = 'click'
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(x.t) AS t3
+        |       FROM c2 LEFT JOIN e x
+        |         ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+        |        AND c2.t2 IS NOT NULL AND x.t > c2.t2 AND x.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM c3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
+
+    // strict_once with overlapping conds: one event advances at most one
+    // step, so step 2 is the first click-or-purchase after the entry and
+    // step 3 needs a purchase STRICTLY after that event (default mode would
+    // let a single purchase jump both steps — the oracle distinguishes).
+    "q33_funnel_strict_once" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type IN ('view', 'click')),
+        |c2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type IN ('click', 'purchase')
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(y.t) AS t3
+        |       FROM c2 LEFT JOIN e y
+        |         ON y.user_id = c2.user_id AND y.event_type = 'purchase'
+        |        AND c2.t2 IS NOT NULL AND y.t > c2.t2 AND y.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM c3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
+
+    // strict: only a re-fire of the JUST-completed condition breaks (views
+    // between click and purchase are harmless, unlike strict_order).
+    "q34_funnel_strict" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |s2 AS (SELECT en.user_id, en.t1,
+        |         min(CASE WHEN x.event_type = 'click' THEN x.t END) AS nc,
+        |         min(CASE WHEN x.event_type = 'view' THEN x.t END) AS nv
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type IN ('view', 'click')
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c2 AS (SELECT user_id, t1,
+        |         CASE WHEN nc IS NOT NULL AND (nv IS NULL OR nc < nv) THEN nc END AS t2
+        |       FROM s2),
+        |s3 AS (SELECT c2.user_id, c2.t1, c2.t2,
+        |         min(CASE WHEN y.event_type = 'purchase' THEN y.t END) AS np,
+        |         min(CASE WHEN y.event_type = 'click' THEN y.t END) AS ncl
+        |       FROM c2 LEFT JOIN e y
+        |         ON y.user_id = c2.user_id AND c2.t2 IS NOT NULL
+        |        AND y.t > c2.t2 AND y.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t2 IS NOT NULL AND np IS NOT NULL AND (ncl IS NULL OR np < ncl) THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM s3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
+
+    // forward/first_match, single step: the first click (ascending ts) that
+    // has a successor event; the answer is that successor's type.
+    "q35_next_node_fwd_first" ->
+      """WITH o AS (SELECT user_id, ts, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        |           FROM events),
+        |m AS (SELECT user_id, nxt,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |      FROM o WHERE event_type = 'click' AND nxt IS NOT NULL)
+        |SELECT u.user_id, m.nxt AS next_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN m ON u.user_id = m.user_id AND m.rn = 1""".stripMargin,
+
+    // backward/last_match: the right-to-left scan's LAST successful base is
+    // the first click (ascending ts) that has a predecessor event.
+    "q36_next_node_bwd_last" ->
+      """WITH o AS (SELECT user_id, ts, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prv
+        |           FROM events),
+        |m AS (SELECT user_id, prv,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |      FROM o WHERE event_type = 'click' AND prv IS NOT NULL)
+        |SELECT u.user_id, m.prv AS prev_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN m ON u.user_id = m.user_id AND m.rn = 1""".stripMargin,
+
+    "q28_simhash" -> simhashMd5OracleSql,
 
     "q26_next_node_fwd_tail" ->
       """WITH o AS (SELECT user_id, ts,
@@ -544,7 +770,7 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
 
-    "q19_minhash_lsh" ->
+    "q19_minhash_lsh" -> // threshold 0.8: where the banding recall bound holds
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,
         |        list_distinct(list_transform(range(1, len(toks) - 1),
@@ -555,7 +781,7 @@ object SparkEntry {
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS DOUBLE) AS jaccard
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
 
     "q20_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -35,8 +35,9 @@ case class RetentionAgg(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (children.isEmpty || children.size > 32)
-      TypeCheckFailure(s"retention takes 1..32 boolean conditions, got ${children.size}")
+    // reference FFI enforces 2..32 conditions (ffi/retention.rs:21-24)
+    if (children.size < 2 || children.size > 32)
+      TypeCheckFailure(s"retention takes 2..32 boolean conditions, got ${children.size}")
     else if (children.exists(_.dataType != BooleanType))
       TypeCheckFailure("retention conditions must be BOOLEAN")
     else TypeCheckSuccess

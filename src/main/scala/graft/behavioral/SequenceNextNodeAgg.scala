@@ -55,14 +55,36 @@ final class NNBuf(
     var i = 1
     while (sorted && i < n) { if (ts(i - 1) > ts(i)) sorted = false; i += 1 }
     if (!sorted) {
-      // index sort then permute (values are refs; dual-pivot on 3 arrays is
-      // not worth the code here — groups are modest)
-      val idx = (0 until n).sortBy(ts(_)).toArray
+      // stable primitive-index merge sort, then permute the three arrays —
+      // stability keeps same-timestamp input order (the scan semantics depend
+      // on it) and avoids boxing on the hot path
+      val idx = new Array[Int](n)
+      i = 0
+      while (i < n) { idx(i) = i; i += 1 }
+      mergeSortIdx(idx, new Array[Int](n), 0, n)
       val t2 = new Array[Long](n); val f2 = new Array[Long](n)
       val v2 = new Array[UTF8String](n)
       i = 0
       while (i < n) { t2(i) = ts(idx(i)); f2(i) = flags(idx(i)); v2(i) = values(idx(i)); i += 1 }
       ts = t2; flags = f2; values = v2
+    }
+  }
+
+  // sorts idx[lo,hi) by ts(idx(_)) ascending, stable; aux is scratch
+  private def mergeSortIdx(idx: Array[Int], aux: Array[Int], lo: Int, hi: Int): Unit = {
+    if (hi - lo < 2) return
+    val mid = (lo + hi) >>> 1
+    mergeSortIdx(idx, aux, lo, mid)
+    mergeSortIdx(idx, aux, mid, hi)
+    if (ts(idx(mid - 1)) <= ts(idx(mid))) return // already ordered
+    System.arraycopy(idx, lo, aux, lo, hi - lo)
+    var i = lo; var j = mid; var k = lo
+    while (k < hi) {
+      if (i >= mid) { idx(k) = aux(j); j += 1 }
+      else if (j >= hi) { idx(k) = aux(i); i += 1 }
+      else if (ts(aux(j)) < ts(aux(i))) { idx(k) = aux(j); j += 1 }
+      else { idx(k) = aux(i); i += 1 }
+      k += 1
     }
   }
 
@@ -135,23 +157,24 @@ case class SequenceNextNodeAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[NNBuf] {
 
-  // direction: true = forward
-  @transient private lazy val forward: Option[Boolean] =
+  // direction: true = forward. Unknown strings default to forward, matching
+  // the reference's finalize() `unwrap_or(Direction::Forward)`
+  // (src/sequence_next_node.rs finalize).
+  @transient private lazy val forward: Boolean =
     Option(IntervalArg.string(children(0), "sequence_next_node direction"))
       .map(_.trim.toLowerCase) match {
-      case Some("forward") => Some(true)
-      case Some("backward") => Some(false)
-      case _ => None
+      case Some("backward") => false
+      case _ => true
     }
-  // base: 0=head, 1=tail, 2=first_match, 3=last_match
-  @transient private lazy val base: Option[Int] =
+  // base: 0=head, 1=tail, 2=first_match, 3=last_match. Unknown strings
+  // default to first_match (reference `unwrap_or(Base::FirstMatch)`).
+  @transient private lazy val base: Int =
     Option(IntervalArg.string(children(1), "sequence_next_node base"))
       .map(_.trim.toLowerCase) match {
-      case Some("head") => Some(0)
-      case Some("tail") => Some(1)
-      case Some("first_match") => Some(2)
-      case Some("last_match") => Some(3)
-      case _ => None
+      case Some("head") => 0
+      case Some("tail") => 1
+      case Some("last_match") => 3
+      case _ => 2
     }
   @transient private lazy val tsExpr = children(2)
   @transient private lazy val valueExpr = children(3)
@@ -205,12 +228,8 @@ case class SequenceNextNodeAgg(
 
   override def eval(buf: NNBuf): Any = {
     if (buf.n == 0 || numSteps == 0) return null
-    (forward, base) match {
-      case (Some(fwd), Some(b)) =>
-        buf.sortByTs()
-        if (fwd) matchForward(buf, b) else matchBackward(buf, b)
-      case _ => null // unparseable direction/base → NULL result
-    }
+    buf.sortByTs()
+    if (forward) matchForward(buf, base) else matchBackward(buf, base)
   }
 
   private def matchForward(buf: NNBuf, b: Int): Any = {

@@ -143,7 +143,7 @@ case class WindowFunnelAgg(
   extends TypedImperativeAggregate[EventBuf] {
 
   // children: window, [mode,] ts, cond1..condN
-  private lazy val hasMode = children(1).dataType == StringType
+  private lazy val hasMode = children.length > 1 && children(1).dataType == StringType
   private lazy val windowMicros = IntervalArg.micros(children.head, "window_funnel window")
   private lazy val mode: Int =
     if (hasMode) FunnelMode.parse(IntervalArg.string(children(1), "window_funnel mode"))
@@ -157,8 +157,9 @@ case class WindowFunnelAgg(
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     if (children.size < (if (hasMode) 4 else 3))
       TypeCheckFailure("window_funnel needs (window, [mode,] ts, cond1, ...)")
-    else if (numConds > 32)
-      TypeCheckFailure(s"window_funnel supports at most 32 conditions, got $numConds")
+    // reference FFI enforces 2..32 conditions (ffi/window_funnel.rs:18-21)
+    else if (numConds < 2 || numConds > 32)
+      TypeCheckFailure(s"window_funnel takes 2..32 boolean conditions, got $numConds")
     else if (condExprs.exists(_.dataType != BooleanType))
       TypeCheckFailure("window_funnel conditions must be BOOLEAN")
     else TypeCheckSuccess

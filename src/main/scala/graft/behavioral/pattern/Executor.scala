@@ -158,7 +158,12 @@ object PatternExecutor {
       if (matchEnd >= 0) {
         total += 1
         if (!countAll) return 1L
-        searchStart = matchEnd + 1 // non-overlapping: resume after the match
+        // Non-overlapping: resume after the match. A zero-consumption match
+        // (pattern of only zero-width steps, e.g. '.*') reports
+        // matchEnd = searchStart - 1; advance monotonically so counting
+        // terminates instead of looping forever. (The reference has the same
+        // unguarded resume and hangs on this input — deliberate deviation.)
+        searchStart = math.max(matchEnd + 1, searchStart + 1)
       } else {
         searchStart += 1
       }

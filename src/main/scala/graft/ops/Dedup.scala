@@ -95,6 +95,17 @@ object Dedup {
   def jaccardJoin(docs: DataFrame, threshold: Double, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       maxShingleFreq: Option[Int] = None): DataFrame = {
+    // Memoized per (input plan, params): the pair list is the expensive
+    // artifact of a dedup pipeline, and downstream passes (connected
+    // components, curation) reuse it instead of re-running the join.
+    val key = s"jaccardJoin:${docs.queryExecution.analyzed.canonicalized.hashCode}:" +
+      s"$threshold:$k:$idCol:$textCol:$maxShingleFreq"
+    OpCaches.memo(key)(jaccardJoinImpl(docs, threshold, k, idCol, textCol, maxShingleFreq))
+  }
+
+  private def jaccardJoinImpl(docs: DataFrame, threshold: Double, k: Int,
+      idCol: String, textCol: String,
+      maxShingleFreq: Option[Int]): DataFrame = {
     // self-join sides and the verification joins all reference these
     // frames; persist so the shingle/window lineage runs once, not once
     // per branch (a self-join recomputes each side's whole subtree)
@@ -154,11 +165,20 @@ object Dedup {
 
   /** MinHash + LSH banding + exact verification.
     * Returns (doc_a, doc_b, jaccard) with exact J >= threshold among LSH
-    * candidates. With numHashes=64, bands=16 (r=4), a pair at J=0.9 is
-    * caught with probability 1 - (1 - 0.9^4)^16 ≈ 1 - 2e-8.
+    * candidates. Banding recall at similarity J is 1 - (1 - J^r)^b with
+    * r = numHashes/bands: the defaults (96 hashes, 24 bands, r=4) give a
+    * miss probability of (1 - 0.8^4)^24 ≈ 3e-6 at J = 0.8 and ≈ 1e-11 at
+    * J = 0.9 — pick a `threshold` at or above the J where that bound is
+    * acceptable (LSH is the HIGH-similarity near-dup tool; for moderate
+    * thresholds use the exact `jaccardJoin`).
+    *
+    * Scale shape: the banded frame carries only (id, band, band_hash) — 24
+    * bytes/row — so the candidate self-join shuffles sketches, never shingle
+    * arrays; candidate pairs dedup as bare id pairs and only the surviving
+    * pairs rejoin the shingle frame for exact verification.
     */
   def minhashLshJoin(docs: DataFrame, threshold: Double, k: Int = 3,
-      numHashes: Int = 64, bands: Int = 16,
+      numHashes: Int = 96, bands: Int = 24,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -170,27 +190,24 @@ object Dedup {
       min(ColumnBridge.xxhash64(seed.toLong, col("shingle"))).as(s"h$seed"))
     val sigFlat = sh.select(col("id"), explode(col("sh")).as("shingle"))
       .groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-    val sig = sigFlat.select(col("id"),
-        array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
-      .join(sh, "id")
     // one (band, bandHash) row per band; equi-join key for candidates
-    val banded = sig.select(col("id"), col("sh"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val bandedM = materialize(banded)
-    val cands = bandedM.as("x").join(bandedM.as("y"),
+    val banded = materialize(sigFlat.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((b * r until (b + 1) * r).map(s => col(s"h$s")): _*)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash")))
+    val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
-        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verification on candidates only
+    // exact verification on the deduped candidate pairs only
+    val bySh = sh.select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
     cands
-      .select(col("doc_a"), col("doc_b"),
-        sortedIntersectCount(col("sha"), col("shb")).cast("double").as("common"),
-        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .join(bySh.select(col("id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
+      .join(bySh.select(col("id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        sortedIntersectCount(col("sha"), col("shb")).cast("double").as("common"))
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -221,11 +238,17 @@ object Dedup {
     while (round < maxRounds && !converged) {
       val viaNeighbors = edges.join(labels, edges("v") === labels("id"))
         .groupBy(col("u").as("id")).agg(min(col("c")).as("nc"))
-      val next = materialize(
+      // carry the previous label alongside the new one so the convergence
+      // check is a plain aggregate over the SAME cached frame — one Spark
+      // action per round (the count both materializes the persisted frame
+      // and answers "did anything change"), not a materialize + compare-join
+      val next = OpCaches.track(
         labels.join(viaNeighbors, Seq("id"), "left")
-          .select(col("id"), least(col("c"), coalesce(col("nc"), col("c"))).as("c")))
-      val changed = next.as("n").join(labels.as("p"), "id")
-        .filter(col("n.c") =!= col("p.c")).limit(1).count()
+          .select(col("id"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"),
+            col("c").as("pc"))
+          .persist())
+      val changed = next.agg(count(when(col("c") =!= col("pc"), lit(1))).as("n"))
+        .first().getLong(0)
       labels.unpersist()
       labels = next
       converged = changed == 0
@@ -252,16 +275,50 @@ object Dedup {
     voted.select(col("id").as(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** Oracle-reproducible SimHash variant: the per-token 64-bit hash is the
+    * first 16 hex chars of md5(token), and the fingerprint is emitted as a
+    * 16-char hex string. Every step — md5, per-nibble bit decode, majority
+    * vote, hex re-encode — has an exact ANSI-SQL twin, so an independent
+    * engine can verify the whole fingerprint bit-for-bit (xxhash64's
+    * internals can't be reproduced in SQL; md5's hex output can). Use
+    * `simhash` (xxhash64 → single LONG) on the hot path; this variant
+    * exists so the fingerprint FUNCTION itself is covered by the
+    * differential oracle, not just determinism-tested.
+    *
+    * Layout: hex char j of the output (1-based) is the majority-vote result
+    * of bits 4(j-1)..4(j-1)+3, where bit p of char j of a token's hash is
+    * `(nibble_j >> p) & 1` and nibble_j decodes hex char j of md5(token).
+    */
+  def simhashMd5(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokensWs(col(textCol)))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("m"))
+    val nib = tok.select(col("doc_id") +:
+      (1 to 16).map(j => conv(substring(col("m"), j, 1), 16, 10).cast("int").as(s"n$j")): _*)
+    val votes = for { j <- 1 to 16; p <- 0 until 4 } yield
+      sum(when(shiftright(col(s"n$j"), p).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"v${j}_$p")
+    val voted = nib.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val chars = (1 to 16).map { j =>
+      val nibVal = (0 until 4)
+        .map(p => when(col(s"v${j}_$p") > 0, lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _)
+      lit("0123456789abcdef").substr(nibVal + lit(1), lit(1))
+    }
+    voted.select(col("doc_id"), concat(chars: _*).as("simhash_hex"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (≤ 3 with the
     * 4-band split: pigeonhole guarantees one identical 16-bit band). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sh = simhash(docs, idCol, textCol).select(col(idCol).as("id"), col("simhash"))
-    val banded = sh.select(col("id"), col("simhash"),
+    val banded = materialize( // both sides of the candidate self-join
+      sh.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
-      .persist() // both sides of the candidate self-join
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits")))
     val popcnt = (x: Column) => bit_count(x)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&

@@ -10,13 +10,31 @@ import org.apache.spark.sql.DataFrame
   */
 object OpCaches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val memos = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[ops] def track(df: DataFrame): DataFrame = { tracked.add(df); df }
+
+  /** Memoize an expensive operator result within a session: the first call
+    * builds, persists, and eagerly materializes; later calls with the same
+    * key reuse the cached frame. Keys must include the input plan's
+    * canonicalized hash plus all parameters (see Dedup.jaccardJoin), so two
+    * different inputs never collide. Cleared by `unpersistAll()`.
+    *
+    * This is what lets a pipeline run `jaccardJoin` once and feed both the
+    * pair report and the connected-components pass — at scale the pair list
+    * is the expensive artifact and recomputing it doubles the job. */
+  private[graft] def memo(key: String)(build: => DataFrame): DataFrame =
+    memos.computeIfAbsent(key, { _ =>
+      val df = track(build.persist())
+      df.count()
+      df
+    })
 
   /** Unpersist every operator-internal cache created so far. Safe to call
     * after the consuming action completes; results already computed are
     * unaffected. */
   def unpersistAll(): Unit = {
+    memos.clear()
     var df = tracked.poll()
     while (df != null) { df.unpersist(blocking = false); df = tracked.poll() }
   }

@@ -68,6 +68,42 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Exact all-pairs cosine self-join (sim >= threshold) executed WITHOUT a
+    * cartesian / nested-loop plan node: ids are hashed into `blocks` blocks,
+    * every unordered block pair (i <= j) becomes one equi-join key, and the
+    * pairwise comparisons run inside SortMergeJoin key groups.
+    *
+    * The n²/2 comparisons are inherent to EXACT threshold search over dense
+    * embeddings — no sketch prunes a smooth similarity distribution without
+    * losing recall (hyperplane-LSH recall at cos=0.4 is ~2% at any sane
+    * table count). What a cluster needs is for that work to DISTRIBUTE:
+    * B(B+1)/2 independent key groups spread over executors, each side
+    * shuffling n·(B+1)/2 sketch-sized rows, no corpus broadcast, no single
+    * nested-loop task. Size `blocks` ≈ sqrt(2 × parallelism). Use
+    * `lshSelfJoin` / IVF when approximate recall at high thresholds is
+    * acceptable; this is the exact path.
+    */
+  def blockedSelfJoinPairs(corpus: DataFrame, threshold: Double, blocks: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val normed = materialize(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
+      pmod(hash(col(idCol)), lit(blocks)).as("blk")))
+    // a vector in block k is the LEFT side of block pairs (k, j >= k) and the
+    // RIGHT side of (i <= k, k): every unordered block pair joins exactly once
+    val left = normed.select(col("id"), col("v"), col("nrm"),
+      col("blk").as("bi"), explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val right = normed.select(col("id").as("rid"), col("v").as("rv"), col("nrm").as("rnrm"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    left.join(right, Seq("bi", "bj"))
+      // same-block groups produce both orientations; keep one. Cross-block
+      // groups produce exactly one orientation (left = lower block id).
+      .filter(col("bi") =!= col("bj") || col("id") < col("rid"))
+      .select(least(col("id"), col("rid")).as("vec_a"),
+        greatest(col("id"), col("rid")).as("vec_b"),
+        (dot(col("v"), col("rv")) / (col("nrm") * col("rnrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed so plans
     * are stable across runs and executors). */
   private def planesFor(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {

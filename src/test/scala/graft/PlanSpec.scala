@@ -41,6 +41,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("no contract query plans a cartesian product or nested-loop join") {
+    // a CartesianProduct / BroadcastNestedLoopJoin anywhere in the contract
+    // surface is a 100-TB scale-killer even when the local run is fast (the
+    // r1 q20 lesson: an O(n²) non-equi self-join benches fine at sf0.1)
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
+      graft.ops.OpCaches.unpersistAll()
+    }
+  }
+
   test("q12: text stats stay inside whole-stage codegen with a bare scan") {
     val p = plan("q12_text_stats")
     // "*(n)" prefixes mark whole-stage-codegen stages in the plan string

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.behavioral.pattern.{PatternExecutor, PAny, PStep, PTime, TimeOp}
+import graft.behavioral.EventBuf
+
+/** Round-2 regressions: the zero-width-pattern hang, reference-parity arity
+  * floors, next-node direction/base defaulting, month-interval rejection,
+  * and the blocked exact cosine join.
+  */
+class ZeroWidthPatternSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("executor: all-zero-width pattern terminates and counts one match per position") {
+    val buf = EventBuf.empty()
+    (1 to 4).foreach(i => buf.append(i.toLong * 1000000L, 1))
+    // '.*' consumes nothing: the non-overlapping counter must still advance
+    // monotonically (the reference loops forever here — deliberate deviation)
+    val steps: Array[PStep] = Array(PAny)
+    assert(PatternExecutor.execute(steps, buf, countAll = true) === 4L)
+    assert(PatternExecutor.execute(steps, buf, countAll = false) === 1L)
+  }
+
+  test("executor: pattern of only time-constraints terminates") {
+    val buf = EventBuf.empty()
+    (1 to 3).foreach(i => buf.append(i.toLong * 1000000L, 1))
+    val steps: Array[PStep] = Array(PTime(TimeOp.Gte, 0))
+    val got = PatternExecutor.execute(steps, buf, countAll = true)
+    assert(got === 3L)
+  }
+
+  test("SQL: sequence_count('.*', ...) returns instead of hanging the task") {
+    val got = spark.sql(
+      """SELECT sequence_count('.*', ts, c) FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', true),
+        |  (TIMESTAMP '2024-01-01 00:01:00', true),
+        |  (TIMESTAMP '2024-01-01 00:02:00', true) AS t(ts, c)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(got === 3L)
+  }
+}
+
+class ReferenceSurfaceSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("retention with a single condition is an analysis error (ffi/retention.rs:21-24)") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT retention(true) FROM VALUES (1) AS t(x)").collect()
+    }
+    assert(e.getMessage.contains("2..32"), e.getMessage)
+  }
+
+  test("window_funnel with a single condition is an analysis error (ffi/window_funnel.rs:18-21)") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT window_funnel(INTERVAL '1' HOUR, ts, c)
+          |FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', true) AS t(ts, c)""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("2..32"), e.getMessage)
+  }
+
+  test("month-bearing funnel window is rejected loudly (deviation: reference silently unsets the window, src/common/timestamp.rs:40-46)") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT window_funnel(INTERVAL '1' MONTH, ts, c1, c2)
+          |FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', true, false) AS t(ts, c1, c2)""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("month"), e.getMessage)
+  }
+
+  test("sequence_next_node: unknown direction/base default to forward/first_match (reference finalize unwrap_or)") {
+    def run(dir: String, base: String): Any = spark.sql(
+      s"""SELECT sequence_next_node('$dir', '$base', ts, v, c, c) FROM VALUES
+         |  (TIMESTAMP '2024-01-01 00:00:00', 'a', true),
+         |  (TIMESTAMP '2024-01-01 00:01:00', 'b', false),
+         |  (TIMESTAMP '2024-01-01 00:02:00', 'c', true)
+         |AS t(ts, v, c)""".stripMargin).collect()(0).get(0)
+    assert(run("fwd", "zzz") === run("forward", "first_match"))
+    assert(run("forward", "first_match") === "b") // first base row's successor
+  }
+}
+
+class BlockedJoinSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("blockedSelfJoinPairs equals the naive exact self-join, bit for bit") {
+    // deterministic pseudo-random vectors with a smooth sim distribution —
+    // exactly the case where LSH recall collapses and only an exact join
+    // returns the full pair set
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "v")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = pairs(graft.ops.Similarity.selfJoinPairs(vecs, 0.3)
+      .select("vec_a", "vec_b", "sim"))
+    val blocked = pairs(graft.ops.Similarity.blockedSelfJoinPairs(vecs, 0.3, blocks = 4)
+      .select("vec_a", "vec_b", "sim"))
+    assert(naive.nonEmpty)
+    assert(blocked === naive)
+    val plan = graft.ops.Similarity.blockedSelfJoinPairs(vecs, 0.3, blocks = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
+
+class SimhashMd5Spec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("md5 simhash: deterministic 16-char hex, identical docs identical, permutation-invariant") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "dog lazy the over jumps fox brown quick the"), // same token set
+      (4L, "completely different content entirely")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.simhashMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.values.forall(_.matches("[0-9a-f]{16}")), got.toString)
+    assert(got(1L) === got(2L))
+    assert(got(1L) === got(3L)) // votes are an order-independent sum
+    assert(got(1L) !== got(4L))
+    val again = graft.ops.Dedup.simhashMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === again)
+  }
+}
