@@ -226,9 +226,14 @@ object Dedup {
     */
   def dupComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 10): DataFrame = {
+    // both edge directions from ONE pass over the pair list (a self-union
+    // would reference `pairs` from two parallel subtrees and race its lazy
+    // cache, recomputing the join)
     val edges = materialize(
-      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      pairs.select(explode(array(
+          struct(col(aCol).as("u"), col(bCol).as("v")),
+          struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct())
     var labels = materialize(
       edges.groupBy(col("u").as("id")).agg(min(col("v")).as("c"))

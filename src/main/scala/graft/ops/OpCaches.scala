@@ -23,12 +23,14 @@ object OpCaches {
     * This is what lets a pipeline run `jaccardJoin` once and feed both the
     * pair report and the connected-components pass — at scale the pair list
     * is the expensive artifact and recomputing it doubles the job. */
+  /** Lazy on purpose: the first consuming action populates the cache, so a
+    * single-consumer query pays exactly one computation and no extra action.
+    * Callers that reference the memoized frame from PARALLEL subtrees of one
+    * action must consume it once first (cf. Dedup.materialize's race note) —
+    * dupComponents does this by explode-ing both edge directions out of a
+    * single pass instead of self-unioning. */
   private[graft] def memo(key: String)(build: => DataFrame): DataFrame =
-    memos.computeIfAbsent(key, { _ =>
-      val df = track(build.persist())
-      df.count()
-      df
-    })
+    memos.computeIfAbsent(key, _ => track(build.persist()))
 
   /** Unpersist every operator-internal cache created so far. Safe to call
     * after the consuming action completes; results already computed are

@@ -69,6 +69,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(after.last === 0, after.toString)
     } finally q.stop()
   }
+
+  test("funnel prune keeps an event exactly at watermark - window (boundary chain still completes)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val out = StreamingBehavioral.streamingFunnel(
+      input.toDS(), windowMicros = 3600L * 1000000, numConds = 2,
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel_boundary")
+      .outputMode("update").start()
+    try {
+      // entry at 00:00:00
+      input.addData(FunnelEvent(5L, ts("2024-01-01 00:00:00"), 1))
+      q.processAllAvailable()
+      // the click at exactly entry+window (strictly-greater break: still
+      // inside) rides in the SAME batch as the watermark-pusher — late
+      // filtering uses the PREVIOUS batch's watermark, so it is admitted;
+      // after this batch the watermark is exactly 01:00:00
+      input.addData(
+        FunnelEvent(5L, ts("2024-01-01 01:00:00"), 2),
+        FunnelEvent(99L, ts("2024-01-01 01:10:00"), 1))
+      q.processAllAvailable()
+      // a condition-less tick re-invokes user 5 with watermark = 01:00:00:
+      // the prune horizon (watermark - window) lands exactly ON the entry's
+      // ts, and the `>=` must keep it — observable as state size 2, not 1
+      // (steps can't regress: the monotone best would mask an over-prune)
+      input.addData(FunnelEvent(5L, ts("2024-01-01 02:00:00"), 0))
+      q.processAllAvailable()
+      val updates = spark.table("funnel_boundary").as[FunnelUpdate].collect()
+        .filter(_.user_id == 5L).toSeq
+      assert(updates.map(_.steps).max === 2, updates.toString)
+      assert(updates.last.n_events === 2,
+        s"event exactly at watermark - window was pruned: $updates")
+    } finally q.stop()
+  }
 }
 
 class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -98,6 +133,37 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
         .collect().map(_.getString(0)).sorted.toSeq
       assert(texts.count(_ == "doc A") === 1, texts)
       assert(texts.contains("doc B"))
+    } finally q.stop()
+  }
+
+  test("dedup state is watermark-bounded: a dup after state expiry re-emits (and that is the contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = graft.streaming.StreamingBehavioral
+      .streamingExactDedup(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_expiry")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 00:00:00"), "doc A"))
+      q.processAllAvailable()
+      // watermark sails past 00:00 + 10min → doc A's digest is GC'd (this
+      // bounded state is the whole point at stream scale)
+      input.addData((ts("2024-01-01 02:00:00"), "filler"))
+      q.processAllAvailable()
+      // same text re-arrives AFTER its state expired: emitted again —
+      // dedup is guaranteed only within the watermark horizon
+      input.addData((ts("2024-01-01 02:05:00"), "doc A"))
+      q.processAllAvailable()
+      // flush append results
+      input.addData((ts("2024-01-01 04:00:00"), "flush"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_expiry").select("text")
+        .collect().map(_.getString(0)).toSeq
+      assert(texts.count(_ == "doc A") === 2, texts.toString)
     } finally q.stop()
   }
 }
