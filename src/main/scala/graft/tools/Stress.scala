@@ -53,6 +53,14 @@ object Stress {
     }
 
     val results = Seq(
+      // Spark-native floors at the same scale: the codegen'd HashAggregate
+      // count(*) is the cheapest possible group-by; collect_list is Spark's
+      // own event-collecting ObjectHashAggregate — the apples-to-apples
+      // ceiling for what a buffer-collecting custom aggregate can cost
+      time("floor_count_groupby",
+        "SELECT user_id, count(*) FROM stress_events GROUP BY user_id"),
+      time("floor_collect_list",
+        "SELECT user_id, collect_list(ts) FROM stress_events GROUP BY user_id"),
       time("sessionize",
         """SELECT user_id, sessionize(ts, INTERVAL '30' MINUTE)
           |  OVER (PARTITION BY user_id ORDER BY ts) FROM stress_events""".stripMargin),
