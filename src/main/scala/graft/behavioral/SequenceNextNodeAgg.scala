@@ -12,18 +12,30 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Buffer for `sequence_next_node`: every row is stored (any event can be the
   * answer, reference `src/sequence_next_node.rs:186-192`). `flags` packs the
   * step-condition bitmask in bits 0..31 and the base-condition in bit 32.
-  * Values are kept as UTF8String refs (NULL allowed) and only serialized at
-  * shuffle boundaries.
+  *
+  * Values are DICTIONARY-ENCODED: each event stores a 4-byte index into a
+  * per-buffer string pool (`-1` = NULL), and a value string is cloned out of
+  * Spark's reused row buffer only on its FIRST occurrence. Behavioral value
+  * columns are low-cardinality (event types, page names), so this bounds the
+  * dominant cost — per-event string allocation and shuffle bytes — by the
+  * distinct-value count instead of the event count. The same idea as the
+  * reference's `Arc<str>` sharing (its `sequence_next_node_realistic` bench,
+  * PERF.md), expressed as a pool because JVM strings have no cheap refcount.
   */
 final class NNBuf(
     var ts: Array[Long],
     var flags: Array[Long],
-    var values: Array[UTF8String],
-    var n: Int) {
+    var values: Array[Int],
+    var n: Int,
+    var pool: Array[UTF8String],
+    var poolN: Int) {
 
   def this(capacity: Int) =
     this(new Array[Long](capacity), new Array[Long](capacity),
-      new Array[UTF8String](capacity), 0)
+      new Array[Int](capacity), 0, new Array[UTF8String](4), 0)
+
+  // lazily-built lookup over pool[0, poolN) — rebuilt after deserialize
+  @transient private var poolMap: java.util.HashMap[UTF8String, Integer] = _
 
   private def ensure(extra: Int): Unit = {
     val need = n + extra
@@ -36,17 +48,50 @@ final class NNBuf(
     }
   }
 
-  def append(t: Long, f: Long, v: UTF8String): Unit = {
+  /** Pool index of `v`, interning (and CLONING — the caller's bytes may be a
+    * reused buffer) on first sight. */
+  def intern(v: UTF8String): Int = {
+    if (v == null) return -1
+    if (poolMap == null) {
+      poolMap = new java.util.HashMap[UTF8String, Integer](math.max(poolN * 2, 8))
+      var i = 0
+      while (i < poolN) { poolMap.putIfAbsent(pool(i), Integer.valueOf(i)); i += 1 }
+    }
+    val got = poolMap.get(v)
+    if (got != null) return got.intValue()
+    if (poolN == pool.length) pool = java.util.Arrays.copyOf(pool, poolN * 2)
+    val owned = v.clone()
+    pool(poolN) = owned
+    poolMap.put(owned, Integer.valueOf(poolN))
+    poolN += 1
+    poolN - 1
+  }
+
+  def valueAt(i: Int): UTF8String = {
+    val idx = values(i)
+    if (idx < 0) null else pool(idx)
+  }
+
+  def append(t: Long, f: Long, valueIdx: Int): Unit = {
     ensure(1)
-    ts(n) = t; flags(n) = f; values(n) = v
+    ts(n) = t; flags(n) = f; values(n) = valueIdx
     n += 1
   }
 
   def appendAll(o: NNBuf): Unit = {
     ensure(o.n)
+    // remap the other buffer's pool indices into this pool
+    val remap = new Array[Int](o.poolN)
+    var i = 0
+    while (i < o.poolN) { remap(i) = intern(o.pool(i)); i += 1 }
     System.arraycopy(o.ts, 0, ts, n, o.n)
     System.arraycopy(o.flags, 0, flags, n, o.n)
-    System.arraycopy(o.values, 0, values, n, o.n)
+    i = 0
+    while (i < o.n) {
+      val idx = o.values(i)
+      values(n + i) = if (idx < 0) -1 else remap(idx)
+      i += 1
+    }
     n += o.n
   }
 
@@ -63,7 +108,7 @@ final class NNBuf(
       while (i < n) { idx(i) = i; i += 1 }
       mergeSortIdx(idx, new Array[Int](n), 0, n)
       val t2 = new Array[Long](n); val f2 = new Array[Long](n)
-      val v2 = new Array[UTF8String](n)
+      val v2 = new Array[Int](n)
       i = 0
       while (i < n) { t2(i) = ts(idx(i)); f2(i) = flags(idx(i)); v2(i) = values(idx(i)); i += 1 }
       ts = t2; flags = f2; values = v2
@@ -88,23 +133,25 @@ final class NNBuf(
     }
   }
 
+  /** 20 bytes per event + each distinct value once — the shuffle payload is
+    * bounded by cardinality, not event count. */
   def serialize(): Array[Byte] = {
-    var bytes = 4 + n * 16
+    var bytes = 8 + n * 20
     var i = 0
-    while (i < n) {
-      bytes += 4 + (if (values(i) == null) 0 else values(i).numBytes())
-      i += 1
-    }
+    while (i < poolN) { bytes += 4 + pool(i).numBytes(); i += 1 }
     val bb = ByteBuffer.allocate(bytes)
     bb.putInt(n)
     i = 0
-    while (i < n) {
-      bb.putLong(ts(i)); bb.putLong(flags(i))
-      if (values(i) == null) bb.putInt(-1)
-      else {
-        val b = values(i).getBytes
-        bb.putInt(b.length); bb.put(b)
-      }
+    while (i < n) { bb.putLong(ts(i)); i += 1 }
+    i = 0
+    while (i < n) { bb.putLong(flags(i)); i += 1 }
+    i = 0
+    while (i < n) { bb.putInt(values(i)); i += 1 }
+    bb.putInt(poolN)
+    i = 0
+    while (i < poolN) {
+      val b = pool(i).getBytes
+      bb.putInt(b.length); bb.put(b)
       i += 1
     }
     bb.array()
@@ -115,21 +162,27 @@ object NNBuf {
   def deserialize(bytes: Array[Byte]): NNBuf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new NNBuf(math.max(n, 16))
+    val cap = math.max(n, 16)
+    val ts = new Array[Long](cap)
+    val flags = new Array[Long](cap)
+    val values = new Array[Int](cap)
     var i = 0
-    while (i < n) {
-      val t = bb.getLong; val f = bb.getLong
+    while (i < n) { ts(i) = bb.getLong; i += 1 }
+    i = 0
+    while (i < n) { flags(i) = bb.getLong; i += 1 }
+    i = 0
+    while (i < n) { values(i) = bb.getInt; i += 1 }
+    val poolN = bb.getInt
+    val pool = new Array[UTF8String](math.max(poolN, 4))
+    i = 0
+    while (i < poolN) {
       val len = bb.getInt
-      val v = if (len < 0) null
-      else {
-        val b = new Array[Byte](len)
-        bb.get(b)
-        UTF8String.fromBytes(b)
-      }
-      buf.append(t, f, v)
+      val b = new Array[Byte](len)
+      bb.get(b)
+      pool(i) = UTF8String.fromBytes(b)
       i += 1
     }
-    buf
+    new NNBuf(ts, flags, values, n, pool, poolN)
   }
 }
 
@@ -211,9 +264,10 @@ case class SequenceNextNodeAgg(
       i += 1
     }
     if (!row.isNullAt(2) && row.getBoolean(2)) f |= 1L << 32
-    // own the bytes: the projection's backing buffer is reused across rows
-    val value = if (row.isNullAt(1)) null else row.getUTF8String(1).clone()
-    buf.append(row.getLong(0), f, value)
+    // intern clones the bytes on first sight only (the projection's backing
+    // buffer is reused across rows); repeats cost one hash lookup
+    val valueIdx = if (row.isNullAt(1)) -1 else buf.intern(row.getUTF8String(1))
+    buf.append(row.getLong(0), f, valueIdx)
     buf
   }
 
@@ -281,7 +335,7 @@ case class SequenceNextNodeAgg(
     }
     if (step != numSteps) return null
     val nextIdx = lastMatched + 1
-    if (nextIdx >= buf.n) null else buf.values(nextIdx)
+    if (nextIdx >= buf.n) null else buf.valueAt(nextIdx)
   }
 
   private def matchBackward(buf: NNBuf, b: Int): Any = {
@@ -331,7 +385,7 @@ case class SequenceNextNodeAgg(
       pos -= 1
     }
     if (step != numSteps) return null
-    if (earliest == 0) null else buf.values(earliest - 1)
+    if (earliest == 0) null else buf.valueAt(earliest - 1)
   }
 
   override def serialize(buf: NNBuf): Array[Byte] = buf.serialize()
