@@ -79,6 +79,62 @@ case class DotProduct(left: Expression, right: Expression)
   * produced by `array_sort(array_distinct(...))`); output is undefined
   * otherwise.
   */
+/** `winnow_minima(array<string>, w) -> array<string>`.
+  *
+  * Distinct sliding-window minima (first-occurrence order) over a hash
+  * array — the windowing half of winnowing fingerprints
+  * (Schleimer/Wilkerson/Aiken, SIGMOD'03). A monotonic deque gives O(n)
+  * amortized comparisons and ZERO per-window allocation, replacing the
+  * `array_distinct(transform(sequence, j -> array_min(slice(h, j, w))))`
+  * higher-order chain that allocates a w-element array per window.
+  * Output is identical to that chain (OpsSpec proves it differentially):
+  * n < w → empty array.
+  *
+  * Interpreted eval (CodegenFallback): the surrounding md5 projection stays
+  * codegen'd in its own stage, and the deque loop is already branch-lean.
+  */
+case class WinnowMinima(child: Expression, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) if w >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, window >= 1), got " +
+        s"${child.dataType.catalogString} with window $w")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "winnow_minima"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val vals = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { vals(i) = arr.getUTF8String(i); i += 1 }
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // active indices [head, tail), values increasing
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    i = 0
+    while (i < n) {
+      while (tail > head && vals(deque(tail - 1)).compareTo(vals(i)) >= 0) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(vals(deque(head)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 

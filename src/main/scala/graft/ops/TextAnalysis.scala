@@ -112,13 +112,13 @@ object TextAnalysis {
     * on real data: in the single-expression `winnowFingerprints` form,
     * Catalyst inlines the hash array into the windowing lambda (it is
     * referenced once, so CollapseProject collapses), and every window
-    * re-hashes the whole document — O(len²) md5 calls. This form references
-    * the bound column several times, which blocks the collapse, keeping the
-    * hash pass O(len). Same output as `winnowFingerprints`. */
+    * re-hashes the whole document — O(len²) md5 calls. This form keeps the
+    * hash pass O(len) and runs the windowing as the native monotonic-deque
+    * `winnow_minima` expression (O(len) amortized, no per-window slice
+    * allocation). Same output as `winnowFingerprints` — OpsSpec checks the
+    * two differentially. */
   def winnowFromHashes(h: Column, w: Int = 4): Column =
-    when(size(h) >= w,
-      array_distinct(transform(
-        sequence(lit(1), size(h) - lit(w - 1)),
-        j => array_min(slice(h, j, lit(w))))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WinnowMinima(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(h), w))
 }

@@ -109,6 +109,41 @@ class BlockedJoinSpec extends AnyFunSuite {
   }
 }
 
+class WinnowMinimaSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("deque winnow_minima equals the array_min(slice) formulation on random strings") {
+    val rnd = new scala.util.Random(11)
+    // adversarial shapes: runs of equal hashes, ascending, descending, random
+    val docs = (0 until 200).map { i =>
+      val len = rnd.nextInt(30)
+      val s = i % 4 match {
+        case 0 => Array.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString
+        case 1 => (0 until len).map(j => ('a' + (j % 26)).toChar).mkString
+        case 2 => (0 until len).map(j => ('z' - (j % 26)).toChar).mkString
+        case _ => Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      }
+      (i.toLong, s)
+    }.toDF("id", "t")
+    val w = 4
+    val hashes = docs.select(org.apache.spark.sql.functions.col("id"),
+      graft.ops.TextAnalysis.kgramHashes(org.apache.spark.sql.functions.col("t"), 3).as("h"))
+    import org.apache.spark.sql.functions._
+    val viaHof = hashes.select(col("id"),
+        when(size(col("h")) >= w,
+          array_distinct(transform(
+            sequence(lit(1), size(col("h")) - lit(w - 1)),
+            j => array_min(slice(col("h"), j, lit(w))))))
+          .otherwise(array().cast("array<string>")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaDeque = hashes.select(col("id"),
+        graft.ops.TextAnalysis.winnowFromHashes(col("h"), w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaDeque === viaHof)
+  }
+}
+
 class SimhashMd5Spec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   import spark.implicits._
