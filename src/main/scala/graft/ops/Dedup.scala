@@ -77,6 +77,50 @@ object Dedup {
     ColumnBridge.column(graft.functions.SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  private def sortedIntersectCountLong(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.SortedIntersectCountLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact verification of candidate (doc_a, doc_b) pairs against the
+    * shingle frame, in two stages:
+    *
+    *   1. HASHED pass: join 8-byte sorted shingle-hash arrays (cheap to
+    *      shuffle, two-pointer codegen'd intersect) and keep pairs whose
+    *      hash-Jaccard clears the threshold. A hash collision can only
+    *      INFLATE the intersection, so this pass-set is a SUPERSET of the
+    *      true pairs — nothing is ever missed;
+    *   2. STRING pass: re-verify the (tiny) survivor set on the true
+    *      shingle arrays for exact Jaccard values, filtering any
+    *      collision-induced false positives.
+    *
+    * Output is therefore bit-identical to verifying every candidate on
+    * strings, at ~1/3 the shuffle bytes and comparison cost — the stage-1
+    * arrays are hashes of sorted-distinct string shingles, and `n_sh`
+    * always comes from the string arrays.
+    */
+  private def verifyPairsExact(sh: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame = {
+    val byHash = sh.select(col("id"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("shh"),
+      size(col("sh")).as("n_sh"))
+    val passed = cands
+      .join(byHash.select(col("id").as("doc_a"), col("shh").as("ha"), col("n_sh").as("na")), "doc_a")
+      .join(byHash.select(col("id").as("doc_b"), col("shh").as("hb"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        sortedIntersectCountLong(col("ha"), col("hb")).cast("double").as("common"))
+      .filter(col("common") / (col("na") + col("nb") - col("common")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val bySh = sh.select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+    passed
+      .join(bySh.select(col("id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
+      .join(bySh.select(col("id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        sortedIntersectCount(col("sha"), col("shb")).cast("double").as("common"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact duplicate groups: documents with byte-identical text, keyed by a
     * 256-bit digest so the shuffle never carries the body. */
   def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
@@ -143,17 +187,8 @@ object Dedup {
         col("x.n_sh") >= ceil(lit(threshold) * col("y.n_sh")))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verification on candidates only
-    val bySh = sh.select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
-    cands
-      .join(bySh.select(col("id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
-      .join(bySh.select(col("id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
-      // two-step projection so the intersection is computed once per pair
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        sortedIntersectCount(col("sha"), col("shb")).cast("double").as("common"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // exact verification on candidates only (hashed pass + string re-verify)
+    verifyPairsExact(sh, cands, threshold)
   }
 
   /** MinHash signature: array of `numHashes` minima of seeded xxHash64 over
@@ -202,15 +237,7 @@ object Dedup {
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // exact verification on the deduped candidate pairs only
-    val bySh = sh.select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
-    cands
-      .join(bySh.select(col("id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
-      .join(bySh.select(col("id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        sortedIntersectCount(col("sha"), col("shb")).cast("double").as("common"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyPairsExact(sh, cands, threshold)
   }
 
   /** Connected components over a near-duplicate pair list: assigns every
