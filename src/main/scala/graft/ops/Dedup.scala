@@ -154,8 +154,15 @@ object Dedup {
     // frames; persist so the shingle/window lineage runs once, not once
     // per branch (a self-join recomputes each side's whole subtree)
     val sh = materialize(shingleFrame(docs, idCol, textCol, k))
+    // The ENTIRE candidate-generation index runs on xxhash64(shingle):
+    // 8-byte keys through the explode → df → rank → self-join shuffles
+    // instead of multi-word strings. Exactness is unaffected: two distinct
+    // shingles colliding merely merge their posting lists (a SUPERSET of
+    // candidates — the prefix theorem needs only a consistent total order
+    // on tokens, which (df, hash) is), and verification is exact.
     val inv0 = sh.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("shingle"))
+      explode(col("sh")).as("s"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
     val inv = maxShingleFreq match {
       case Some(cap) =>
         val freq = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
