@@ -410,6 +410,18 @@ object SparkEntry {
           col("event_type") === "purchase").as("steps"))
     },
 
+    // ---- 2.3 funnel mode timestamp_dedup (tie-free data: the same-ts
+    // advance skip is a no-op, so the default cascade is a valid oracle for
+    // THIS data; the same-ts behavior itself is golden-tested) ------------
+    "q37_funnel_ts_dedup" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), "timestamp_dedup", col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("steps"))
+    },
+
     // ---- 2.7 next-node forward/first_match ------------------------------
     "q35_next_node_fwd_first" -> { (s, dir) =>
       val ev = events(s, dir)
@@ -683,6 +695,28 @@ object SparkEntry {
         |        max(CASE WHEN t2 IS NOT NULL AND np IS NOT NULL AND (ncl IS NULL OR np < ncl) THEN 3
         |                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
         |      FROM s3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
+
+    // timestamp_dedup ≡ default on tie-free timestamps (the mode only skips
+    // same-ts advances; events.parquet has no (user, ts) duplicates).
+    "q37_funnel_ts_dedup" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |c2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type = 'click'
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(x.t) AS t3
+        |       FROM c2 LEFT JOIN e x
+        |         ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+        |        AND c2.t2 IS NOT NULL AND x.t > c2.t2 AND x.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM c3 GROUP BY user_id)
         |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
         |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
 

@@ -280,6 +280,7 @@ class SourcesSpec extends org.scalatest.funsuite.AnyFunSuite {
     ev.write.mode("overwrite").parquet(s"$dir/p")
     ev.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
     ev.write.mode("overwrite").json(s"$dir/j")
+    ev.write.mode("overwrite").orc(s"$dir/o")
     def funnelOver(df: org.apache.spark.sql.DataFrame): Map[Long, Int] = {
       df.createOrReplaceTempView("src_events")
       spark.sql(
@@ -293,8 +294,10 @@ class SourcesSpec extends org.scalatest.funsuite.AnyFunSuite {
     val fromCsv = funnelOver(spark.read.option("header", "true")
       .option("inferSchema", "true").csv(s"$dir/c"))
     val fromJson = funnelOver(spark.read.json(s"$dir/j"))
+    val fromOrc = funnelOver(spark.read.orc(s"$dir/o"))
     assert(fromParquet === fromCsv)
     assert(fromParquet === fromJson)
+    assert(fromParquet === fromOrc)
     assert(fromParquet.nonEmpty)
   }
 }

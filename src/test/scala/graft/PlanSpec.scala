@@ -53,6 +53,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q20: blocked exact cosine join runs as an equi-join on block keys") {
+    val p = plan("q20_embed_neardup")
+    // the n²/2 comparisons must live inside key-grouped join tasks — any of
+    // the equi-join strategies is fine, a nested loop is not (guarded above)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("bi") && p.contains("bj"), p)
+    graft.ops.OpCaches.unpersistAll()
+  }
+
   test("q12: text stats stay inside whole-stage codegen with a bare scan") {
     val p = plan("q12_text_stats")
     // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
