@@ -422,6 +422,20 @@ object SparkEntry {
           col("event_type") === "purchase").as("steps"))
     },
 
+    // ---- 2.3 funnel mode allow_reentry: a mid-chain entry event resets
+    // the scan to step 1 (the final step of the walk is the per-entry
+    // result, NOT the max reached — forgetting pre-reset progress is the
+    // reference behavior). Oracle: recursive-CTE walk of the same state
+    // machine. --------------------------------------------------------
+    "q38_funnel_reentry" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), "allow_reentry", col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("steps"))
+    },
+
     // ---- 2.7 next-node forward/first_match ------------------------------
     "q35_next_node_fwd_first" -> { (s, dir) =>
       val ev = events(s, dir)
@@ -719,6 +733,45 @@ object SparkEntry {
         |      FROM c3 GROUP BY user_id)
         |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
         |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
+
+    // allow_reentry walk: from each view entry, step 1 → first click → step
+    // 2; then first purchase-before-view → 3 (done), or first view → RESET
+    // to step 1 at that view (window stays anchored at the entry). The
+    // emitted value is the walk's FINAL step. Terminates: pos strictly
+    // increases within the 1h window.
+    "q38_funnel_reentry" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |walk AS (
+        |  SELECT user_id, t1, t1 AS pos, 1 AS step, false AS done FROM entries
+        |  UNION ALL
+        |  SELECT user_id, t1,
+        |    coalesce(CASE WHEN step = 1 THEN nc
+        |                  WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN np
+        |                  ELSE nv END, pos) AS pos,
+        |    CASE WHEN step = 1 AND nc IS NOT NULL THEN 2
+        |         WHEN step = 1 THEN 1
+        |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN 3
+        |         WHEN nv IS NOT NULL THEN 1
+        |         ELSE 2 END AS step,
+        |    CASE WHEN step = 1 THEN nc IS NULL
+        |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN true
+        |         WHEN nv IS NOT NULL THEN false
+        |         ELSE true END AS done
+        |  FROM (
+        |    SELECT w.*,
+        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'click'
+        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nc,
+        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'purchase'
+        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS np,
+        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'view'
+        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nv
+        |    FROM walk w WHERE NOT w.done)
+        |),
+        |fin AS (SELECT user_id, max(step) AS steps FROM walk WHERE done GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(fin.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN fin ON u.user_id = fin.user_id""".stripMargin,
 
     // forward/first_match, single step: the first click (ascending ts) that
     // has a successor event; the answer is that successor's type.
