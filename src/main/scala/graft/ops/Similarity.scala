@@ -201,18 +201,23 @@ object Similarity {
   def lshSelfJoin(corpus: DataFrame, threshold: Double, dim: Int,
       nPlanes: Int = 12, tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = materialize(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+    // banded frame carries only (id, table, bucket) — 20 bytes/row; the
+    // vectors rejoin AFTER candidate pairs dedup as bare id pairs, so the
+    // self-join and dropDuplicates never shuffle embedding arrays
+    val bucketed = materialize(base.select(col("id"),
       posexplode(array((0 until tables).map(t =>
-        lshBucket(col(vecCol), dim, nPlanes, seed = 1000L + t)): _*)))
-      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
-    val bucketedM = materialize(bucketed)
-    bucketedM.as("a").join(bucketedM.as("b"),
+        lshBucket(col("v"), dim, nPlanes, seed = 1000L + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket")))
+    val cands = bucketed.as("a").join(bucketed.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    cands
+      .join(base.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(base.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
