@@ -227,10 +227,14 @@ object Dedup {
     val sh = materialize(shingleFrame(docs, idCol, textCol, k))
     // signature via explode + vectorized hash-aggregate of `numHashes` mins —
     // one codegen'd pass over the inverted index, instead of re-traversing
-    // the shingle array once per hash seed
+    // the shingle array once per hash seed. Each shingle STRING is hashed to
+    // 8 bytes exactly once; the per-seed hashes mix the long (cheap fixed
+    // width) rather than re-hashing the string numHashes times — the same
+    // min-wise family, just seeded over h(s) instead of s.
     val minCols = (0 until numHashes).map(seed =>
-      min(ColumnBridge.xxhash64(seed.toLong, col("shingle"))).as(s"h$seed"))
-    val sigFlat = sh.select(col("id"), explode(col("sh")).as("shingle"))
+      min(ColumnBridge.xxhash64(seed.toLong, col("h"))).as(s"h$seed"))
+    val sigFlat = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
       .groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
     // one (band, bandHash) row per band; equi-join key for candidates
     val banded = materialize(sigFlat.select(col("id"),
