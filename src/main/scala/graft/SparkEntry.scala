@@ -600,10 +600,89 @@ object SparkEntry {
         |  CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
         |FROM documents GROUP BY lang""".stripMargin,
 
-    // q25_funnel_modes (timestamp_dedup / allow_reentry / combined masks):
-    // reset-on-reentry makes the scan state recursive — no clean ANSI form,
-    // rows-only check; those modes are golden-tested against reference
-    // outputs instead.
+    // q25_funnel_modes: all six columns are oracle-expressible on THIS data —
+    // with disjoint conditions and tie-free timestamps, strict_once /
+    // timestamp_dedup / strict_increase / the combined mask all coincide
+    // with the default cascade (their distinguishing rules are no-ops here;
+    // the distinguishing behavior itself is oracled by q33/q37/q32 and
+    // golden+differential tested), `strict` gets its break-cascade, and
+    // allow_reentry the recursive walk.
+    "q25_funnel_modes" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |dc2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type = 'click'
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |dc3 AS (SELECT dc2.user_id, dc2.t1, dc2.t2, min(x.t) AS t3
+        |       FROM dc2 LEFT JOIN e x
+        |         ON x.user_id = dc2.user_id AND x.event_type = 'purchase'
+        |        AND dc2.t2 IS NOT NULL AND x.t > dc2.t2 AND x.t <= dc2.t1 + 3600000000
+        |       GROUP BY dc2.user_id, dc2.t1, dc2.t2),
+        |dd AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS d
+        |      FROM dc3 GROUP BY user_id),
+        |ss2 AS (SELECT en.user_id, en.t1,
+        |         min(CASE WHEN x.event_type = 'click' THEN x.t END) AS nc,
+        |         min(CASE WHEN x.event_type = 'view' THEN x.t END) AS nv
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type IN ('view', 'click')
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |sc2 AS (SELECT user_id, t1,
+        |         CASE WHEN nc IS NOT NULL AND (nv IS NULL OR nc < nv) THEN nc END AS t2
+        |       FROM ss2),
+        |ss3 AS (SELECT sc2.user_id, sc2.t1, sc2.t2,
+        |         min(CASE WHEN y.event_type = 'purchase' THEN y.t END) AS np,
+        |         min(CASE WHEN y.event_type = 'click' THEN y.t END) AS ncl
+        |       FROM sc2 LEFT JOIN e y
+        |         ON y.user_id = sc2.user_id AND sc2.t2 IS NOT NULL
+        |        AND y.t > sc2.t2 AND y.t <= sc2.t1 + 3600000000
+        |       GROUP BY sc2.user_id, sc2.t1, sc2.t2),
+        |sd AS (SELECT user_id,
+        |        max(CASE WHEN t2 IS NOT NULL AND np IS NOT NULL AND (ncl IS NULL OR np < ncl) THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS s
+        |      FROM ss3 GROUP BY user_id),
+        |walk AS (
+        |  SELECT user_id, t1, t1 AS pos, 1 AS step, false AS done FROM entries
+        |  UNION ALL
+        |  SELECT user_id, t1,
+        |    coalesce(CASE WHEN step = 1 THEN nc
+        |                  WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN np
+        |                  ELSE nv END, pos) AS pos,
+        |    CASE WHEN step = 1 AND nc IS NOT NULL THEN 2
+        |         WHEN step = 1 THEN 1
+        |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN 3
+        |         WHEN nv IS NOT NULL THEN 1
+        |         ELSE 2 END AS step,
+        |    CASE WHEN step = 1 THEN nc IS NULL
+        |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN true
+        |         WHEN nv IS NOT NULL THEN false
+        |         ELSE true END AS done
+        |  FROM (
+        |    SELECT w.*,
+        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'click'
+        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nc,
+        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'purchase'
+        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS np,
+        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'view'
+        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nv
+        |    FROM walk w WHERE NOT w.done)
+        |),
+        |fin AS (SELECT user_id, max(step) AS r FROM walk WHERE done GROUP BY user_id)
+        |SELECT u.user_id,
+        |  CAST(coalesce(sd.s, 0) AS INTEGER) AS strict,
+        |  CAST(coalesce(dd.d, 0) AS INTEGER) AS strict_once,
+        |  CAST(coalesce(dd.d, 0) AS INTEGER) AS ts_dedup,
+        |  CAST(coalesce(dd.d, 0) AS INTEGER) AS strict_inc,
+        |  CAST(coalesce(fin.r, 0) AS INTEGER) AS reentry,
+        |  CAST(coalesce(dd.d, 0) AS INTEGER) AS combined
+        |FROM u
+        |LEFT JOIN dd ON u.user_id = dd.user_id
+        |LEFT JOIN sd ON u.user_id = sd.user_id
+        |LEFT JOIN fin ON u.user_id = fin.user_id""".stripMargin,
 
     // strict_order: an event matching any EARLIER condition kills the chain.
     // Stage 1: first view-or-click after the entry must be a click; stage 2:
