@@ -109,6 +109,61 @@ class BlockedJoinSpec extends AnyFunSuite {
   }
 }
 
+class JaccardExactnessSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def shingles(text: String, k: Int = 3): Set[String] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < k) Set.empty
+    else toks.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  test("jaccardJoin equals local brute force on random corpora with planted near-dups") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      val baseDocs = (0 until 50).map { i =>
+        (i.toLong, (0 until 8 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // plant near-dups: copy a doc and perturb one token
+      val dups = (0 until 10).map { j =>
+        val (srcId, text) = baseDocs(rnd.nextInt(baseDocs.length))
+        val toks = text.split(" ")
+        toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+        ((100 + j).toLong, toks.mkString(" "))
+      }
+      val all = baseDocs ++ dups
+      val docs = all.toDF("doc_id", "text")
+      val got = graft.ops.Dedup.jaccardJoin(docs, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+      val want = (for {
+        (ia, ta) <- all; (ib, tb) <- all if ia < ib
+        sa = shingles(ta); sb = shingles(tb)
+        common = (sa & sb).size.toDouble
+        if sa.nonEmpty && sb.nonEmpty
+        j = common / (sa.size + sb.size - common)
+        if j >= 0.5
+      } yield (ia, ib, math.rint(j * 1e9) / 1e9)).toSet
+      assert(got === want, s"seed=$seed")
+      graft.ops.OpCaches.unpersistAll()
+    }
+  }
+
+  test("a stop-shingle shared by every doc does not produce pairs or blow up") {
+    // 400 docs, each with a unique body plus one identical hot sentence:
+    // the hot shingles rank as the most frequent and never enter any
+    // doc's prefix, so the candidate join stays tiny and the result empty
+    val hot = "the quick brown fox jumps over the lazy dog"
+    val docs = (0 until 400).map(i => (i.toLong, s"unique$i body$i token$i extra$i $hot"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.jaccardJoin(docs, threshold = 0.5).count()
+    assert(pairs === 0L)
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
+
 class WinnowMinimaSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   import spark.implicits._
