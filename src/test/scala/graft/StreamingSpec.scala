@@ -106,6 +106,52 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class StreamingBatchDifferentialSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("streaming funnel's final state equals the batch aggregate on random data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    // unique per-event timestamps (both paths sort unstably, so ties could
+    // legitimately order differently); random users and condition bits
+    val perm = rnd.shuffle((0 until 3600).toVector).take(600)
+    val events = perm.map { s =>
+      StreamingBehavioral.FunnelEvent(
+        rnd.nextInt(23).toLong,
+        new Timestamp(1704067200000L + s * 1000L),
+        1 << rnd.nextInt(3))
+    }
+    val input = MemoryStream[StreamingBehavioral.FunnelEvent]
+    // watermark delay far beyond the data span: no pruning, no timeout —
+    // the final streaming answer must equal the batch aggregate exactly
+    val out = StreamingBehavioral.streamingFunnel(
+      input.toDS(), windowMicros = 1800L * 1000000, numConds = 3,
+      watermark = "10000 hours")
+    val q = out.writeStream.format("memory").queryName("funnel_diff")
+      .outputMode("update").start()
+    try {
+      events.grouped(97).foreach { batch => input.addData(batch); q.processAllAvailable() }
+      val streaming = spark.table("funnel_diff")
+        .as[StreamingBehavioral.FunnelUpdate].collect()
+        .groupBy(_.user_id)
+        // steps are monotone per user (best never decreases), so the max
+        // update IS the final state regardless of sink row order
+        .map { case (u, ups) => u -> ups.map(_.steps).max }
+      events.toDF("user_id", "ts", "conds").createOrReplaceTempView("sd_events")
+      val batchRes = spark.sql(
+        """SELECT user_id, window_funnel(INTERVAL '30' MINUTE, ts,
+          |  (conds & 1) > 0, (conds & 2) > 0, (conds & 4) > 0) AS s
+          |FROM sd_events GROUP BY user_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streaming.keySet === batchRes.keySet)
+      for ((u, s) <- streaming) {
+        assert(s === batchRes(u), s"user=$u streaming=$s batch=${batchRes(u)}")
+      }
+    } finally q.stop()
+  }
+}
+
 class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = GraftSpark.spark
 
