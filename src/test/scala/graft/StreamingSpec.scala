@@ -106,6 +106,40 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class SessionBoundarySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("gap == threshold stays in-session in BOTH batch sessionize and streaming session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two events exactly 30 minutes apart
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:30:00")))
+    rows.toDF("user_id", "ts").createOrReplaceTempView("sb_events")
+    val batchSessions = spark.sql(
+      """SELECT max(sid) FROM (
+        |  SELECT sessionize(ts, INTERVAL '30' MINUTE)
+        |    OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM sb_events)""".stripMargin).collect()(0).getLong(0)
+    assert(batchSessions === 1L) // gap == threshold stays in-session (reference rule)
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = StreamingBehavioral.sessionStats(input.toDF().toDF("user_id", "ts"), "30 minutes")
+      .writeStream.format("memory").queryName("sb_sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamingSessions = spark.table("sb_sessions").count()
+      // Spark's session_window merges an event exactly gap-distant from the
+      // previous one — the same boundary rule as the reference's
+      // strictly-greater sessionize gap. Pinned so a Spark behavior change
+      // (or a gap-rule refactor here) shows up as a divergence.
+      assert(streamingSessions === 1L)
+    } finally q.stop()
+  }
+}
+
 class StreamingBatchDifferentialSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
 
