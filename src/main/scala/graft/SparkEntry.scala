@@ -347,12 +347,16 @@ object SparkEntry {
       prep(s, dir)
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val queryVec = emb.filter(col("vec_id") === 0)
-        .collect()(0).getSeq[Double](1).toArray
-      val (indexed, centroids) =
-        ops.Similarity.ivfIndex(emb.filter(col("vec_id") =!= 0), nCells = 8, iterations = 2)
-      ops.Similarity.ivfTopK(indexed, centroids, queryVec, k = 10, nProbe = 8)
-        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+      emb.filter(col("vec_id") === 0).take(1).headOption match {
+        case None => // no query vector: empty result, same schema
+          emb.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+        case Some(row) =>
+          val queryVec = row.getSeq[Double](1).toArray
+          val (indexed, centroids) =
+            ops.Similarity.ivfIndex(emb.filter(col("vec_id") =!= 0), nCells = 8, iterations = 2)
+          ops.Similarity.ivfTopK(indexed, centroids, queryVec, k = 10, nProbe = 8)
+            .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+      }
     },
 
     // ---- LLM pipeline: brute-force cosine top-k -------------------------
@@ -365,13 +369,17 @@ object SparkEntry {
       // batches is Similarity.bruteTopK.
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val queryVec = emb.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1).toArray
-      val qArr = array(queryVec.map(lit): _*)
-      emb.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), ops.Similarity.cosine(col("v"), qArr).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      emb.filter(col("vec_id") === 0).take(1).headOption match {
+        case None => // no query vector: empty result, same schema
+          emb.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+        case Some(row) =>
+          val qArr = array(row.getSeq[Double](1).map(lit): _*)
+          emb.filter(col("vec_id") =!= 0)
+            .select(col("vec_id"), ops.Similarity.cosine(col("v"), qArr).as("sim"))
+            .orderBy(col("sim").desc, col("vec_id"))
+            .limit(10)
+            .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      }
     },
 
     // ---- 2.3 funnel mode strict_increase (disjoint conds: the mode's
@@ -481,6 +489,42 @@ object SparkEntry {
        |  $chars AS simhash_hex
        |FROM v""".stripMargin
   }
+
+  /** The allow_reentry oracle's recursive walk (shared verbatim by q38 and
+    * q25's reentry column so the two can never drift apart): from each view
+    * entry, step 1 → first click → step 2; then first purchase-before-view
+    * completes (3) while a first view RESETS to step 1 at that view, the
+    * window still anchored at the entry. The emitted value is the walk's
+    * FINAL step. Terminates: pos strictly increases within the window.
+    * Expects CTEs `e` (user_id, t µs, event_type) and `entries`
+    * (user_id, t1) in scope. */
+  private lazy val reentryWalkCte: String =
+    """walk AS (
+      |  SELECT user_id, t1, t1 AS pos, 1 AS step, false AS done FROM entries
+      |  UNION ALL
+      |  SELECT user_id, t1,
+      |    coalesce(CASE WHEN step = 1 THEN nc
+      |                  WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN np
+      |                  ELSE nv END, pos) AS pos,
+      |    CASE WHEN step = 1 AND nc IS NOT NULL THEN 2
+      |         WHEN step = 1 THEN 1
+      |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN 3
+      |         WHEN nv IS NOT NULL THEN 1
+      |         ELSE 2 END AS step,
+      |    CASE WHEN step = 1 THEN nc IS NULL
+      |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN true
+      |         WHEN nv IS NOT NULL THEN false
+      |         ELSE true END AS done
+      |  FROM (
+      |    SELECT w.*,
+      |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'click'
+      |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nc,
+      |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'purchase'
+      |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS np,
+      |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'view'
+      |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nv
+      |    FROM walk w WHERE NOT w.done)
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -645,32 +689,7 @@ object SparkEntry {
         |        max(CASE WHEN t2 IS NOT NULL AND np IS NOT NULL AND (ncl IS NULL OR np < ncl) THEN 3
         |                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS s
         |      FROM ss3 GROUP BY user_id),
-        |walk AS (
-        |  SELECT user_id, t1, t1 AS pos, 1 AS step, false AS done FROM entries
-        |  UNION ALL
-        |  SELECT user_id, t1,
-        |    coalesce(CASE WHEN step = 1 THEN nc
-        |                  WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN np
-        |                  ELSE nv END, pos) AS pos,
-        |    CASE WHEN step = 1 AND nc IS NOT NULL THEN 2
-        |         WHEN step = 1 THEN 1
-        |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN 3
-        |         WHEN nv IS NOT NULL THEN 1
-        |         ELSE 2 END AS step,
-        |    CASE WHEN step = 1 THEN nc IS NULL
-        |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN true
-        |         WHEN nv IS NOT NULL THEN false
-        |         ELSE true END AS done
-        |  FROM (
-        |    SELECT w.*,
-        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'click'
-        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nc,
-        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'purchase'
-        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS np,
-        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'view'
-        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nv
-        |    FROM walk w WHERE NOT w.done)
-        |),
+        |__REENTRY_WALK__,
         |fin AS (SELECT user_id, max(step) AS r FROM walk WHERE done GROUP BY user_id)
         |SELECT u.user_id,
         |  CAST(coalesce(sd.s, 0) AS INTEGER) AS strict,
@@ -682,7 +701,8 @@ object SparkEntry {
         |FROM u
         |LEFT JOIN dd ON u.user_id = dd.user_id
         |LEFT JOIN sd ON u.user_id = sd.user_id
-        |LEFT JOIN fin ON u.user_id = fin.user_id""".stripMargin,
+        |LEFT JOIN fin ON u.user_id = fin.user_id""".stripMargin
+        .replace("__REENTRY_WALK__", reentryWalkCte),
 
     // strict_order: an event matching any EARLIER condition kills the chain.
     // Stage 1: first view-or-click after the entry must be a click; stage 2:
@@ -822,35 +842,11 @@ object SparkEntry {
       """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
         |u AS (SELECT DISTINCT user_id FROM e),
         |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
-        |walk AS (
-        |  SELECT user_id, t1, t1 AS pos, 1 AS step, false AS done FROM entries
-        |  UNION ALL
-        |  SELECT user_id, t1,
-        |    coalesce(CASE WHEN step = 1 THEN nc
-        |                  WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN np
-        |                  ELSE nv END, pos) AS pos,
-        |    CASE WHEN step = 1 AND nc IS NOT NULL THEN 2
-        |         WHEN step = 1 THEN 1
-        |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN 3
-        |         WHEN nv IS NOT NULL THEN 1
-        |         ELSE 2 END AS step,
-        |    CASE WHEN step = 1 THEN nc IS NULL
-        |         WHEN np IS NOT NULL AND (nv IS NULL OR np < nv) THEN true
-        |         WHEN nv IS NOT NULL THEN false
-        |         ELSE true END AS done
-        |  FROM (
-        |    SELECT w.*,
-        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'click'
-        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nc,
-        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'purchase'
-        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS np,
-        |      (SELECT min(x.t) FROM e x WHERE x.user_id = w.user_id AND x.event_type = 'view'
-        |         AND x.t > w.pos AND x.t <= w.t1 + 3600000000) AS nv
-        |    FROM walk w WHERE NOT w.done)
-        |),
+        |__REENTRY_WALK__,
         |fin AS (SELECT user_id, max(step) AS steps FROM walk WHERE done GROUP BY user_id)
         |SELECT u.user_id, CAST(coalesce(fin.steps, 0) AS INTEGER) AS steps
-        |FROM u LEFT JOIN fin ON u.user_id = fin.user_id""".stripMargin,
+        |FROM u LEFT JOIN fin ON u.user_id = fin.user_id""".stripMargin
+        .replace("__REENTRY_WALK__", reentryWalkCte),
 
     // forward/first_match, single step: the first click (ascending ts) that
     // has a successor event; the answer is that successor's type.

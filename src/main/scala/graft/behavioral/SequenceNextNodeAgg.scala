@@ -49,8 +49,16 @@ final class NNBuf(
   }
 
   /** Pool index of `v`, interning (and CLONING — the caller's bytes may be a
-    * reused buffer) on first sight. */
-  def intern(v: UTF8String): Int = {
+    * reused row buffer) on first sight. */
+  def intern(v: UTF8String): Int = internImpl(v, owned = false)
+
+  /** Like intern, but `v` is already heap-owned (a deserialized or
+    * previously-interned pool entry) — adopted by reference, no copy. Used
+    * by the merge path so a distinct value is allocated once per partition,
+    * not once per merge hop. */
+  private def internOwned(v: UTF8String): Int = internImpl(v, owned = true)
+
+  private def internImpl(v: UTF8String, owned: Boolean): Int = {
     if (v == null) return -1
     if (poolMap == null) {
       poolMap = new java.util.HashMap[UTF8String, Integer](math.max(poolN * 2, 8))
@@ -60,9 +68,9 @@ final class NNBuf(
     val got = poolMap.get(v)
     if (got != null) return got.intValue()
     if (poolN == pool.length) pool = java.util.Arrays.copyOf(pool, poolN * 2)
-    val owned = v.clone()
-    pool(poolN) = owned
-    poolMap.put(owned, Integer.valueOf(poolN))
+    val kept = if (owned) v else v.clone()
+    pool(poolN) = kept
+    poolMap.put(kept, Integer.valueOf(poolN))
     poolN += 1
     poolN - 1
   }
@@ -80,10 +88,11 @@ final class NNBuf(
 
   def appendAll(o: NNBuf): Unit = {
     ensure(o.n)
-    // remap the other buffer's pool indices into this pool
+    // remap the other buffer's pool indices into this pool; the source pool
+    // entries are already owned heap strings, adopt them without re-cloning
     val remap = new Array[Int](o.poolN)
     var i = 0
-    while (i < o.poolN) { remap(i) = intern(o.pool(i)); i += 1 }
+    while (i < o.poolN) { remap(i) = internOwned(o.pool(i)); i += 1 }
     System.arraycopy(o.ts, 0, ts, n, o.n)
     System.arraycopy(o.flags, 0, flags, n, o.n)
     i = 0

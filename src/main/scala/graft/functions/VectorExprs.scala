@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -170,25 +171,38 @@ case class WinnowMinima(child: Expression, w: Int)
   }
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "winnow_minima"
 
-  override def nullSafeEval(a: Any): Any = {
+  // NULL array → empty fingerprints (the pre-expression formulation's
+  // `when(...).otherwise(array())` also mapped NULL input to []); NULL
+  // elements are skipped like `array_min` skips them. Overrides eval (not
+  // nullSafeEval) to own both rules.
+  override def eval(input: InternalRow): Any = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val a = child.eval(input)
+    if (a == null) return empty
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (n < w) return empty
     val vals = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
-    while (i < n) { vals(i) = arr.getUTF8String(i); i += 1 }
+    while (i < n) {
+      vals(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
     val deque = new Array[Int](n)
     var head = 0
-    var tail = 0 // active indices [head, tail), values increasing
+    var tail = 0 // active non-null indices [head, tail), values increasing
     val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
     i = 0
     while (i < n) {
-      while (tail > head && vals(deque(tail - 1)).compareTo(vals(i)) >= 0) tail -= 1
-      deque(tail) = i; tail += 1
-      if (deque(head) <= i - w) head += 1
-      if (i >= w - 1) out.add(vals(deque(head)))
+      if (vals(i) != null) {
+        while (tail > head && vals(deque(tail - 1)).compareTo(vals(i)) >= 0) tail -= 1
+        deque(tail) = i; tail += 1
+      }
+      while (tail > head && deque(head) <= i - w) head += 1
+      if (i >= w - 1 && tail > head) out.add(vals(deque(head)))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(

@@ -142,8 +142,14 @@ object Dedup {
     // Memoized per (input plan, params): the pair list is the expensive
     // artifact of a dedup pipeline, and downstream passes (connected
     // components, curation) reuse it instead of re-running the join.
-    val key = s"jaccardJoin:${docs.queryExecution.analyzed.canonicalized.hashCode}:" +
-      s"$threshold:$k:$idCol:$textCol:$maxShingleFreq"
+    // Keyed on a 128-bit digest of the canonicalized plan string — a 32-bit
+    // hashCode would silently serve the wrong cached pairs on collision in
+    // a long-lived session.
+    val planDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest(docs.queryExecution.analyzed.canonicalized.toString()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val key = s"jaccardJoin:$planDigest:$threshold:$k:$idCol:$textCol:$maxShingleFreq"
     OpCaches.memo(key)(jaccardJoinImpl(docs, threshold, k, idCol, textCol, maxShingleFreq))
   }
 

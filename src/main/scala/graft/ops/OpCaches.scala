@@ -14,21 +14,21 @@ object OpCaches {
 
   private[ops] def track(df: DataFrame): DataFrame = { tracked.add(df); df }
 
-  /** Memoize an expensive operator result within a session: the first call
-    * builds, persists, and eagerly materializes; later calls with the same
-    * key reuse the cached frame. Keys must include the input plan's
-    * canonicalized hash plus all parameters (see Dedup.jaccardJoin), so two
-    * different inputs never collide. Cleared by `unpersistAll()`.
+  /** Memoize an expensive operator result within a session; later calls
+    * with the same key reuse the cached frame. Keys must identify the input
+    * plan collision-free plus all parameters (see Dedup.jaccardJoin's plan
+    * digest). Cleared by `unpersistAll()`. This is what lets a pipeline run
+    * `jaccardJoin` once and feed both the pair report and the
+    * connected-components pass — at scale the pair list is the expensive
+    * artifact and recomputing it doubles the job.
     *
-    * This is what lets a pipeline run `jaccardJoin` once and feed both the
-    * pair report and the connected-components pass — at scale the pair list
-    * is the expensive artifact and recomputing it doubles the job. */
-  /** Lazy on purpose: the first consuming action populates the cache, so a
-    * single-consumer query pays exactly one computation and no extra action.
-    * Callers that reference the memoized frame from PARALLEL subtrees of one
-    * action must consume it once first (cf. Dedup.materialize's race note) —
-    * dupComponents does this by explode-ing both edge directions out of a
-    * single pass instead of self-unioning. */
+    * LAZY on purpose: the first consuming action populates the cache, so a
+    * single-consumer query pays exactly one computation and no extra
+    * action. Callers that reference the memoized frame from PARALLEL
+    * subtrees of one action must consume it once first (cf.
+    * Dedup.materialize's race note) — dupComponents does this by
+    * explode-ing both edge directions out of a single pass instead of
+    * self-unioning. */
   private[graft] def memo(key: String)(build: => DataFrame): DataFrame =
     memos.computeIfAbsent(key, _ => track(build.persist()))
 
