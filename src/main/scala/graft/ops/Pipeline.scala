@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Writes a curated corpus PARTITIONED BY detected language — the
+    * standard training-data layout: downstream jobs that read one language
+    * (`.filter(col("lang_guess") === "en")`) prune every other language's
+    * files at the listing, and per-language file sizes stay balanced
+    * because the partition column has low cardinality. Read back with
+    * `spark.read.parquet(path)`. */
+  def writeCuratedByLang(curated: DataFrame, path: String): Unit =
+    curated.write.mode("overwrite").partitionBy("lang_guess").parquet(path)
+
   /** Curate `docs`: drop non-representative near-duplicates (exact n-gram
     * Jaccard >= dupThreshold, min-id representative kept), then keep rows
     * with qualityScore >= minQuality. Output: doc_id, lang_guess, quality,

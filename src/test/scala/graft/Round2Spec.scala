@@ -164,6 +164,30 @@ class JaccardExactnessSpec extends AnyFunSuite {
   }
 }
 
+class CuratedSinkSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("language-partitioned curation sink prunes partitions for a language filter") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val curated = graft.ops.Pipeline.curate(docs, dupThreshold = 0.5, minQuality = 0.3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    graft.ops.Pipeline.writeCuratedByLang(curated, dir)
+    graft.ops.OpCaches.unpersistAll()
+    val back = spark.read.parquet(dir)
+    val en = back.filter(col("lang_guess") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    // the language filter must land in PartitionFilters (file-listing
+    // pruning), not in a post-scan data filter
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("lang_guess"),
+      plan)
+    assert(en.count() > 0)
+    // round trip preserves the curated row set
+    assert(back.count() === curated.count())
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
+
 class WinnowMinimaSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   import spark.implicits._
