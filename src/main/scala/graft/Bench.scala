@@ -28,7 +28,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated substring filter for targeted local runs,
+    // e.g. SPARK_GRAFT_BENCH_ONLY=q23,q21 — the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       // best of N runs = steady-state cost (first run pays codegen + input
       // listing); noop sink forces full evaluation of every output column —
       // count() would let Catalyst prune the very expressions being measured

@@ -263,11 +263,12 @@ object SparkEntry {
     // ---- LLM pipeline: winnowing fingerprints ---------------------------
     "q23_fingerprint" -> { (s, dir) =>
       prep(s, dir)
-      // two-step: bind the k-gram hash array, then window it (see
-      // TextAnalysis.winnowFromHashes for why one expression is O(len²))
+      // fused kernel: k-gram md5 + deque winnowing in one codegen'd
+      // expression (see TextAnalysis.winnowFingerprintsFused — the HOF
+      // forms fall out of whole-stage codegen via ArrayTransform)
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), ops.TextAnalysis.kgramHashes(col("text"), 8).as("h"))
-        .select(col("doc_id"), ops.TextAnalysis.winnowFromHashes(col("h"), 4).as("fp"))
+        .select(col("doc_id"),
+          ops.TextAnalysis.winnowFingerprintsFused(col("text"), 8, 4).as("fp"))
         .select(col("doc_id"),
           size(col("fp")).cast("long").as("n_fp"),
           array_min(col("fp")).as("min_fp"))

@@ -152,15 +152,23 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
   * amortized comparisons and ZERO per-window allocation, replacing the
   * `array_distinct(transform(sequence, j -> array_min(slice(h, j, w))))`
   * higher-order chain that allocates a w-element array per window.
-  * Output is identical to that chain (OpsSpec proves it differentially):
+  * Output is identical to that chain for null-free element arrays — the
+  * only supported input, as produced by `md5(...)` k-gram hashing (OpsSpec
+  * proves the equivalence differentially); a window containing only NULL
+  * elements is skipped here where the HOF chain emits a NULL fingerprint.
   * n < w → empty array.
   *
-  * Interpreted eval (CodegenFallback): the surrounding md5 projection stays
-  * codegen'd in its own stage, and the deque loop is already branch-lean.
+  * Codegen'd: `doGenCode` emits a call into the compiled `compute` kernel,
+  * so the expression participates in whole-stage codegen. This matters less
+  * for the deque itself (a JIT-compiled loop either way) than for its
+  * NEIGHBORS: a `CodegenFallback` here would force the whole collapsed
+  * projection — including the per-kgram md5 pass that CollapseProject
+  * inlines when the hash array is referenced once — into interpreted
+  * `InterpretedUnsafeProjection`, the alias-inlining hazard documented in
+  * SCALE.md §"Catalyst hazards".
   */
 case class WinnowMinima(child: Expression, w: Int)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.StringType, _) if w >= 1 =>
@@ -178,9 +186,11 @@ case class WinnowMinima(child: Expression, w: Int)
   // `when(...).otherwise(array())` also mapped NULL input to []); NULL
   // elements are skipped like `array_min` skips them. Overrides eval (not
   // nullSafeEval) to own both rules.
-  override def eval(input: InternalRow): Any = {
+  override def eval(input: InternalRow): Any = compute(child.eval(input))
+
+  /** The winnowing kernel; public so generated code can call it. */
+  def compute(a: Any): ArrayData = {
     val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val a = child.eval(input)
     if (a == null) return empty
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -207,6 +217,158 @@ case class WinnowMinima(child: Expression, w: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowMinima].getName)
+    val arrType = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |$arrType ${ev.value} =
+         |  $ref.compute(${childGen.isNull} ? null : (Object) ${childGen.value});
+       """.stripMargin
+    ev.copy(code = resultCode,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `winnow_fingerprint(text, k, w) -> array<string>`.
+  *
+  * FUSED winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+  * md5 every k-char gram of `text` and keep the distinct sliding-window
+  * minima of every w-gram window, in ONE compiled kernel — no intermediate
+  * hash array, no per-window slice, no higher-order-function lambda.
+  *
+  * Why fused: the two-step `transform(sequence(...), i -> md5(substr(...)))`
+  * + `winnow_minima` form can never be whole-stage codegen'd — Spark's
+  * `ArrayTransform` is itself `CodegenFallback`, and ONE fallback expression
+  * ejects the whole collapsed projection from codegen (the r2 q23
+  * regression: CollapseProject inlined the md5 pass into the fallback
+  * projection → everything interpreted). This expression has a real
+  * `doGenCode`, so the projection stays `*(n)`-codegen'd, and the kernel
+  * works on raw UTF-8 bytes: code-point offsets computed once, each gram
+  * digested straight from the byte buffer (`MessageDigest.update(bytes,
+  * from, len)` — zero substring allocation), window minima tracked as
+  * 16-byte digests on a monotonic deque, and only the surviving distinct
+  * minima hex-encoded at the end.
+  *
+  * Output semantics — identical to the HOF chain the oracle mirrors
+  * (`md5(cast(substr(text, i, k) as binary))` per gram; `array_distinct` of
+  * per-window `array_min`, first-occurrence order): hex compare order ==
+  * unsigned digest byte order, and substr counts CODE POINTS (handled via
+  * the offsets walk), so multi-byte text agrees with Spark/DuckDB substr.
+  * NULL text or fewer than k+w-1 code points → empty array.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType if k >= 1 && w >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, k >= 1, w >= 1), got " +
+        s"${child.dataType.catalogString} with k=$k w=$w")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def eval(input: InternalRow): Any = compute(child.eval(input))
+
+  private[this] val HexDigits = "0123456789abcdef".toCharArray
+
+  /** The fused kernel; public so generated code can call it. */
+  def compute(a: Any): ArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (a == null) return empty
+    val text = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = text.getBytes
+    // byte offset of each code point (+ end sentinel), one UTF-8 walk
+    val nBytes = bytes.length
+    var nChars = 0
+    var p = 0
+    val offs = new Array[Int](nBytes + 1)
+    while (p < nBytes) {
+      offs(nChars) = p
+      val b = bytes(p) & 0xFF
+      p += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      nChars += 1
+    }
+    offs(nChars) = nBytes
+    if (nChars < k + w - 1) return empty
+    val nGrams = nChars - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      digests(i) = md.digest() // digest() resets the instance
+      i += 1
+    }
+    // monotonic deque of gram indices; unsigned byte compare == hex order
+    def cmp(x: Array[Byte], y: Array[Byte]): Int = {
+      var j = 0
+      while (j < 16) {
+        val d = (x(j) & 0xFF) - (y(j) & 0xFF)
+        if (d != 0) return d
+        j += 1
+      }
+      0
+    }
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0
+    var lastEmitted = -1 // gram index of the last window's min (skip re-adds)
+    val out = new java.util.LinkedHashSet[java.nio.ByteBuffer]()
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && cmp(digests(deque(tail - 1)), digests(i)) >= 0) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1 && deque(head) != lastEmitted) {
+        lastEmitted = deque(head)
+        out.add(java.nio.ByteBuffer.wrap(digests(lastEmitted)))
+      }
+      i += 1
+    }
+    val res = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) {
+      val dg = it.next().array()
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HexDigits((dg(j) >> 4) & 0xF).toByte
+        hex(2 * j + 1) = HexDigits(dg(j) & 0xF).toByte
+        j += 1
+      }
+      res(r) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("winnowFp", this, classOf[WinnowFingerprint].getName)
+    val arrType = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |$arrType ${ev.value} =
+         |  $ref.compute(${childGen.isNull} ? null : (Object) ${childGen.value});
+       """.stripMargin
+    ev.copy(code = resultCode,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

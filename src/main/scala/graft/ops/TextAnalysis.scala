@@ -121,4 +121,16 @@ object TextAnalysis {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.WinnowMinima(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(h), w))
+
+  /** The production form: ONE fused codegen'd expression doing k-gram md5 +
+    * deque winnowing straight off the UTF-8 bytes (no intermediate hash
+    * array, no HOF lambda). Both the single-expression and the two-step
+    * forms above are ejected from whole-stage codegen by `ArrayTransform`
+    * (a `CodegenFallback`); this one keeps the projection `*(n)`-codegen'd.
+    * Output identical to `winnowFingerprints` (Round2Spec checks it
+    * differentially, including multi-byte text). */
+  def winnowFingerprintsFused(text: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WinnowFingerprint(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k, w))
 }

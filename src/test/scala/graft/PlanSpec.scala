@@ -63,6 +63,21 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.OpCaches.unpersistAll()
   }
 
+  test("q23: winnow fingerprint projection stays whole-stage codegen'd") {
+    val p = plan("q23_fingerprint")
+    // the fingerprint expression must NOT be CodegenFallback: one fallback
+    // ejects the whole collapsed projection from whole-stage codegen — the
+    // r2 q23 regression (3.15 s → 6.86 s, md5 pass interpreted). The plan
+    // line carrying winnow_fingerprint must be inside a *(n)-marked stage.
+    val winnowLines = p.linesIterator.filter(_.contains("winnow_fingerprint")).toSeq
+    assert(winnowLines.nonEmpty, p)
+    assert(winnowLines.forall(l => l.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\).*") ||
+      !l.trim.replaceAll("^[+:\\-\\s]*", "").startsWith("Project")),
+      s"winnow_fingerprint projection not codegen'd:\n$p")
+    assert(p.contains("*(1) Project"), p)
+    assert(!p.contains("Exchange"), "doc-level map must not shuffle")
+  }
+
   test("q12: text stats stay inside whole-stage codegen with a bare scan") {
     val p = plan("q12_text_stats")
     // "*(n)" prefixes mark whole-stage-codegen stages in the plan string

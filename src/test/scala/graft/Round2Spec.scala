@@ -221,6 +221,29 @@ class WinnowMinimaSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(viaDeque === viaHof)
   }
+
+  test("fused winnow_fingerprint equals the HOF winnowFingerprints, incl. multi-byte text") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    // mix ASCII, 2-byte (é), 3-byte (中), and 4-byte (emoji) code points so
+    // the fused kernel's byte-offset walk is exercised against Spark's own
+    // code-point substr inside the HOF form
+    val alphabet = "abcdefgh éüß中文日本語😀🚀"
+    val docs = (0 until 300).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong, Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ (300L -> null.asInstanceOf[String])
+    val df = docs.toDF("id", "t")
+    val (k, w) = (4, 3)
+    val viaHof = df.select(col("id"),
+        coalesce(graft.ops.TextAnalysis.winnowFingerprints(col("t"), k, w),
+          array().cast("array<string>")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaFused = df.select(col("id"),
+        graft.ops.TextAnalysis.winnowFingerprintsFused(col("t"), k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaFused === viaHof)
+  }
 }
 
 class SimhashMd5Spec extends AnyFunSuite {
