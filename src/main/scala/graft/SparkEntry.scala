@@ -463,6 +463,26 @@ object SparkEntry {
           col("event_type"),
           col("event_type") === "click",
           col("event_type") === "click").as("prev_node"))
+    },
+
+    // ---- 2.7 next-node forward/last_match (8/8 combo coverage) ----------
+    "q39_next_node_fwd_last" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_next_node("forward", "last_match", col("ts"),
+          col("event_type"),
+          col("event_type") === "click",
+          col("event_type") === "click").as("next_node"))
+    },
+
+    // ---- 2.7 next-node backward/first_match -----------------------------
+    "q40_next_node_bwd_first" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_next_node("backward", "first_match", col("ts"),
+          col("event_type"),
+          col("event_type") === "click",
+          col("event_type") === "click").as("prev_node"))
     }
   )
 
@@ -870,6 +890,33 @@ object SparkEntry {
         |           FROM events),
         |m AS (SELECT user_id, prv,
         |        row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |      FROM o WHERE event_type = 'click' AND prv IS NOT NULL)
+        |SELECT u.user_id, m.prv AS prev_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN m ON u.user_id = m.user_id AND m.rn = 1""".stripMargin,
+
+    // forward/last_match: the LAST click (ascending ts) that has a
+    // successor — the walk keeps overwriting the answer as it scans bases
+    // in direction order, so the final non-null successor wins.
+    "q39_next_node_fwd_last" ->
+      """WITH o AS (SELECT user_id, ts, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        |           FROM events),
+        |m AS (SELECT user_id, nxt,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |      FROM o WHERE event_type = 'click' AND nxt IS NOT NULL)
+        |SELECT u.user_id, m.nxt AS next_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN m ON u.user_id = m.user_id AND m.rn = 1""".stripMargin,
+
+    // backward/first_match: the scan order follows the direction, so the
+    // FIRST success is the latest click (descending ts) with a predecessor.
+    "q40_next_node_bwd_first" ->
+      """WITH o AS (SELECT user_id, ts, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prv
+        |           FROM events),
+        |m AS (SELECT user_id, prv,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
         |      FROM o WHERE event_type = 'click' AND prv IS NOT NULL)
         |SELECT u.user_id, m.prv AS prev_node
         |FROM (SELECT DISTINCT user_id FROM events) u
