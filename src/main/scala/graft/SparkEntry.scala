@@ -465,6 +465,14 @@ object SparkEntry {
           col("event_type") === "click").as("prev_node"))
     },
 
+    // ---- LLM pipeline: SimHash Hamming pair join (the operator a user
+    // actually runs; md5 fingerprints so the band join + pigeonhole are
+    // oracle-reproducible end-to-end) -------------------------------------
+    "q41_simhash_pairs" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Dedup.simhashPairsMd5(Tables.load(s, dir, "documents"), maxDist = 3)
+    },
+
     // ---- 2.7 next-node forward/last_match (8/8 combo coverage) ----------
     "q39_next_node_fwd_last" -> { (s, dir) =>
       val ev = events(s, dir)
@@ -923,6 +931,21 @@ object SparkEntry {
         |LEFT JOIN m ON u.user_id = m.user_id AND m.rn = 1""".stripMargin,
 
     "q28_simhash" -> simhashMd5OracleSql,
+
+    // every pair within Hamming <= 3 over the md5 simhash fingerprints; the
+    // naive cross join is the oracle, the banded equi-join is under test —
+    // equality proves the 4x16-bit pigeonhole loses nothing
+    "q41_simhash_pairs" -> {
+      val ham = (1 to 16).map(j =>
+        s"bit_count(xor(strpos('0123456789abcdef', substr(a.simhash_hex, $j, 1)) - 1, " +
+          s"strpos('0123456789abcdef', substr(b.simhash_hex, $j, 1)) - 1))")
+        .mkString(" + ")
+      s"""WITH fp AS ($simhashMd5OracleSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST($ham AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE $ham <= 3""".stripMargin
+    },
 
     "q26_next_node_fwd_tail" ->
       """WITH o AS (SELECT user_id, ts,

@@ -142,11 +142,14 @@ object Dedup {
     // Memoized per (input plan, params): the pair list is the expensive
     // artifact of a dedup pipeline, and downstream passes (connected
     // components, curation) reuse it instead of re-running the join.
-    // Keyed on a 128-bit digest of the canonicalized plan string — a 32-bit
-    // hashCode would silently serve the wrong cached pairs on collision in
-    // a long-lived session.
+    // Keyed on a 128-bit digest of the canonicalized plan string PLUS the
+    // resolved input file list — the plan alone does not see files replaced
+    // at the same path mid-session, which would silently serve stale pairs.
+    // (Files OVERWRITTEN in place with identical names remain the caller's
+    // responsibility: call OpCaches.unpersistAll() after rewriting inputs.)
     val planDigest = java.security.MessageDigest.getInstance("MD5")
-      .digest(docs.queryExecution.analyzed.canonicalized.toString()
+      .digest((docs.queryExecution.analyzed.canonicalized.toString() +
+          docs.inputFiles.sorted.mkString("|"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val key = s"jaccardJoin:$planDigest:$threshold:$k:$idCol:$textCol:$maxShingleFreq"
@@ -262,14 +265,20 @@ object Dedup {
     * "keep one representative per duplicate cluster" step that follows any
     * of the similarity joins.
     *
-    * Iterative label propagation (each round: label := min(label,
-    * neighbors' labels)) until fixpoint, checked with a cheap aggregate.
-    * Rounds needed = graph diameter; dup clusters are tiny (pairs/triples),
-    * so this converges in 2-3 rounds even at corpus scale. Returns
-    * (id, component) for every id appearing in `pairs`.
+    * Iterative min-label propagation with POINTER DOUBLING: each round
+    * takes label := min(label, neighbors' labels, label-of-label). The
+    * doubling hop halves the remaining distance to the component minimum,
+    * so rounds scale with log2(diameter), not diameter — a path component
+    * of 1000 docs converges in ~10 rounds, not 1000 (dense dup clusters
+    * still finish in 2-3). Fixpoint is checked with a cheap aggregate on
+    * the same cached frame (one action per round).
+    *
+    * Throws IllegalStateException if the loop exits before fixpoint —
+    * a silently split component is a wrong answer, not a degraded one.
+    * Returns (id, component) for every id appearing in `pairs`.
     */
   def dupComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxRounds: Int = 10): DataFrame = {
+      bCol: String = "doc_b", maxRounds: Int = 20): DataFrame = {
     // both edge directions from ONE pass over the pair list (a self-union
     // would reference `pairs` from two parallel subtrees and race its lazy
     // cache, recomputing the join)
@@ -279,29 +288,45 @@ object Dedup {
           struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct())
-    var labels = materialize(
-      edges.groupBy(col("u").as("id")).agg(min(col("v")).as("c"))
-        .select(col("id"), least(col("id"), col("c")).as("c")))
+    // each round references the previous labels frame THREE times (neighbor
+    // min, pointer double, self), so carrying lineage would grow the logical
+    // plan 3^rounds — localCheckpoint truncates it to a LogicalRDD per
+    // round (the GraphFrames pattern for iterative algorithms; the frame is
+    // three long columns, and ContextCleaner frees unreferenced round
+    // blocks). On a real cluster prefer reliable checkpointing if executor
+    // loss mid-computation must be survivable.
+    var labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("c"))
+      .select(col("id"), least(col("id"), col("c")).as("c"))
+      .localCheckpoint()
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       val viaNeighbors = edges.join(labels, edges("v") === labels("id"))
         .groupBy(col("u").as("id")).agg(min(col("c")).as("nc"))
+      // pointer doubling: the label of my label (c is always itself an id
+      // in the edge set, so the lookup is total; left join guards anyway)
+      val viaDouble = labels.select(col("id").as("dbl_id"), col("c").as("dc"))
       // carry the previous label alongside the new one so the convergence
-      // check is a plain aggregate over the SAME cached frame — one Spark
-      // action per round (the count both materializes the persisted frame
-      // and answers "did anything change"), not a materialize + compare-join
-      val next = OpCaches.track(
-        labels.join(viaNeighbors, Seq("id"), "left")
-          .select(col("id"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"),
-            col("c").as("pc"))
-          .persist())
+      // check is a plain aggregate over the checkpointed frame — one job
+      // materializes the round, one cheap aggregate answers "did anything
+      // change"
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .join(viaDouble, labels("c") === viaDouble("dbl_id"), "left")
+        .select(labels("id"), least(labels("c"),
+            coalesce(col("nc"), labels("c")),
+            coalesce(col("dc"), labels("c"))).as("c"),
+          labels("c").as("pc"))
+        .localCheckpoint()
       val changed = next.agg(count(when(col("c") =!= col("pc"), lit(1))).as("n"))
         .first().getLong(0)
-      labels.unpersist()
       labels = next
       converged = changed == 0
       round += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"dupComponents did not converge within $maxRounds rounds — " +
+          s"component diameter exceeds 2^$maxRounds; raise maxRounds")
     }
     labels.select(col("id"), col("c").as("component"))
   }
@@ -361,10 +386,40 @@ object Dedup {
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (≤ 3 with the
     * 4-band split: pigeonhole guarantees one identical 16-bit band). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val sh = simhash(docs, idCol, textCol).select(col(idCol).as("id"), col("simhash"))
+      textCol: String = "text"): DataFrame =
+    simhashPairsOf(
+      simhash(docs, idCol, textCol).select(col(idCol).as("id"), col("simhash")),
+      maxDist)
+
+  /** The md5-fingerprint twin of `simhashPairs` — same band join over
+    * `simhashMd5` fingerprints, so the whole PAIR operator (not just the
+    * fingerprint function) is reproducible bit-for-bit by an ANSI-SQL
+    * oracle. Use `simhashPairs` (xxhash64) on the hot path. */
+  def simhashPairsMd5(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // hex → i64 via two 32-bit halves (a single 64-bit conv would wrap
+    // through an unsigned decimal string that overflows LongType's cast)
+    val hi = conv(substring(col("simhash_hex"), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(col("simhash_hex"), 9, 8), 16, 10).cast("long")
+    simhashPairsOf(
+      simhashMd5(docs, idCol, textCol)
+        .select(col("doc_id").as("id"),
+          shiftleft(hi, 32).bitwiseOR(lo).as("simhash")),
+      maxDist)
+  }
+
+  /** Band join over a prepared (id, simhash: long) fingerprint frame.
+    * maxDist ≤ 3 keeps the 4×16-bit pigeonhole guarantee EXACT (4 bands
+    * can absorb at most 3 differing bits with one band still identical);
+    * larger distances would need more/narrower bands, so reject them
+    * rather than silently under-recall. The `hamming <= maxDist` filter
+    * runs BEFORE pair dedup: band collisions of far pairs die in the
+    * codegen'd filter instead of shuffling into the dedup exchange. */
+  def simhashPairsOf(fp: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0,3] for the 4-band pigeonhole guarantee, got $maxDist")
     val banded = materialize( // both sides of the candidate self-join
-      sh.select(col("id"), col("simhash"),
+      fp.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits")))
@@ -375,7 +430,7 @@ object Dedup {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         popcnt(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("doc_a", "doc_b")
   }
 }

@@ -240,6 +240,27 @@ class DupComponentsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
+
+  test("pointer doubling converges a diameter-60 path in O(log d) rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-60: plain one-hop min propagation needs 60 rounds;
+    // the label-of-label hop must finish well inside the default budget
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.dupComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 61 && got.values.forall(_ == 0L), got.toString)
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("unconverged exit throws instead of silently splitting a component") {
+    import spark.implicits._
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.dupComponents(pairs, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    graft.ops.OpCaches.unpersistAll()
+  }
 }
 
 class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -78,6 +78,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "doc-level map must not shuffle")
   }
 
+  test("q41: hamming filter runs below the pair-dedup aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val lp = SparkEntry.queries("q41_simhash_pairs")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // band collisions of far pairs must die in the codegen'd filter before
+    // the dropDuplicates exchange, not shuffle into it (hamming is not a
+    // grouping key, so Catalyst cannot push this filter itself — the
+    // operator has to be written filter-first)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val dedupAggs = lp.collect {
+      case a: Aggregate if a.groupingExpressions.size == 2 => a
+    }
+    assert(dedupAggs.nonEmpty, lp.toString)
+    // written filter-first, the optimizer either keeps a Filter below the
+    // aggregate or (better) folds the predicate into the join condition —
+    // both are below the dedup exchange; a Filter ABOVE the aggregate would
+    // mean far pairs shuffled into the dedup
+    def hasHammingPred(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect {
+        case f: Filter if f.condition.toString.contains("bit_count") => f
+        case j: Join if j.condition.exists(_.toString.contains("bit_count")) => j
+      }.nonEmpty
+    assert(dedupAggs.exists(a => hasHammingPred(a.child)),
+      s"hamming predicate not below the dedup aggregate:\n$lp")
+    graft.ops.OpCaches.unpersistAll()
+  }
+
   test("q12: text stats stay inside whole-stage codegen with a bare scan") {
     val p = plan("q12_text_stats")
     // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
