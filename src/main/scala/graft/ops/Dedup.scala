@@ -185,14 +185,22 @@ object Dedup {
     // inverted index, so frequent "stop shingles" never explode the join.
     // Candidates are then verified with the exact intersection, so the
     // result is EXACT — identical to the naive all-pairs join.
+    //
+    // The per-doc ranking runs as a HASH aggregate (collect + in-memory
+    // sort of each doc's ~n_sh postings + slice), not a row_number window:
+    // a window would sort every posting within each shuffle partition
+    // (sort-based, spillable at scale) to rank lists that individually fit
+    // in a cache line. Same one shuffle by id, no partition-wide sort.
     val df_ = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = inv.join(df_, "shingle")
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
     val prefix = ranked
-      .withColumn("rk", row_number().over(wOrd))
-      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("id"), col("n_sh"), col("shingle"))
+      .groupBy(col("id"))
+      .agg(first(col("n_sh")).as("n_sh"),
+        sort_array(collect_list(struct(col("df"), col("shingle")))).as("ps"))
+      .select(col("id"), col("n_sh"),
+        explode(slice(col("ps"), lit(1),
+          (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))).as("p"))
+      .select(col("id"), col("n_sh"), col("p.shingle").as("shingle"))
     val prefixM = materialize(prefix)
     // length filter: J(a,b) >= t forces t·|a| <= |b| <= |a|/t — a necessary
     // condition, so pruning by it keeps the join exact while dropping
@@ -304,19 +312,28 @@ object Dedup {
       val viaNeighbors = edges.join(labels, edges("v") === labels("id"))
         .groupBy(col("u").as("id")).agg(min(col("c")).as("nc"))
       // pointer doubling: the label of my label (c is always itself an id
-      // in the edge set, so the lookup is total; left join guards anyway)
-      val viaDouble = labels.select(col("id").as("dbl_id"), col("c").as("dc"))
+      // in the edge set, so the lookup is total; left join guards anyway).
+      // Only from round 3 — dup clusters are usually dense pairs/triples
+      // that one-hop propagation finishes in 2 rounds, so the doubling
+      // join would be a pure extra shuffle there; a component still alive
+      // at round 3 is chain-shaped, and doubling keeps its total O(log d).
+      val oneHop = labels.join(viaNeighbors, Seq("id"), "left")
       // carry the previous label alongside the new one so the convergence
       // check is a plain aggregate over the checkpointed frame — one job
       // materializes the round, one cheap aggregate answers "did anything
       // change"
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .join(viaDouble, labels("c") === viaDouble("dbl_id"), "left")
-        .select(labels("id"), least(labels("c"),
-            coalesce(col("nc"), labels("c")),
-            coalesce(col("dc"), labels("c"))).as("c"),
+      val next = (if (round < 2) {
+        oneHop.select(labels("id"),
+          least(labels("c"), coalesce(col("nc"), labels("c"))).as("c"),
           labels("c").as("pc"))
-        .localCheckpoint()
+      } else {
+        val viaDouble = labels.select(col("id").as("dbl_id"), col("c").as("dc"))
+        oneHop.join(viaDouble, labels("c") === viaDouble("dbl_id"), "left")
+          .select(labels("id"), least(labels("c"),
+              coalesce(col("nc"), labels("c")),
+              coalesce(col("dc"), labels("c"))).as("c"),
+            labels("c").as("pc"))
+      }).localCheckpoint()
       val changed = next.agg(count(when(col("c") =!= col("pc"), lit(1))).as("n"))
         .first().getLong(0)
       labels = next
