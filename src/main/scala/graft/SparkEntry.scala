@@ -473,6 +473,24 @@ object SparkEntry {
       ops.Dedup.simhashPairsMd5(Tables.load(s, dir, "documents"), maxDist = 3)
     },
 
+    // ---- registered SQL surface, exercised as SQL TEXT ------------------
+    // the other behavioral queries go through the Column API; this one
+    // pins the spark.sql(...) string path end-to-end — FunctionRegistry
+    // name resolution, INTERVAL literal coercion, varargs — the layer the
+    // reference's own LESSONS.md calls out as breakable while every unit
+    // test stays green
+    "q42_sql_surface" -> { (s, dir) =>
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT user_id,
+              |  window_funnel(INTERVAL '1' HOUR, ts,
+              |    event_type = 'view', event_type = 'click',
+              |    event_type = 'purchase') AS steps,
+              |  sequence_match('(?1).*(?2)', ts,
+              |    event_type = 'view', event_type = 'purchase') AS matched,
+              |  sequence_count('(?1)', ts, event_type = 'purchase') AS n
+              |FROM events_v GROUP BY user_id""".stripMargin)
+    },
+
     // ---- 2.7 next-node forward/last_match (8/8 combo coverage) ----------
     "q39_next_node_fwd_last" -> { (s, dir) =>
       val ev = events(s, dir)
@@ -902,6 +920,41 @@ object SparkEntry {
         |SELECT u.user_id, m.prv AS prev_node
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN m ON u.user_id = m.user_id AND m.rn = 1""".stripMargin,
+
+    // the funnel cascade is q03's, the wildcard match q04's, the count
+    // q06's — one combined result so the SQL-text path hash-checks against
+    // the same semantics the Column API queries pin individually
+    "q42_sql_surface" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |c2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type = 'click'
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(x.t) AS t3
+        |       FROM c2 LEFT JOIN e x
+        |         ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+        |        AND c2.t2 IS NOT NULL AND x.t > c2.t2 AND x.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM c3 GROUP BY user_id),
+        |sm AS (SELECT user_id,
+        |         (min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) IS NOT NULL
+        |          AND max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) IS NOT NULL
+        |          AND min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |            < max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS matched
+        |       FROM events GROUP BY user_id),
+        |sc AS (SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n
+        |       FROM events GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps,
+        |  sm.matched, sc.n
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id
+        |LEFT JOIN sm ON u.user_id = sm.user_id
+        |LEFT JOIN sc ON u.user_id = sc.user_id""".stripMargin,
 
     // forward/last_match: the LAST click (ascending ts) that has a
     // successor — the walk keeps overwriting the answer as it scans bases
