@@ -429,9 +429,14 @@ object Dedup {
     * maxDist ≤ 3 keeps the 4×16-bit pigeonhole guarantee EXACT (4 bands
     * can absorb at most 3 differing bits with one band still identical);
     * larger distances would need more/narrower bands, so reject them
-    * rather than silently under-recall. The `hamming <= maxDist` filter
-    * runs BEFORE pair dedup: band collisions of far pairs die in the
-    * codegen'd filter instead of shuffling into the dedup exchange. */
+    * rather than silently under-recall.
+    *
+    * A pair sharing k bands would surface k times from the band equi-join;
+    * instead of paying a dropDuplicates shuffle on the pair list, each
+    * pair is emitted exactly once — from its FIRST shared band — via a
+    * codegen'd join-side predicate over the full fingerprints both sides
+    * already carry (all lower bands must differ). The hamming cut also
+    * runs join-side, so far pairs never leave the join. */
   def simhashPairsOf(fp: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist must be in [0,3] for the 4-band pigeonhole guarantee, got $maxDist")
@@ -441,13 +446,18 @@ object Dedup {
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits")))
     val popcnt = (x: Column) => bit_count(x)
+    def bandBits(side: String, b: Int): Column =
+      shiftrightunsigned(col(s"$side.simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+    val firstSharedBand = (0 until 4).map { b =>
+      (0 until b).map(k => bandBits("x", k) =!= bandBits("y", k))
+        .foldLeft(col("x.band") === b)(_ && _)
+    }.reduce(_ || _)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_bits") === col("y.band_bits") &&
-        col("x.id") < col("y.id"))
+        col("x.id") < col("y.id") && firstSharedBand)
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         popcnt(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .dropDuplicates("doc_a", "doc_b")
   }
 }

@@ -78,30 +78,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "doc-level map must not shuffle")
   }
 
-  test("q41: hamming filter runs below the pair-dedup aggregate") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+  test("q41: pair list is emitted join-side — no dedup aggregate, hamming in the join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
     val lp = SparkEntry.queries("q41_simhash_pairs")(spark, sfDir)
       .queryExecution.optimizedPlan
-    // band collisions of far pairs must die in the codegen'd filter before
-    // the dropDuplicates exchange, not shuffle into it (hamming is not a
-    // grouping key, so Catalyst cannot push this filter itself — the
-    // operator has to be written filter-first)
-    import org.apache.spark.sql.catalyst.plans.logical.Join
-    val dedupAggs = lp.collect {
+    // the first-shared-band predicate makes each pair surface exactly once,
+    // so there must be NO pair-dedup aggregate (a dropDuplicates here would
+    // mean an extra shuffle of the full candidate list at scale)...
+    val pairDedupAggs = lp.collect {
       case a: Aggregate if a.groupingExpressions.size == 2 => a
     }
-    assert(dedupAggs.nonEmpty, lp.toString)
-    // written filter-first, the optimizer either keeps a Filter below the
-    // aggregate or (better) folds the predicate into the join condition —
-    // both are below the dedup exchange; a Filter ABOVE the aggregate would
-    // mean far pairs shuffled into the dedup
-    def hasHammingPred(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-      p.collect {
-        case f: Filter if f.condition.toString.contains("bit_count") => f
-        case j: Join if j.condition.exists(_.toString.contains("bit_count")) => j
-      }.nonEmpty
-    assert(dedupAggs.exists(a => hasHammingPred(a.child)),
-      s"hamming predicate not below the dedup aggregate:\n$lp")
+    assert(pairDedupAggs.isEmpty, s"unexpected pair-dedup aggregate:\n$lp")
+    // ...and far pairs must die inside the join (hamming folded into the
+    // join condition or a filter directly above it), never shuffled onward
+    val hammingInJoin = lp.collect {
+      case f: Filter if f.condition.toString.contains("bit_count") => f
+      case j: Join if j.condition.exists(_.toString.contains("bit_count")) => j
+    }
+    assert(hammingInJoin.nonEmpty, s"hamming predicate missing from the join:\n$lp")
     graft.ops.OpCaches.unpersistAll()
   }
 
