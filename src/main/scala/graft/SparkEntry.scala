@@ -473,6 +473,20 @@ object SparkEntry {
       ops.Dedup.simhashPairsMd5(Tables.load(s, dir, "documents"), maxDist = 3)
     },
 
+    // ---- LLM pipeline: leakage-safe train/test split --------------------
+    // the split unit is the near-dup CLUSTER, not the document — a random
+    // per-doc split leaks near-duplicate pairs across train/test
+    "q43_leakage_split" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Pipeline.leakageSafeSplit(Tables.load(s, dir, "documents"))
+    },
+
+    // ---- LLM pipeline: per-language token-budget sampling ---------------
+    "q44_token_budget" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Pipeline.sampleByTokenBudget(Tables.load(s, dir, "documents"), 2000L)
+    },
+
     // ---- registered SQL surface, exercised as SQL TEXT ------------------
     // the other behavioral queries go through the Column API; this one
     // pins the spark.sql(...) string path end-to-end — FunctionRegistry
@@ -920,6 +934,70 @@ object SparkEntry {
         |SELECT u.user_id, m.prv AS prev_node
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN m ON u.user_id = m.user_id AND m.rn = 1""".stripMargin,
+
+    // same recursive-CTE components as q30; the split bucket is the first
+    // byte of md5 of the cluster representative (singletons: the doc id)
+    "q43_leakage_split" -> {
+      def bucket(e: String) =
+        s"((strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 1, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 2, 1)) - 1))"
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        list_distinct(list_transform(range(1, len(toks) - 1),
+         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |      FROM t WHERE len(toks) >= 3),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+         |),
+         |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+         |g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN ${bucket("group_id")} < 26 THEN 'test' ELSE 'train' END AS split
+         |FROM g""".stripMargin
+    },
+
+    // q22's quality + q21's langid feeding a per-language running token sum
+    "q44_token_budget" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+        |             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+        |             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |               / length(text) AS punct_ratio
+        |           FROM documents),
+        |c AS (SELECT doc_id, text, n_tok, punct_ratio,
+        |        CAST(len(list_intersect(ltoks, ['the','a','of','and','to','in','is'])) AS DOUBLE)
+        |          / len(ltoks) AS stop_ratio,
+        |        len(list_intersect(ltoks, ['the','a','of','and','to','in','is'])) AS c_en,
+        |        len(list_intersect(ltoks, ['el','la','de','que','y','en','los'])) AS c_es,
+        |        len(list_intersect(ltoks, ['der','die','das','und','ist','von','mit'])) AS c_de,
+        |        len(list_intersect(ltoks, ['le','les','et','des','une','est','dans'])) AS c_fr
+        |      FROM t),
+        |q AS (SELECT doc_id,
+        |        CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+        |             WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+        |             WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+        |             WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+        |             WHEN c_fr > 0 THEN 'fr'
+        |             ELSE 'und' END AS lang_guess,
+        |        round(least(1.0, n_tok / 50.0) * 0.5
+        |          + (1.0 - least(1.0, punct_ratio * 10.0)) * 0.3
+        |          + least(1.0, stop_ratio * 5.0) * 0.2, 6) AS quality,
+        |        CAST(n_tok AS BIGINT) AS n_tokens
+        |      FROM c),
+        |w AS (SELECT doc_id, lang_guess, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY lang_guess
+        |          ORDER BY quality DESC, doc_id) AS cum_tokens
+        |      FROM q)
+        |SELECT doc_id, lang_guess, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM w WHERE cum_tokens - n_tokens < 2000""".stripMargin,
 
     // the funnel cascade is q03's, the wildcard match q04's, the count
     // q06's — one combined result so the SQL-text path hash-checks against

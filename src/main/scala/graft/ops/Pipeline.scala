@@ -42,4 +42,63 @@ object Pipeline {
         size(TextAnalysis.tokensWs(col(textCol))).cast("long").as("n_tokens"))
       .filter(col("quality") >= minQuality)
   }
+
+  /** Leakage-safe train/test split: a random per-DOCUMENT split leaks — a
+    * near-duplicate pair straddling train and test inflates eval scores.
+    * Here the split unit is the near-dup CLUSTER: every document is
+    * assigned the bucket of its duplicate-cluster representative
+    * (`dupComponents` min-id; singletons represent themselves), so a
+    * cluster lands wholly in train or wholly in test by construction.
+    *
+    * The bucket is the first byte of md5 of the representative id
+    * (deterministic, engine-reproducible — no RNG, no seed state):
+    * bucket < testBuckets (out of 256) → "test", else "train".
+    * Output: (doc_id, group_id, split) for every input document.
+    *
+    * Scale shape: the expensive artifact is the pair list (memoized
+    * sketch-keyed join, see Dedup.jaccardJoin); components cover only
+    * docs that appear in a pair, so the join back to the corpus
+    * broadcasts a small frame. */
+  def leakageSafeSplit(docs: DataFrame, dupThreshold: Double = 0.5,
+      testBuckets: Int = 26, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(testBuckets >= 0 && testBuckets <= 256,
+      s"testBuckets must be in [0,256], got $testBuckets")
+    val pairs = Dedup.jaccardJoin(docs, dupThreshold, idCol = idCol, textCol = textCol)
+    val comps = Dedup.dupComponents(pairs)
+    val bucket = conv(substring(md5(col("group_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    docs.select(col(idCol))
+      .join(broadcast(comps), docs(idCol) === comps("id"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("group_id"))
+      .select(col(idCol), col("group_id"),
+        when(bucket < testBuckets, "test").otherwise("train").as("split"))
+  }
+
+  /** Deterministic per-language token-budget sampling: rank each
+    * language's documents by quality (doc_id tie-break), and keep docs
+    * while the language's cumulative token count stays within `budget` —
+    * the data-mixing step that caps each language/domain at a token
+    * quota with the best documents first. A doc that crosses the budget
+    * boundary is kept (budgets are quotas, not hard truncation).
+    *
+    * Output: (doc_id, lang_guess, n_tokens, cum_tokens). One shuffle by
+    * language; the running sum is a window over the language partition —
+    * low-cardinality partitions with millions of rows each are the
+    * documented skew case for window functions, so at corpus scale
+    * pre-aggregate per (lang, quality-bucket) if a single language
+    * dominates. */
+  def sampleByTokenBudget(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_guess"))
+      .orderBy(col("quality").desc, col(idCol))
+    docs.select(col(idCol),
+        TextAnalysis.langId(col(textCol)).as("lang_guess"),
+        round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"),
+        size(TextAnalysis.tokensWs(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col(idCol), col("lang_guess"), col("n_tokens"), col("cum_tokens"))
+  }
 }

