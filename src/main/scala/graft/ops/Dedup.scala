@@ -284,9 +284,19 @@ object Dedup {
     * Throws IllegalStateException if the loop exits before fixpoint —
     * a silently split component is a wrong answer, not a degraded one.
     * Returns (id, component) for every id appearing in `pairs`.
+    *
+    * Graphs with at most `driverThreshold` (directed) edges solve with a
+    * DRIVER-SIDE union-find instead: the pair list of a selective
+    * similarity join is usually tiny relative to the corpus, and the
+    * distributed loop's fixed cost (3+ jobs of shuffles) dwarfs a
+    * microsecond union-find over bounded driver state — the same class of
+    * exception as collecting k-means centroids. Pass 0 to force the
+    * distributed path. The union-find path needs long ids; other id types
+    * always take the distributed path.
     */
   def dupComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxRounds: Int = 20): DataFrame = {
+      bCol: String = "doc_b", maxRounds: Int = 20,
+      driverThreshold: Long = 2000000): DataFrame = {
     // both edge directions from ONE pass over the pair list (a self-union
     // would reference `pairs` from two parallel subtrees and race its lazy
     // cache, recomputing the join)
@@ -296,6 +306,11 @@ object Dedup {
           struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct())
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= driverThreshold) {
+      return driverUnionFind(edges)
+    }
     // each round references the previous labels frame THREE times (neighbor
     // min, pointer double, self), so carrying lineage would grow the logical
     // plan 3^rounds — localCheckpoint truncates it to a LogicalRDD per
@@ -346,6 +361,35 @@ object Dedup {
           s"component diameter exceeds 2^$maxRounds; raise maxRounds")
     }
     labels.select(col("id"), col("c").as("component"))
+  }
+
+  /** Exact union-find (path halving + union by min label) over a collected
+    * edge list — the small-graph fast path of `dupComponents`. */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      parent.putIfAbsent(x, x)
+      while (parent.get(x) != x) {
+        val gp = parent.get(parent.get(x))
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        // union by MIN root so the final label is the component minimum
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val rows = ids.toSeq.map(id => (id, find(id)))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    rows.toDF("id", "component")
   }
 
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over

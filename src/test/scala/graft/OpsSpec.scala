@@ -245,8 +245,9 @@ class DupComponentsSpec extends org.scalatest.funsuite.AnyFunSuite {
     import spark.implicits._
     // path 0-1-2-...-60: plain one-hop min propagation needs 60 rounds;
     // the label-of-label hop must finish well inside the default budget
+    // (driverThreshold = 0 forces the distributed loop under test)
     val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = graft.ops.Dedup.dupComponents(pairs)
+    val got = graft.ops.Dedup.dupComponents(pairs, driverThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 61 && got.values.forall(_ == 0L), got.toString)
     graft.ops.OpCaches.unpersistAll()
@@ -256,10 +257,30 @@ class DupComponentsSpec extends org.scalatest.funsuite.AnyFunSuite {
     import spark.implicits._
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      graft.ops.Dedup.dupComponents(pairs, maxRounds = 2)
+      graft.ops.Dedup.dupComponents(pairs, maxRounds = 2, driverThreshold = 0)
     }
     assert(e.getMessage.contains("did not converge"))
     graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("driver union-find and distributed propagation agree on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // random sparse graph over ~200 ids: mixes singleton pairs, chains,
+      // and dense blobs as edge density varies
+      val pairs = (0 until 150).map { _ =>
+        val a = rnd.nextInt(200).toLong
+        val b = rnd.nextInt(200).toLong
+        (math.min(a, b), math.max(a, b) + 1) // +1 avoids self-loops
+      }.toDF("doc_a", "doc_b")
+      val viaDriver = graft.ops.Dedup.dupComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaCluster = graft.ops.Dedup.dupComponents(pairs, driverThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver === viaCluster, s"seed=$seed")
+      graft.ops.OpCaches.unpersistAll()
+    }
   }
 }
 
