@@ -129,3 +129,56 @@ class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.count(_.getInt(1) == 1) === 100000)
   }
 }
+
+/** Tests written to kill the survivors of tools/mutation.py's first run
+  * (MUTATION.md): each pins a boundary the rest of the net missed.
+  */
+class MutationKillSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("EX1: non-overlapping NFA count resumes AFTER the match end, not at it") {
+    // e1 matches only (?1); e2 matches BOTH conditions; e3 matches only
+    // (?2). Correct resume (end+1) lands on e3, which cannot start a new
+    // match -> count 1. A resume AT the match end would re-use e2 as a new
+    // (?1) and pair it with e3 -> count 2. (?t>=0) forces the NFA path.
+    val got = spark.sql(
+      """SELECT sequence_count('(?1)(?t>=0)(?2)', ts, c1, c2) FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', true,  false),
+        |  (TIMESTAMP '2024-01-01 00:00:10', true,  true),
+        |  (TIMESTAMP '2024-01-01 00:00:20', false, true)
+        |AS t(ts, c1, c2)""".stripMargin).collect()(0).getLong(0)
+    assert(got === 1L)
+  }
+
+  test("PA3: (?t<=N) is inclusive at exactly N seconds") {
+    val got = spark.sql(
+      """SELECT sequence_match('(?1)(?t<=600)(?2)', ts, c1, c2) FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', true,  false),
+        |  (TIMESTAMP '2024-01-01 00:10:00', false, true)
+        |AS t(ts, c1, c2)""".stripMargin).collect()(0).getBoolean(0)
+    assert(got === true, "elapsed == threshold must satisfy <=")
+  }
+
+  test("FU1: funnel window is inclusive at exactly entry + window") {
+    // second step lands exactly one hour after the entry: reference breaks
+    // only on STRICTLY greater than the window, so step 2 is reached
+    val got = spark.sql(
+      """SELECT window_funnel(INTERVAL '1' HOUR, ts, c1, c2) FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', true,  false),
+        |  (TIMESTAMP '2024-01-01 01:00:00', false, true)
+        |AS t(ts, c1, c2)""".stripMargin).collect()(0).getInt(0)
+    assert(got === 2)
+  }
+
+  test("FU2: strict mode advances when the re-fired condition also matches the next step") {
+    // e1 matches cond1 (entry); e2 matches cond1 AGAIN and cond2. Plain
+    // strict would break on the re-fire, but the reference's exception
+    // advances when the same event also satisfies the next condition.
+    val got = spark.sql(
+      """SELECT window_funnel(INTERVAL '1' HOUR, 'strict', ts, c1, c2) FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', true, false),
+        |  (TIMESTAMP '2024-01-01 00:10:00', true, true)
+        |AS t(ts, c1, c2)""".stripMargin).collect()(0).getInt(0)
+    assert(got === 2)
+  }
+}

@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Hand-rolled mutation run over the behavioral state machines.
+
+Offline substitute for Stryker4s (no dependency resolution in this
+environment): applies one semantic mutant at a time to pattern/ +
+FunnelScan, runs the focused behavioral suites, and records whether the
+net kills it. Mutants are classic mutation-operator instances (boundary
+flips, off-by-ones, guard deletions, arithmetic/op swaps, order swaps)
+chosen at the semantics-bearing sites the reference's own mutation run
+targets (reference README reports 88.4% kill rate).
+
+Usage: python3 tools/mutation.py   (from the repo root; restores files)
+Writes MUTATION.md with the per-mutant verdicts.
+"""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+EXEC = "src/main/scala/graft/behavioral/pattern/Executor.scala"
+PAT = "src/main/scala/graft/behavioral/pattern/Pattern.scala"
+FUNNEL = "src/main/scala/graft/behavioral/WindowFunnelAgg.scala"
+
+SUITES = [
+    "graft.PatternParserSpec", "graft.PatternExecutorSpec",
+    "graft.ZeroWidthPatternSpec", "graft.PropertySpec",
+    "graft.SequenceGoldenSpec", "graft.WindowFunnelGoldenSpec",
+    "graft.FunnelModeDifferentialSpec", "graft.BoundarySpec",
+    "graft.ReferenceSurfaceSpec", "graft.GitMiningSpec",
+    "graft.MutationKillSpec",  # written to kill the first run's survivors
+]
+
+# (id, file, description, old, new) — `old` must be unique in `file`.
+MUTANTS = [
+    ("EX1", EXEC, "non-overlap resume end+1 -> end",
+     "searchStart = math.max(matchEnd + 1, searchStart + 1)",
+     "searchStart = math.max(matchEnd, searchStart + 1)"),
+    ("EX2", EXEC, "adjacent scan boundary <= -> <",
+     "while (i + k <= buf.n) {",
+     "while (i + k < buf.n) {"),
+    ("EX3", EXEC, "wildcard completion >= -> >",
+     "if (step >= k) {",
+     "if (step > k) {"),
+    ("EX4", EXEC, "drop idx<32 bitmask guard (shift wraps)",
+     "idx < 32 && ((buf.conds(i) >>> idx) & 1) != 0",
+     "idx < 33 && ((buf.conds(i) >>> idx) & 1) != 0"),
+    ("EX5", EXEC, "time elapsed / -> * (unit explosion)",
+     "val elapsedSeconds = (buf.ts(eIdx) - lts) / MicrosPerSecond",
+     "val elapsedSeconds = (buf.ts(eIdx) - lts) * MicrosPerSecond"),
+    ("EX6", EXEC, "lazy .* -> greedy (push order swap)",
+     """            // consume-one (stays in step) pushed first = lower priority
+            stack.push(eIdx + 1, sIdx, lts, hl)
+            // zero-width advance pushed last = popped first (lazy `.*`)
+            stack.push(eIdx, sIdx + 1, lts, hl)""",
+     """            stack.push(eIdx, sIdx + 1, lts, hl)
+            stack.push(eIdx + 1, sIdx, lts, hl)"""),
+    ("PA1", PAT, "(?N) index off-by-one (drop the -1)",
+     "steps += PCond(num.toInt - 1)",
+     "steps += PCond(num.toInt)"),
+    ("PA2", PAT, "parse >= as >",
+     "case ('>', '=') => pos += 2; TimeOp.Gte",
+     "case ('>', '=') => pos += 2; TimeOp.Gt"),
+    ("PA3", PAT, "Lte boundary <= -> <",
+     "case object Lte extends TimeOp { def eval(e: Long, t: Long): Boolean = e <= t }",
+     "case object Lte extends TimeOp { def eval(e: Long, t: Long): Boolean = e < t }"),
+    ("FU1", FUNNEL, "window break > -> >= (boundary)",
+     "if (evTs - entryTs > windowMicros) return currentStep",
+     "if (evTs - entryTs >= windowMicros) return currentStep"),
+    ("FU2", FUNNEL, "strict: drop same-event-advance exception",
+     "condAt(buf, j, currentStep - 1) && !condAt(buf, j, currentStep)) {",
+     "condAt(buf, j, currentStep - 1)) {"),
+    ("FU3", FUNNEL, "strict_increase <= -> < (same-ts advances)",
+     "condAt(buf, j, currentStep) && evTs <= prevMatchedTs) {",
+     "condAt(buf, j, currentStep) && evTs < prevMatchedTs) {"),
+    ("FU4", FUNNEL, "default multi-advance -> single advance",
+     """        var advancing = true
+        while (advancing && condAt(buf, j, currentStep)) {""",
+     """        var advancing = true
+        if (advancing && condAt(buf, j, currentStep)) {"""),
+    ("FU5", FUNNEL, "entry condition bit test != 0 -> == 0",
+     "if ((buf.conds(i) & 1) != 0) { // entry condition",
+     "if ((buf.conds(i) & 1) == 0) { // entry condition"),
+]
+
+
+def run(cmd, timeout=900):
+    return subprocess.run(cmd, shell=True, capture_output=True, text=True,
+                          timeout=timeout)
+
+
+def main():
+    root = Path(".")
+    results = []
+    for mid, fname, desc, old, new in MUTANTS:
+        path = root / fname
+        src = path.read_text()
+        if src.count(old) != 1:
+            print(f"[{mid}] SKIP: pattern not unique ({src.count(old)} hits)")
+            results.append((mid, fname, desc, "invalid"))
+            continue
+        path.write_text(src.replace(old, new))
+        try:
+            r = run(f"sbt -batch 'testOnly {' '.join(SUITES)}'")
+            out = r.stdout + r.stderr
+            if "compilation failed" in out.lower() or "[error] (Compile" in out:
+                verdict = "stillborn"  # does not compile: excluded from rate
+            elif r.returncode != 0:
+                verdict = "killed"
+            else:
+                verdict = "SURVIVED"
+        finally:
+            run(f"git checkout -- {fname}")
+        print(f"[{mid}] {verdict}: {desc}")
+        results.append((mid, fname, desc, verdict))
+
+    valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
+    killed = [x for x in valid if x[3] == "killed"]
+    rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    lines = [
+        "# MUTATION — hand-rolled mutation run over the behavioral core",
+        "",
+        "Stryker4s cannot resolve in this offline environment, so this is a",
+        "manual mutation run: `tools/mutation.py` applies each mutant below,",
+        "runs the focused behavioral suites (pattern parser/executor, golden,",
+        "property, differential, boundary, reference-surface), and restores.",
+        "A mutant SURVIVING means no test distinguishes it — a coverage gap.",
+        "",
+        f"**Kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+        "(reference reports 88.4% with cargo-mutants on its Rust core)",
+        "",
+        "| id | file | mutant | verdict |",
+        "|---|---|---|---|",
+    ]
+    for mid, fname, desc, verdict in results:
+        lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+    lines.append("")
+    Path("MUTATION.md").write_text("\n".join(lines))
+    print(f"\nkill rate {rate:.1f}% -> MUTATION.md")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
