@@ -487,6 +487,20 @@ object SparkEntry {
       ops.Pipeline.sampleByTokenBudget(Tables.load(s, dir, "documents"), 2000L)
     },
 
+    // ---- LLM pipeline: deterministic hash sampling ----------------------
+    "q45_sample_det" -> { (s, dir) =>
+      prep(s, dir)
+      // keepBuckets 16384/65536 = a reproducible 25% sample
+      ops.Pipeline.sampleDeterministic(Tables.load(s, dir, "documents"), 16384)
+        .select(col("doc_id"))
+    },
+
+    // ---- LLM pipeline: corpus n-gram vocabulary -------------------------
+    "q46_ngram_freq" -> { (s, dir) =>
+      prep(s, dir)
+      ops.TextAnalysis.ngramFreq(Tables.load(s, dir, "documents"), n = 2, topK = 50)
+    },
+
     // ---- registered SQL surface, exercised as SQL TEXT ------------------
     // the other behavioral queries go through the Column API; this one
     // pins the spark.sql(...) string path end-to-end — FunctionRegistry
@@ -998,6 +1012,23 @@ object SparkEntry {
         |      FROM q)
         |SELECT doc_id, lang_guess, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM w WHERE cum_tokens - n_tokens < 2000""".stripMargin,
+
+    // first 16 bits of md5(doc_id) under 16384 — the same arithmetic the
+    // Spark side's conv(substr(md5,1,4),16,10) computes
+    "q45_sample_det" -> {
+      def nib(j: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $j, 1)) - 1)"
+      s"""SELECT doc_id FROM documents
+         |WHERE ${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} < 16384""".stripMargin
+    },
+
+    "q46_ngram_freq" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |               i -> toks[i] || ' ' || toks[i+1])) AS ngram
+        |      FROM t WHERE len(toks) >= 2)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+        |FROM g GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 50""".stripMargin,
 
     // the funnel cascade is q03's, the wildcard match q04's, the count
     // q06's — one combined result so the SQL-text path hash-checks against

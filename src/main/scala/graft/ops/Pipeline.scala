@@ -75,6 +75,20 @@ object Pipeline {
         when(bucket < testBuckets, "test").otherwise("train").as("split"))
   }
 
+  /** Deterministic hash sampling: keep a document iff the first two bytes
+    * of md5 of its id fall under `keepBuckets` (out of 65536). No RNG, no
+    * seed state, no `sample()` nondeterminism — the same subset comes back
+    * on every run, engine, and partitioning, which is what a reproducible
+    * pipeline (and its oracle) needs. Rate = keepBuckets / 65536. */
+  def sampleDeterministic(docs: DataFrame, keepBuckets: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(keepBuckets >= 0 && keepBuckets <= 65536,
+      s"keepBuckets must be in [0,65536], got $keepBuckets")
+    docs.filter(
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("int")
+        < keepBuckets)
+  }
+
   /** Deterministic per-language token-budget sampling: rank each
     * language's documents by quality (doc_id tie-break), and keep docs
     * while the language's cumulative token count stays within `budget` —

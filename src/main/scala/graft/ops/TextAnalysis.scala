@@ -76,6 +76,38 @@ object TextAnalysis {
       least(lit(1.0), stopwordRatio(text) * 5.0) * 0.2
   }
 
+  // ---- corpus vocabulary ----------------------------------------------
+
+  /** All word n-grams of a BOUND token-array column, with duplicates and
+    * in document order (unlike `Dedup.shinglesOfTokens`, which
+    * distinct-sorts for set similarity). Fewer than n tokens → empty. */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
+    val cnt = size(toks)
+    when(cnt >= n,
+      transform(sequence(lit(1), cnt - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-level word n-gram frequencies, top `topK` by (count desc,
+    * ngram asc — a total order, so the cut is deterministic). The
+    * vocabulary-building pass of a tokenizer/data-mixing pipeline.
+    *
+    * Scale shape: explode + hash-aggregate with map-side partial counts —
+    * hot n-grams pre-combine per partition before the single shuffle, so
+    * a Zipf head key never concentrates raw rows on one reducer; the
+    * driver-side cut is top-K only. */
+  def ngramFreq(docs: org.apache.spark.sql.DataFrame, n: Int, topK: Int,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toksed = docs.select(tokensWs(col(textCol)).as("toks"))
+    val grams =
+      if (n == 1) toksed.select(explode(col("toks")).as("ngram"))
+      else toksed.select(explode(ngramsOfTokens(col("toks"), n)).as("ngram"))
+    grams.groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(topK)
+  }
+
   // ---- winnowing fingerprints ------------------------------------------
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
