@@ -99,6 +99,22 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.OpCaches.unpersistAll()
   }
 
+  test("q46: vocabulary top-K plans as partial counts + TakeOrderedAndProject") {
+    val p = plan("q46_ngram_freq")
+    // a global Sort here would shuffle-sort every distinct n-gram; the
+    // scale-right plan is per-partition top-K merged on the driver, over
+    // map-side-combined counts (one exchange on the ngram key)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q45: deterministic sample is a stateless filter — no shuffle, pruned scan") {
+    val p = plan("q45_sample_det")
+    assert(!p.contains("Exchange"), "hash sampling must not shuffle:\n" + p)
+    assert(!p.contains("text#"), "sample reads columns it never uses")
+  }
+
   test("q12: text stats stay inside whole-stage codegen with a bare scan") {
     val p = plan("q12_text_stats")
     // "*(n)" prefixes mark whole-stage-codegen stages in the plan string

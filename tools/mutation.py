@@ -20,6 +20,9 @@ from pathlib import Path
 EXEC = "src/main/scala/graft/behavioral/pattern/Executor.scala"
 PAT = "src/main/scala/graft/behavioral/pattern/Pattern.scala"
 FUNNEL = "src/main/scala/graft/behavioral/WindowFunnelAgg.scala"
+SESS = "src/main/scala/graft/behavioral/SessionizeWindow.scala"
+RET = "src/main/scala/graft/behavioral/RetentionAgg.scala"
+NN = "src/main/scala/graft/behavioral/SequenceNextNodeAgg.scala"
 
 SUITES = [
     "graft.PatternParserSpec", "graft.PatternExecutorSpec",
@@ -28,6 +31,10 @@ SUITES = [
     "graft.FunnelModeDifferentialSpec", "graft.BoundarySpec",
     "graft.ReferenceSurfaceSpec", "graft.GitMiningSpec",
     "graft.MutationKillSpec",  # written to kill the first run's survivors
+    # batch-2 targets
+    "graft.SessionizeGoldenSpec", "graft.SessionBoundarySpec",
+    "graft.RetentionGoldenSpec", "graft.SequenceNextNodeGoldenSpec",
+    "graft.NextNodeDifferentialSpec",
 ]
 
 # (id, file, description, old, new) — `old` must be unique in `file`.
@@ -80,6 +87,36 @@ MUTANTS = [
     ("FU5", FUNNEL, "entry condition bit test != 0 -> == 0",
      "if ((buf.conds(i) & 1) != 0) { // entry condition",
      "if ((buf.conds(i) & 1) == 0) { // entry condition"),
+    # ---- batch 2: sessionize / retention / next-node ----
+    ("SE1", SESS, "session gap strictly-greater -> >=",
+     "If(GreaterThan(Subtract(cur, lastTs), Literal(gapMicros)),",
+     "If(GreaterThanOrEqual(Subtract(cur, lastTs), Literal(gapMicros)),"),
+    ("SE2", SESS, "NULL ts row clobbers last-ts state",
+     "val newLast = If(IsNull(ts), lastTs, cur)",
+     "val newLast = cur"),
+    ("SE3", SESS, "NULL ts row emits session id instead of NULL",
+     "If(curNull, Literal(null, LongType), sess)",
+     "sess"),
+    ("RE1", RET, "retention drops the anchor gate",
+     "out(i) = anchor && ((bits >>> i) & 1L) != 0",
+     "out(i) = ((bits >>> i) & 1L) != 0"),
+    ("RE2", RET, "update overwrites instead of ORing the mask",
+     "buf(0) |= mask | SeenBit",
+     "buf(0) = mask | SeenBit"),
+    ("RE3", RET, "anchor reads bit 1 instead of bit 0",
+     "val anchor = (bits & 1L) != 0",
+     "val anchor = (bits & 2L) != 0"),
+    ("NN1", NN, "next node reads the matched event, not its successor",
+     "val nextIdx = lastMatched + 1",
+     "val nextIdx = lastMatched"),
+    ("NN2", NN, "backward first_match scans left-to-right",
+     """      case 2 => // first_match scans right-to-left (reference :352-363)
+        var s = n - 1""",
+     """      case 2 => // first_match scans right-to-left (reference :352-363)
+        var s = 0"""),
+    ("NN3", NN, "partial chain match returns a value",
+     "if (step != numSteps) return null\n    val nextIdx",
+     "if (step > numSteps) return null\n    val nextIdx"),
 ]
 
 
