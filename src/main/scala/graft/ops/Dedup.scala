@@ -28,15 +28,27 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object Dedup {
 
+  /** Max shingles a single document may buffer inside the prefix-ranking
+    * hash aggregate; docs above this rank via a spillable window sort
+    * instead (see jaccardJoinImpl). 64k shingles ≈ a ~300 KB aggregation
+    * row — comfortably in-memory; beyond it, one mega-document must not
+    * be able to OOM an executor. */
+  private val MaxBufferedPrefixShingles = 1 << 16
+
   /** Persist + eagerly materialize: within a single action, parallel
     * (broadcast) subtrees race the lazy cache population and each recompute
     * the lineage; materializing first guarantees every branch reads the
     * cache. The frames this wraps are small sketches (ids, shingles,
     * signatures), never full documents. */
-  private def materialize(df: DataFrame): DataFrame = {
+  private def materialize(df: DataFrame): DataFrame = materializeN(df)._1
+
+  /** Same as `materialize`, returning the row count the eager action
+    * already computed — callers that branch on cardinality (e.g. the
+    * driver union-find cutoff) reuse it instead of paying a second job. */
+  private def materializeN(df: DataFrame): (DataFrame, Long) = {
     val p = OpCaches.track(df.persist())
-    p.count()
-    p
+    val n = p.count()
+    (p, n)
   }
 
   /** Word k-shingles (distinct, sorted), the unit of n-gram similarity.
@@ -191,17 +203,35 @@ object Dedup {
     // a window would sort every posting within each shuffle partition
     // (sort-based, spillable at scale) to rank lists that individually fit
     // in a cache line. Same one shuffle by id, no partition-wide sort.
+    //
+    // The hash aggregate buffers one doc's full posting list in a single
+    // aggregation row, so a pathological document (n_sh above
+    // MaxBufferedPrefixShingles) would concentrate an unbounded buffer in
+    // memory where a window sort spills. Guard: oversized docs take a
+    // sort-based row_number window over the SAME (df, shingle) order —
+    // identical prefix, spillable — and union back in. The common case
+    // (every doc under the cap) keeps the pure hash-aggregate plan; the
+    // window branch reads the reused exchange and ranks only the outliers.
     val df_ = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = inv.join(df_, "shingle")
-    val prefix = ranked
+    val prefixLen =
+      (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")
+    val prefixSmall = ranked
+      .filter(col("n_sh") <= MaxBufferedPrefixShingles)
       .groupBy(col("id"))
       .agg(first(col("n_sh")).as("n_sh"),
         sort_array(collect_list(struct(col("df"), col("shingle")))).as("ps"))
       .select(col("id"), col("n_sh"),
-        explode(slice(col("ps"), lit(1),
-          (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))).as("p"))
+        explode(slice(col("ps"), lit(1), prefixLen)).as("p"))
       .select(col("id"), col("n_sh"), col("p.shingle").as("shingle"))
-    val prefixM = materialize(prefix)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefixLarge = ranked
+      .filter(col("n_sh") > MaxBufferedPrefixShingles)
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id"), col("n_sh"), col("shingle"))
+    val prefixM = materialize(prefixSmall.unionByName(prefixLarge))
     // length filter: J(a,b) >= t forces t·|a| <= |b| <= |a|/t — a necessary
     // condition, so pruning by it keeps the join exact while dropping
     // size-mismatched candidate pairs before dedup/verification
@@ -292,15 +322,18 @@ object Dedup {
     * microsecond union-find over bounded driver state — the same class of
     * exception as collecting k-means centroids. Pass 0 to force the
     * distributed path. The union-find path needs long ids; other id types
-    * always take the distributed path.
+    * always take the distributed path. The default cutoff (100k directed
+    * edges ≈ a few MB of primitive pairs on the driver) bounds driver
+    * memory; the cardinality check reuses the count the eager
+    * materialization already ran, so choosing a path costs no extra job.
     */
   def dupComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 20,
-      driverThreshold: Long = 2000000): DataFrame = {
+      driverThreshold: Long = 100000): DataFrame = {
     // both edge directions from ONE pass over the pair list (a self-union
     // would reference `pairs` from two parallel subtrees and race its lazy
     // cache, recomputing the join)
-    val edges = materialize(
+    val (edges, nEdges) = materializeN(
       pairs.select(explode(array(
           struct(col(aCol).as("u"), col(bCol).as("v")),
           struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
@@ -308,7 +341,7 @@ object Dedup {
         .distinct())
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && edges.count() <= driverThreshold) {
+    if (longIds && nEdges <= driverThreshold) {
       return driverUnionFind(edges)
     }
     // each round references the previous labels frame THREE times (neighbor
@@ -366,7 +399,13 @@ object Dedup {
   /** Exact union-find (path halving + union by min label) over a collected
     * edge list — the small-graph fast path of `dupComponents`. */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
-    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // typed collect: primitive-pair tuples, not GenericRow wrappers —
+    // ~an order of magnitude less driver garbage at the 100k cutoff
+    val es = edges.select(col("u").as("_1"), col("v").as("_2"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
       var x = x0

@@ -170,6 +170,25 @@ class MutationKillSpec extends AnyFunSuite {
     assert(got === 2)
   }
 
+  test("SE2: a NULL-ts row must not clobber the last-timestamp state") {
+    // seq ordering places the NULL-ts row BETWEEN two events 10s apart
+    // (well inside the 30-minute gap). Correct state update carries the
+    // last REAL timestamp across the NULL row, so the third row stays in
+    // session 1. A mutant that overwrites last-ts with the (null) current
+    // value makes the next row look like a partition start -> session 2.
+    val got = spark.sql(
+      """SELECT seq, sessionize(ts, INTERVAL '30' MINUTE)
+        |         OVER (ORDER BY seq) AS sess FROM VALUES
+        |  (1, TIMESTAMP '2024-01-01 00:00:00'),
+        |  (2, CAST(NULL AS TIMESTAMP)),
+        |  (3, TIMESTAMP '2024-01-01 00:00:10')
+        |AS t(seq, ts) ORDER BY seq""".stripMargin).collect()
+    assert(got(0).getLong(1) === 1L)
+    assert(got(1).isNullAt(1), "NULL-ts row must emit NULL")
+    assert(got(2).getLong(1) === 1L,
+      "row after a NULL-ts row must still compare against the last real ts")
+  }
+
   test("FU2: strict mode advances when the re-fired condition also matches the next step") {
     // e1 matches cond1 (entry); e2 matches cond1 AGAIN and cond2. Plain
     // strict would break on the re-fire, but the reference's exception
