@@ -140,6 +140,44 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Per-document cross-corpus repeated-passage statistics at word-n-gram
+    * ("chunk") granularity — the passage-level analog of exact dedup, in
+    * the deduplicating-training-data tradition (Lee et al. '22): a chunk
+    * that appears in more than one document is boilerplate / a copied
+    * passage, and the per-doc fraction of such chunks is the curation
+    * signal.
+    *
+    * Returns (id, n_chunks, shared_chunks, shared_frac): total chunk
+    * instances in the doc, instances whose chunk text occurs in >= 2
+    * distinct docs, and their ratio. Docs with fewer than n tokens have no
+    * chunks and are omitted (no 0/0 row).
+    *
+    * Scale shape: explode chunks → ONE hash aggregate per chunk computing
+    * its distinct-doc count (map-side partial aggregation absorbs hot
+    * boilerplate chunks) → join back → per-doc aggregate. Chunks shuffle
+    * as strings here to stay exactly oracle-reproducible; at 100 TB key
+    * the aggregate by `xxhash64(chunk)` instead (8-byte shuffle keys; a
+    * 64-bit collision merges two chunks' doc sets — odds ~(distinct²/2^65),
+    * negligible against the shuffle savings, same trade the jaccard index
+    * makes). */
+  def chunkDupStats(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val chunks = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokensWs(col(textCol)).as("toks"))
+      .select(col("id"), explode(TextAnalysis.ngramsOfTokens(col("toks"), n)).as("chunk"))
+    // distinct-doc count per chunk: two-level aggregate (chunk,id) -> chunk
+    // instead of count(DISTINCT id) so the partial aggregation stays
+    // map-side combinable on the exploded frame
+    val docFreq = chunks.select(col("chunk"), col("id")).distinct()
+      .groupBy(col("chunk")).agg(count(lit(1)).as("n_docs"))
+    chunks.join(docFreq, "chunk")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("n_docs") >= 2, lit(1))).as("shared_chunks"))
+      .select(col("id"), col("n_chunks"), col("shared_chunks"),
+        (col("shared_chunks").cast("double") / col("n_chunks")).as("shared_frac"))
+  }
+
   /** Exact n-gram Jaccard self-join via inverted index.
     * Returns (doc_a, doc_b, jaccard) for all pairs with J >= threshold.
     *

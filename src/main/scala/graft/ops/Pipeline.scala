@@ -89,6 +89,31 @@ object Pipeline {
         < keepBuckets)
   }
 
+  /** Deterministic domain-mixture resampling: per-source keep RATES (the
+    * data-mixing step that reweights a crawl toward a target domain
+    * mixture — downsample boilerplate-heavy sources, keep curated ones).
+    * A document survives iff its md5 bucket (out of 65536, same
+    * deterministic hash as `sampleDeterministic`) falls under
+    * `rate(source) * 65536`; sources absent from `rates` keep everything
+    * (rate 1.0).
+    *
+    * Scale shape: the rates table is a tiny dimension — it BROADCAST-joins
+    * onto the corpus (plan-guarded in PlanSpec), and the filter is a
+    * codegen'd projection; no shuffle of the corpus at any size. */
+  def mixBySourceWeight(docs: DataFrame, rates: Map[String, Double],
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1], got $rates")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF(sourceCol, "keep_rate")
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("int")
+    docs.join(broadcast(ratesDf), Seq(sourceCol), "left")
+      .filter(bucket < coalesce(col("keep_rate"), lit(1.0)) * 65536)
+      .drop("keep_rate")
+  }
+
   /** Deterministic per-language token-budget sampling: rank each
     * language's documents by quality (doc_id tie-break), and keep docs
     * while the language's cumulative token count stays within `budget` —

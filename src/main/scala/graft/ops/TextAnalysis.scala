@@ -108,6 +108,50 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  // ---- repetition signals (Gopher-style quality rules) ------------------
+
+  /** Repetition signals over a BOUND token-array column:
+    * `struct<top_share, dup_frac>` of the doc's word n-grams (see
+    * `graft.functions.NgramRepetition`). One fused codegen'd kernel, no
+    * shuffle, no explode — the per-doc map shape that survives 100 TB.
+    * Docs with fewer than n tokens → NULL. */
+  def repetitionStats(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NgramRepetition(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks), n))
+
+  // ---- PII redaction -----------------------------------------------------
+
+  /** Redaction rules as (pattern, replacement) pairs, applied in order.
+    * Patterns are kept inside the regex subset that Java (Spark) and RE2
+    * (DuckDB and most scan engines) interpret identically — no
+    * backreferences, no lookaround — so the operator stays oracle-checkable
+    * and portable. Order matters: specific shapes (email, ipv4) run before
+    * the generic digit-run rule that would otherwise eat their pieces. */
+  val PiiRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+    ("[0-9]+", "<NUM>"))
+
+  /** Scrubbed text: every rule's matches replaced, rules applied in order.
+    * Pure `regexp_replace` chain — codegen'd, no shuffle. */
+  def redact(text: Column, rules: Seq[(String, String)] = PiiRules): Column =
+    rules.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, lit(pat), lit(rep))
+    }
+
+  /** How many spans the redaction chain replaced, counted per rule on the
+    * PROGRESSIVELY scrubbed text (so a span consumed by an earlier rule is
+    * not double-counted by a later one — same totals a re-scrub would see). */
+  def redactCount(text: Column, rules: Seq[(String, String)] = PiiRules): Column = {
+    val (total, _) = rules.foldLeft((lit(0), text)) {
+      case ((cnt, c), (pat, rep)) =>
+        (cnt + regexp_count(c, lit(pat)), regexp_replace(c, lit(pat), lit(rep)))
+    }
+    total
+  }
+
   // ---- winnowing fingerprints ------------------------------------------
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
