@@ -501,6 +501,46 @@ object SparkEntry {
       ops.TextAnalysis.ngramFreq(Tables.load(s, dir, "documents"), n = 2, topK = 50)
     },
 
+    // ---- LLM pipeline: Gopher-style repetition signals (fused native
+    // kernel, no shuffle; docs with <2 tokens have no bigrams -> omitted) --
+    "q47_repetition" -> { (s, dir) =>
+      prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+          ops.TextAnalysis.repetitionStats(
+            ops.TextAnalysis.tokensWs(col("text")), 2).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("doc_id"),
+          round(col("r.top_share"), 6).as("top_share"),
+          round(col("r.dup_frac"), 6).as("dup_frac"))
+    },
+
+    // ---- LLM pipeline: PII redaction (scrubbed text + span count) -------
+    "q48_redact" -> { (s, dir) =>
+      prep(s, dir)
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        ops.TextAnalysis.redact(col("text")).as("clean_text"),
+        ops.TextAnalysis.redactCount(col("text")).cast("long").as("n_redacted"))
+    },
+
+    // ---- LLM pipeline: cross-doc repeated-passage (chunk) statistics ----
+    "q49_chunk_dups" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Dedup.chunkDupStats(Tables.load(s, dir, "documents"), n = 5)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("shared_chunks"),
+          round(col("shared_frac"), 6).as("shared_frac"))
+    },
+
+    // ---- LLM pipeline: deterministic domain-mixture resampling ----------
+    // src2 rate 0 (drop all), src0 25%, src1 50%, everything else kept —
+    // exercises the absent-source default and the zero edge
+    "q50_source_mix" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Pipeline.mixBySourceWeight(Tables.load(s, dir, "documents"),
+          Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+        .select(col("doc_id"), col("source"))
+    },
+
     // ---- registered SQL surface, exercised as SQL TEXT ------------------
     // the other behavioral queries go through the Column API; this one
     // pins the spark.sql(...) string path end-to-end — FunctionRegistry
@@ -1029,6 +1069,58 @@ object SparkEntry {
         |      FROM t WHERE len(toks) >= 2)
         |SELECT ngram, CAST(count(*) AS BIGINT) AS freq
         |FROM g GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 50""".stripMargin,
+
+    // the kernel groups grams by hashed token span; the oracle groups the
+    // space-joined gram strings — identical partitions because whitespace
+    // tokens are space-free (the documented NgramRepetition contract)
+    "q47_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id,
+        |  round(max(cnt) / sum(cnt), 6) AS top_share,
+        |  round(1.0 - count(*) / sum(cnt), 6) AS dup_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    // same rule chain, counts on the PROGRESSIVELY scrubbed text (DuckDB
+    // regexp_replace needs explicit 'g'; the patterns live in the
+    // Java/RE2-common subset so both engines match identical spans)
+    "q48_redact" ->
+      """WITH r1 AS (SELECT doc_id,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t1,
+        |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS c1
+        |       FROM documents),
+        |r2 AS (SELECT doc_id, regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2,
+        |         c1, len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS c2 FROM r1),
+        |r3 AS (SELECT doc_id, regexp_replace(t2, '\+?\(?[0-9](?:[()\-]?[0-9]){6,}', '<PHONE>', 'g') AS t3,
+        |         c1, c2, len(regexp_extract_all(t2, '\+?\(?[0-9](?:[()\-]?[0-9]){6,}')) AS c3 FROM r2),
+        |r4 AS (SELECT doc_id, regexp_replace(t3, '[0-9]+', '<NUM>', 'g') AS t4,
+        |         c1, c2, c3, len(regexp_extract_all(t3, '[0-9]+')) AS c4 FROM r3)
+        |SELECT doc_id, t4 AS clean_text, CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_redacted
+        |FROM r4""".stripMargin,
+
+    "q49_chunk_dups" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS chunk
+        |      FROM t WHERE len(toks) >= 5),
+        |df AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY chunk)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+        |  round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 6) AS shared_frac
+        |FROM g JOIN df USING (chunk) GROUP BY doc_id""".stripMargin,
+
+    // q45's md5-nibble bucket, gated per-source
+    "q50_source_mix" -> {
+      def nib(j: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $j, 1)) - 1)"
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}
+         |  < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+         |            WHEN 'src2' THEN 0.0 ELSE 1.0 END) * 65536""".stripMargin
+    },
 
     // the funnel cascade is q03's, the wildcard match q04's, the count
     // q06's — one combined result so the SQL-text path hash-checks against

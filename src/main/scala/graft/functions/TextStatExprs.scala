@@ -60,6 +60,11 @@ case class NgramRepetition(child: Expression, n: Int)
     val nTok = toks.numElements()
     val m = nTok - n + 1
     if (m <= 0) return null
+    // the open-addressed table holds 2m..4m int slots; beyond ~2^29 grams
+    // `m * 4` overflows int. No real document gets near that (a 512M-token
+    // doc), so fail fast rather than probe a negative-capacity table.
+    require(m <= (1 << 29) - 1,
+      s"$prettyName supports at most ${(1 << 29) - 1} grams per document, got $m")
     // group gram spans [i, i+n) by hash; exact span equality on collision.
     // open addressing over gram start indices: slots hold (startIdx+1) so 0
     // means empty; counts parallel the slots.
@@ -69,8 +74,14 @@ case class NgramRepetition(child: Expression, n: Int)
     val hashes = new Array[Long](nTok)
     var i = 0
     while (i < nTok) {
-      // per-token hash once; gram hash mixes the n token hashes
-      hashes(i) = toks.getUTF8String(i).hashCode().toLong
+      // per-token hash once; gram hash mixes the n token hashes.
+      // A null element (the input type allows containsNull) hashes to a
+      // sentinel and compares equal only to another null in gramEq — the
+      // same "null is one distinct value" semantics a SQL GROUP BY gives
+      // the space-joined oracle form.
+      hashes(i) =
+        if (toks.isNullAt(i)) -2401053088876216593L // sentinel, any fixed odd
+        else toks.getUTF8String(i).hashCode().toLong
       i += 1
     }
     def gramHash(s: Int): Long = {
@@ -82,7 +93,11 @@ case class NgramRepetition(child: Expression, n: Int)
     def gramEq(s1: Int, s2: Int): Boolean = {
       var j = 0
       while (j < n) {
-        if (!toks.getUTF8String(s1 + j).equals(toks.getUTF8String(s2 + j)))
+        val n1 = toks.isNullAt(s1 + j)
+        val n2 = toks.isNullAt(s2 + j)
+        if (n1 != n2) return false
+        if (!n1 &&
+            !toks.getUTF8String(s1 + j).equals(toks.getUTF8String(s2 + j)))
           return false
         j += 1
       }

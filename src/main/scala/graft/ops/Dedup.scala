@@ -162,9 +162,12 @@ object Dedup {
     * makes). */
   def chunkDupStats(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val chunks = docs.select(col(idCol).as("id"),
+    // both the doc-frequency aggregate and the join probe side re-read this
+    // exploded frame; persist so the tokenize+explode pass runs once (the
+    // same recompute hazard jaccardJoinImpl materializes its shingles for)
+    val chunks = materialize(docs.select(col(idCol).as("id"),
         TextAnalysis.tokensWs(col(textCol)).as("toks"))
-      .select(col("id"), explode(TextAnalysis.ngramsOfTokens(col("toks"), n)).as("chunk"))
+      .select(col("id"), explode(TextAnalysis.ngramsOfTokens(col("toks"), n)).as("chunk")))
     // distinct-doc count per chunk: two-level aggregate (chunk,id) -> chunk
     // instead of count(DISTINCT id) so the partial aggregation stays
     // map-side combinable on the exploded frame

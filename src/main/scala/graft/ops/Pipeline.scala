@@ -106,12 +106,16 @@ object Pipeline {
       s"rates must be in [0,1], got $rates")
     val spark = docs.sparkSession
     import spark.implicits._
-    val ratesDf = rates.toSeq.toDF(sourceCol, "keep_rate")
+    // collision-proof internal name: a corpus column named `keep_rate`
+    // would otherwise become ambiguous after the join and drop() could
+    // remove the caller's column
+    val rateCol = "__graft_keep_rate"
+    val ratesDf = rates.toSeq.toDF(sourceCol, rateCol)
     val bucket =
       conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("int")
     docs.join(broadcast(ratesDf), Seq(sourceCol), "left")
-      .filter(bucket < coalesce(col("keep_rate"), lit(1.0)) * 65536)
-      .drop("keep_rate")
+      .filter(bucket < coalesce(col(rateCol), lit(1.0)) * 65536)
+      .drop(rateCol)
   }
 
   /** Deterministic per-language token-budget sampling: rank each

@@ -131,7 +131,14 @@ object TextAnalysis {
   val PiiRules: Seq[(String, String)] = Seq(
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
     ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
-    ("\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+    // >= 7 digits, each pair separated by at most ONE of `()-`, with an
+    // optional leading `+`/`(` so "(555)123-4567" consumes its opening
+    // paren. Space is deliberately NOT a separator: with it, any run of
+    // space-separated numbers ("1990 1991 1992", figure tables) collapses
+    // into a single <PHONE>. Space-formatted phones degrade gracefully —
+    // their digit groups still scrub to <NUM> via the final catch-all rule,
+    // so no digits leak; only the <PHONE> label is lost.
+    ("\\+?\\(?[0-9](?:[()\\-]?[0-9]){6,}", "<PHONE>"),
     ("[0-9]+", "<NUM>"))
 
   /** Scrubbed text: every rule's matches replaced, rules applied in order.
