@@ -85,6 +85,20 @@ object Dedup {
     docs.select(col(idCol).as("id"), TextAnalysis.tokensWs(col(textCol)).as("toks"))
       .select(col("id"), shinglesOfTokens(col("toks"), k).as("sh"))
 
+  /** `shingleFrame` + the derived columns every dedup join needs:
+    * `shh` (sorted xxhash64 of each shingle) and `n_sh`. Hashing the
+    * shingle STRINGS is the one per-byte pass over the corpus; computing it
+    * once here — inside the frame the joins materialize anyway — means the
+    * inverted index, the MinHash signatures, and both verification sides
+    * all reuse the 8-byte hashes instead of re-hashing the strings (the
+    * string pass used to run 3-4 times per join: index build + twice in
+    * verification). */
+  private def shingleFrameHashed(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    shingleFrame(docs, idCol, textCol, k).select(col("id"), col("sh"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("shh"),
+      size(col("sh")).as("n_sh"))
+
   private def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(graft.functions.SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -94,7 +108,7 @@ object Dedup {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Exact verification of candidate (doc_a, doc_b) pairs against the
-    * shingle frame, in two stages:
+    * HASHED shingle frame (`shingleFrameHashed`), in two stages:
     *
     *   1. HASHED pass: join 8-byte sorted shingle-hash arrays (cheap to
     *      shuffle, two-pointer codegen'd intersect) and keep pairs whose
@@ -107,14 +121,12 @@ object Dedup {
     *
     * Output is therefore bit-identical to verifying every candidate on
     * strings, at ~1/3 the shuffle bytes and comparison cost — the stage-1
-    * arrays are hashes of sorted-distinct string shingles, and `n_sh`
-    * always comes from the string arrays.
+    * arrays are the precomputed `shh` hashes of sorted-distinct string
+    * shingles, and `n_sh` always counts the string arrays.
     */
   private def verifyPairsExact(sh: DataFrame, cands: DataFrame,
       threshold: Double): DataFrame = {
-    val byHash = sh.select(col("id"),
-      array_sort(transform(col("sh"), s => xxhash64(s))).as("shh"),
-      size(col("sh")).as("n_sh"))
+    val byHash = sh.select(col("id"), col("shh"), col("n_sh"))
     val passed = cands
       .join(byHash.select(col("id").as("doc_a"), col("shh").as("ha"), col("n_sh").as("na")), "doc_a")
       .join(byHash.select(col("id").as("doc_b"), col("shh").as("hb"), col("n_sh").as("nb")), "doc_b")
@@ -122,7 +134,7 @@ object Dedup {
         sortedIntersectCountLong(col("ha"), col("hb")).cast("double").as("common"))
       .filter(col("common") / (col("na") + col("nb") - col("common")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    val bySh = sh.select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+    val bySh = sh.select(col("id"), col("sh"), col("n_sh"))
     passed
       .join(bySh.select(col("id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
       .join(bySh.select(col("id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
@@ -200,9 +212,22 @@ object Dedup {
     // at the same path mid-session, which would silently serve stale pairs.
     // (Files OVERWRITTEN in place with identical names remain the caller's
     // responsibility: call OpCaches.unpersistAll() after rewriting inputs.)
+    // PLUS per-leaf data identity for non-file leaves: a LocalRelation
+    // canonicalizes to its schema alone (no data!) and a LogicalRDD to its
+    // attributes, so two different in-memory corpora with the same shape
+    // would otherwise collide and serve each other's pair list.
+    val analyzed = docs.queryExecution.analyzed
+    val leafIdentity = analyzed.collectLeaves().map {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        // row hashCodes are content-based (UnsafeRow hashes its bytes) —
+        // stable for the session lifetime this memo lives in
+        s"local:${l.data.length}:${l.data.hashCode()}"
+      case r: org.apache.spark.sql.execution.LogicalRDD => s"rdd:${r.rdd.id}"
+      case other => other.getClass.getName
+    }.mkString("|")
     val planDigest = java.security.MessageDigest.getInstance("MD5")
-      .digest((docs.queryExecution.analyzed.canonicalized.toString() +
-          docs.inputFiles.sorted.mkString("|"))
+      .digest((analyzed.canonicalized.toString() +
+          docs.inputFiles.sorted.mkString("|") + "#" + leafIdentity)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val key = s"jaccardJoin:$planDigest:$threshold:$k:$idCol:$textCol:$maxShingleFreq"
@@ -215,16 +240,16 @@ object Dedup {
     // self-join sides and the verification joins all reference these
     // frames; persist so the shingle/window lineage runs once, not once
     // per branch (a self-join recomputes each side's whole subtree)
-    val sh = materialize(shingleFrame(docs, idCol, textCol, k))
+    val sh = materialize(shingleFrameHashed(docs, idCol, textCol, k))
     // The ENTIRE candidate-generation index runs on xxhash64(shingle):
     // 8-byte keys through the explode → df → rank → self-join shuffles
     // instead of multi-word strings. Exactness is unaffected: two distinct
     // shingles colliding merely merge their posting lists (a SUPERSET of
     // candidates — the prefix theorem needs only a consistent total order
     // on tokens, which (df, hash) is), and verification is exact.
-    val inv0 = sh.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s"))
-      .select(col("id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
+    // The hashes come straight off the cached `shh` column — the strings
+    // were hashed exactly once, in the materialize pass.
+    val inv0 = sh.select(col("id"), col("n_sh"), explode(col("shh")).as("shingle"))
     val inv = maxShingleFreq match {
       case Some(cap) =>
         val freq = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -312,17 +337,17 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = materialize(shingleFrame(docs, idCol, textCol, k))
+    val sh = materialize(shingleFrameHashed(docs, idCol, textCol, k))
     // signature via explode + vectorized hash-aggregate of `numHashes` mins —
     // one codegen'd pass over the inverted index, instead of re-traversing
     // the shingle array once per hash seed. Each shingle STRING is hashed to
-    // 8 bytes exactly once; the per-seed hashes mix the long (cheap fixed
-    // width) rather than re-hashing the string numHashes times — the same
-    // min-wise family, just seeded over h(s) instead of s.
+    // 8 bytes exactly once (the cached `shh` column); the per-seed hashes
+    // mix the long (cheap fixed width) rather than re-hashing the string
+    // numHashes times — the same min-wise family, just seeded over h(s)
+    // instead of s.
     val minCols = (0 until numHashes).map(seed =>
       min(ColumnBridge.xxhash64(seed.toLong, col("h"))).as(s"h$seed"))
-    val sigFlat = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+    val sigFlat = sh.select(col("id"), explode(col("shh")).as("h"))
       .groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
     // one (band, bandHash) row per band; equi-join key for candidates
     val banded = materialize(sigFlat.select(col("id"),

@@ -136,6 +136,35 @@ class ChunkDupSpec extends AnyFunSuite {
   }
 }
 
+class JaccardMemoKeySpec extends AnyFunSuite {
+  import GraftSpark._
+  private lazy val s = spark
+
+  test("memo key distinguishes two local corpora with identical schemas") {
+    val _ = s
+    import s.implicits._
+    // Two in-memory corpora, same (doc_id, text) shape. A LocalRelation
+    // canonicalizes to its schema alone, so a plan-string-only memo key
+    // would serve corpus A's pair list for corpus B. No unpersistAll in
+    // between — that is the point.
+    graft.ops.OpCaches.unpersistAll()
+    val a = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "one two three four five"),
+      (11L, "six seven eight nine ten")).toDF("doc_id", "text")
+    val pa = graft.ops.Dedup.jaccardJoin(a, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pb = graft.ops.Dedup.jaccardJoin(b, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pa == Set((1L, 2L)), pa.toString)
+    assert(pb == Set.empty, pb.toString) // stale hit would return (1,2)
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
+
 class SourceMixSpec extends AnyFunSuite {
   import GraftSpark._
   private lazy val s = spark
