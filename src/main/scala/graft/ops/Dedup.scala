@@ -282,29 +282,45 @@ object Dedup {
     val ranked = inv.join(df_, "shingle")
     val prefixLen =
       (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")
+    // each prefix entry carries its 1-based POSITION in the doc's full
+    // (df, shingle)-sorted order — the input to the positional filter below
     val prefixSmall = ranked
       .filter(col("n_sh") <= MaxBufferedPrefixShingles)
       .groupBy(col("id"))
       .agg(first(col("n_sh")).as("n_sh"),
         sort_array(collect_list(struct(col("df"), col("shingle")))).as("ps"))
       .select(col("id"), col("n_sh"),
-        explode(slice(col("ps"), lit(1), prefixLen)).as("p"))
-      .select(col("id"), col("n_sh"), col("p.shingle").as("shingle"))
+        posexplode(slice(col("ps"), lit(1), prefixLen)))
+      .select(col("id"), col("n_sh"), col("col.shingle").as("shingle"),
+        (col("pos") + 1).as("pos"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
     val prefixLarge = ranked
       .filter(col("n_sh") > MaxBufferedPrefixShingles)
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= prefixLen)
-      .select(col("id"), col("n_sh"), col("shingle"))
+      .select(col("id"), col("n_sh"), col("shingle"), col("rk").cast("int").as("pos"))
     val prefixM = materialize(prefixSmall.unionByName(prefixLarge))
-    // length filter: J(a,b) >= t forces t·|a| <= |b| <= |a|/t — a necessary
-    // condition, so pruning by it keeps the join exact while dropping
-    // size-mismatched candidate pairs before dedup/verification
+    // Join-side exact filters (both necessary conditions, so the candidate
+    // set stays a superset of the true pairs):
+    //   - LENGTH: J >= t forces t·|a| <= |b| <= |a|/t;
+    //   - POSITIONAL (PPJoin, Xiao et al. '08): J >= t forces
+    //     |a ∩ b| >= α = ceil(t/(1+t)·(na+nb)), and for ANY shingle shared
+    //     at sorted positions (pa, pb) the overlap is at most
+    //     min(pa,pb)-1 (before it) + min(na-pa, nb-pb)+1 (from it on), so
+    //     a true pair passes the bound on EVERY shared prefix entry while
+    //     a false candidate whose shared entries all sit too deep is
+    //     dropped inside the join — before the pair-dedup shuffle and the
+    //     verification arrays ever see it.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.n_sh") + col("y.n_sh")))
     val cands = prefixM.as("x").join(prefixM.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
         col("y.n_sh") >= ceil(lit(threshold) * col("x.n_sh")) &&
-        col("x.n_sh") >= ceil(lit(threshold) * col("y.n_sh")))
+        col("x.n_sh") >= ceil(lit(threshold) * col("y.n_sh")) &&
+        least(col("x.pos"), col("y.pos")) +
+          least(col("x.n_sh") - col("x.pos"), col("y.n_sh") - col("y.pos"))
+          >= alpha)
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // exact verification on candidates only (hashed pass + string re-verify)
