@@ -165,6 +165,64 @@ class JaccardMemoKeySpec extends AnyFunSuite {
   }
 }
 
+class DedupBoundarySpec extends AnyFunSuite {
+  import GraftSpark._
+  private lazy val s = spark
+
+  test("a pair at exactly J == threshold with minimal prefix overlap is found") {
+    val _ = s
+    import s.implicits._
+    // x: 14 distinct tokens -> 12 shingles; y: x's first 8 tokens -> 6
+    // shingles, ALL shared. Every exact filter sits on its boundary at
+    // once: J = 6/12 = 0.5 == threshold (verification >=); |y| = 6 ==
+    // ceil(t*|x|) (length filter >=); x's 6 unshared shingles are rarer
+    // (df=1 vs df=2), so the shared ones rank LAST — the single shared
+    // prefix entry of x is exactly at prefix position 7 = |x|-ceil(t|x|)+1
+    // (prefix length boundary); and the PPJoin bound equals alpha = 6
+    // (positional filter >=). Any off-by-one in those four filters loses
+    // this pair.
+    graft.ops.OpCaches.unpersistAll()
+    val x = (1 to 14).map(i => s"t$i").mkString(" ")
+    val y = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, x), (2L, y)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.jaccardJoin(docs, threshold = 0.5).collect()
+    assert(got.length == 1, got.mkString(";"))
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(math.abs(got.head.getDouble(2) - 0.5) < 1e-12)
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("simhash pair at exactly hamming == maxDist is kept, maxDist+1 dropped") {
+    val _ = s
+    import s.implicits._
+    // synthetic fingerprints: h(0,7)=3 (boundary, kept), h(0,15)=4
+    // (dropped), h(7,15)=1 (kept); all differing bits in band 0, so the
+    // candidates surface through the equal bands 1-3
+    val fp = Seq((1L, 0L), (2L, 7L), (3L, 15L)).toDF("id", "simhash")
+    val got = graft.ops.Dedup.simhashPairsOf(fp, maxDist = 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 3L)), got.toString)
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("leakage split bucket boundary: bucket 25 is test, bucket 26 is train") {
+    val _ = s
+    import s.implicits._
+    // md5("36") starts 0x19.. = bucket 25 < 26 -> test;
+    // md5("131") starts 0x1a.. = bucket 26, NOT < 26 -> train.
+    // Pins the strict `<` on the default 26/256 test fraction.
+    graft.ops.OpCaches.unpersistAll()
+    val docs = Seq((36L, "completely unique text alpha beta gamma"),
+        (131L, "another unrelated body delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Pipeline.leakageSafeSplit(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(36L) == "test" && got(131L) == "train", got.toString)
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
+
 class SourceMixSpec extends AnyFunSuite {
   import GraftSpark._
   private lazy val s = spark

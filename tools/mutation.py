@@ -23,6 +23,10 @@ FUNNEL = "src/main/scala/graft/behavioral/WindowFunnelAgg.scala"
 SESS = "src/main/scala/graft/behavioral/SessionizeWindow.scala"
 RET = "src/main/scala/graft/behavioral/RetentionAgg.scala"
 NN = "src/main/scala/graft/behavioral/SequenceNextNodeAgg.scala"
+DEDUP = "src/main/scala/graft/ops/Dedup.scala"
+PIPE = "src/main/scala/graft/ops/Pipeline.scala"
+TSE = "src/main/scala/graft/functions/TextStatExprs.scala"
+VEC = "src/main/scala/graft/functions/VectorExprs.scala"
 
 SUITES = [
     "graft.PatternParserSpec", "graft.PatternExecutorSpec",
@@ -119,6 +123,58 @@ MUTANTS = [
      "if (step > numSteps) return null\n    val nextIdx"),
 ]
 
+# batch 3: dedup / similarity / text kernels. Run with
+# `python3 tools/mutation.py 3`; focused suites in SUITES3.
+SUITES3 = [
+    "graft.JaccardExactnessSpec", "graft.OpsSpec", "graft.BlockedJoinSpec",
+    "graft.DedupBoundarySpec", "graft.JaccardMemoKeySpec",
+    "graft.NgramRepetitionSpec", "graft.RedactionSpec", "graft.ChunkDupSpec",
+    "graft.SourceMixSpec", "graft.SimhashMd5Spec", "graft.WinnowMinimaSpec",
+    "graft.LeakageSplitSpec",
+]
+
+MUTANTS3 = [
+    ("DD1", DEDUP, "prefix length off-by-one (drop the +1)",
+     '(col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")',
+     '(col("n_sh") - ceil(lit(threshold) * col("n_sh"))).cast("int")'),
+    ("DD2", DEDUP, "positional-filter alpha t/(1+t) -> t (over-prunes)",
+     'val alpha = ceil(lit(threshold / (1 + threshold)) *',
+     'val alpha = ceil(lit(threshold) *'),
+    ("DD3", DEDUP, "length filter boundary >= -> >",
+     'col("y.n_sh") >= ceil(lit(threshold) * col("x.n_sh")) &&',
+     'col("y.n_sh") > ceil(lit(threshold) * col("x.n_sh")) &&'),
+    ("DD4", DEDUP, "hashed-verify threshold >= -> >",
+     '.filter(col("common") / (col("na") + col("nb") - col("common")) >= threshold)',
+     '.filter(col("common") / (col("na") + col("nb") - col("common")) > threshold)'),
+    ("DD5", DEDUP, "simhash hamming cut <= -> <",
+     '.filter(col("hamming") <= maxDist)',
+     '.filter(col("hamming") < maxDist)'),
+    ("DD6", DEDUP, "chunk sharing threshold 2 docs -> 3",
+     'count(when(col("n_docs") >= 2, lit(1))).as("shared_chunks"))',
+     'count(when(col("n_docs") >= 3, lit(1))).as("shared_chunks"))'),
+    ("PL1", PIPE, "leakage test-bucket boundary < -> <=",
+     'when(bucket < testBuckets, "test")',
+     'when(bucket <= testBuckets, "test")'),
+    ("TS1", TSE, "ngram_repetition: first-placement top update dropped",
+     """          distinct += 1
+          if (top < 1) top = 1
+          placed = true""",
+     """          distinct += 1
+          placed = true"""),
+    ("TS2", TSE, "ngram_repetition: gram equality ignores null elements",
+     """        val n1 = toks.isNullAt(s1 + j)
+        val n2 = toks.isNullAt(s2 + j)
+        if (n1 != n2) return false
+        if (!n1 &&
+            !toks.getUTF8String(s1 + j).equals(toks.getUTF8String(s2 + j)))
+          return false""",
+     """        if (!toks.getUTF8String(s1 + j).equals(toks.getUTF8String(s2 + j)))
+          return false"""),
+    ("VC1", VEC, "sorted-intersect codegen comparison < -> > (advance swap)",
+     '|  else if ($xv < $yv) { $i++; } else { $j++; }',
+     '|  else if ($xv > $yv) { $i++; } else { $j++; }'),
+]
+
 
 def run(cmd, timeout=900):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
@@ -126,9 +182,12 @@ def run(cmd, timeout=900):
 
 
 def main():
+    batch3 = len(sys.argv) > 1 and sys.argv[1] == "3"
+    mutants = MUTANTS3 if batch3 else MUTANTS
+    suites = SUITES3 if batch3 else SUITES
     root = Path(".")
     results = []
-    for mid, fname, desc, old, new in MUTANTS:
+    for mid, fname, desc, old, new in mutants:
         path = root / fname
         src = path.read_text()
         if src.count(old) != 1:
@@ -137,7 +196,7 @@ def main():
             continue
         path.write_text(src.replace(old, new))
         try:
-            r = run(f"sbt -batch 'testOnly {' '.join(SUITES)}'")
+            r = run(f"sbt -batch 'testOnly {' '.join(suites)}'")
             out = r.stdout + r.stderr
             if "compilation failed" in out.lower() or "[error] (Compile" in out:
                 verdict = "stillborn"  # does not compile: excluded from rate
@@ -153,6 +212,32 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch3:
+        # merge: keep the batch-1/2 report, replace any prior batch-3 section
+        marker = "\n## Batch 3 — dedup / similarity / text kernels\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants at the exact-filter boundaries of the jaccard",
+            "join (prefix length, length filter, positional filter alpha,",
+            "verification threshold), the simhash hamming cut, the leakage",
+            "split bucket, and the native text kernels. Suites:",
+            "dedup/boundary/exactness + the Round-5 specs.",
+            "",
+            f"**Batch-3 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-3 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     lines = [
         "# MUTATION — hand-rolled mutation run over the behavioral core",
         "",
