@@ -354,21 +354,25 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sh = materialize(shingleFrameHashed(docs, idCol, textCol, k))
-    // signature via explode + vectorized hash-aggregate of `numHashes` mins —
-    // one codegen'd pass over the inverted index, instead of re-traversing
-    // the shingle array once per hash seed. Each shingle STRING is hashed to
-    // 8 bytes exactly once (the cached `shh` column); the per-seed hashes
-    // mix the long (cheap fixed width) rather than re-hashing the string
-    // numHashes times — the same min-wise family, just seeded over h(s)
-    // instead of s.
-    val minCols = (0 until numHashes).map(seed =>
-      min(ColumnBridge.xxhash64(seed.toLong, col("h"))).as(s"h$seed"))
-    val sigFlat = sh.select(col("id"), explode(col("shh")).as("h"))
-      .groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    // the signature is a PER-ROW kernel (graft.functions.MinhashSignature):
+    // all `numHashes` minima in one compiled pass over the cached `shh`
+    // array — no explode, no 96-column hash aggregate, and crucially NO
+    // SHUFFLE: the explode→groupBy(id) formulation this replaces exchanged
+    // the entire (doc, shingle) inverted index just to regroup rows that
+    // started on the same row. Same min-wise family (XXH64.hashLong ==
+    // seeded XxHash64 over the 8-byte shingle hashes), so signatures are
+    // bit-identical (SketchExprsSpec proves it differentially). Docs with
+    // no shingles get a NULL signature and drop out, exactly as they
+    // emitted no exploded rows before.
+    val sig = sh.select(col("id"),
+        ColumnBridge.column(graft.functions.MinhashSignature(
+          ColumnBridge.expression(col("shh")), numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
     // one (band, bandHash) row per band; equi-join key for candidates
-    val banded = materialize(sigFlat.select(col("id"),
+    val banded = materialize(sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64((b * r until (b + 1) * r).map(s => col(s"h$s")): _*)): _*)))
+        xxhash64((b * r until (b + 1) * r).map(s =>
+          element_at(col("sig"), s + 1)): _*)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -514,22 +518,21 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over
-    * the xxHash64 of each distinct token. */
+    * the xxHash64 of each distinct token.
+    *
+    * A PER-ROW kernel (graft.functions.Simhash64): the fingerprint depends
+    * only on the document's own tokens, so it computes in one compiled pass
+    * per row — no explode, no groupBy, no shuffle (the formulation this
+    * replaces exchanged every (doc, token) pair through a 64-sum-column
+    * aggregate). Docs whose text is NULL get a NULL fingerprint and drop
+    * out, exactly as they emitted no exploded rows before. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.tokensWs(col(textCol)))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    val voted = tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    voted.select(col("id").as(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        ColumnBridge.column(graft.functions.Simhash64(
+          ColumnBridge.expression(TextAnalysis.tokensWs(col(textCol)))))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Oracle-reproducible SimHash variant: the per-token 64-bit hash is the
     * first 16 hex chars of md5(token), and the fingerprint is emitted as a
@@ -546,24 +549,14 @@ object Dedup {
     * `(nibble_j >> p) & 1` and nibble_j decodes hex char j of md5(token).
     */
   def simhashMd5(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextAnalysis.tokensWs(col(textCol)))).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("m"))
-    val nib = tok.select(col("doc_id") +:
-      (1 to 16).map(j => conv(substring(col("m"), j, 1), 16, 10).cast("int").as(s"n$j")): _*)
-    val votes = for { j <- 1 to 16; p <- 0 until 4 } yield
-      sum(when(shiftright(col(s"n$j"), p).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
-        .as(s"v${j}_$p")
-    val voted = nib.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val chars = (1 to 16).map { j =>
-      val nibVal = (0 until 4)
-        .map(p => when(col(s"v${j}_$p") > 0, lit(1 << p)).otherwise(lit(0)))
-        .reduce(_ + _)
-      lit("0123456789abcdef").substr(nibVal + lit(1), lit(1))
-    }
-    voted.select(col("doc_id"), concat(chars: _*).as("simhash_hex"))
-  }
+      textCol: String = "text"): DataFrame =
+    // per-row kernel (graft.functions.SimhashMd5Hex) — same no-shuffle shape
+    // as `simhash` above, same nibble/vote layout as the SQL oracle twin
+    docs.select(col(idCol).as("doc_id"),
+        ColumnBridge.column(graft.functions.SimhashMd5Hex(
+          ColumnBridge.expression(TextAnalysis.tokensWs(col(textCol)))))
+          .as("simhash_hex"))
+      .filter(col("simhash_hex").isNotNull)
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (≤ 3 with the
     * 4-band split: pigeonhole guarantees one identical 16-bit band). */
