@@ -541,6 +541,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     },
 
+    // ---- LLM pipeline: benchmark decontamination ------------------------
+    // benchmark = every 20th doc, corpus = the rest: the q49 chunk-dup
+    // signal showed cross-doc repeated 5-gram passages exist in this data,
+    // so the containment join has real positives to find
+    "q51_decontaminate" -> { (s, dir) =>
+      prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      ops.Pipeline.decontaminate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), n = 5)
+    },
+
+    // ---- LLM pipeline: token-window chunking (size 8, stride 4) ---------
+    "q52_chunks" -> { (s, dir) =>
+      prep(s, dir)
+      ops.TextAnalysis.chunkByTokens(Tables.load(s, dir, "documents"),
+        size = 8, stride = 4)
+    },
+
     // ---- registered SQL surface, exercised as SQL TEXT ------------------
     // the other behavioral queries go through the Column API; this one
     // pins the spark.sql(...) string path end-to-end — FunctionRegistry
@@ -1111,6 +1130,33 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
         |  round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 6) AS shared_frac
         |FROM g JOIN df USING (chunk) GROUP BY doc_id""".stripMargin,
+
+    // distinct 5-grams per corpus doc, left-joined against the distinct
+    // benchmark gram set (benchmark = doc_id % 20 == 0)
+    "q51_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+        |      FROM t WHERE len(toks) >= 5),
+        |cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+        |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(bg.gram) AS BIGINT) AS matched_grams,
+        |  count(bg.gram) > 0 AS contaminated
+        |FROM cg LEFT JOIN bg ON cg.gram = bg.gram
+        |GROUP BY cg.doc_id""".stripMargin,
+
+    // chunk i covers tokens [i*4+1, i*4+8]; DuckDB list slices are
+    // 1-based inclusive, range() is end-exclusive
+    "q52_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        unnest(range(0, CAST(floor((len(toks) - 1) / 4.0) AS BIGINT) + 1)) AS chunk_idx
+        |      FROM t WHERE toks IS NOT NULL)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx * 4 + 1 : chunk_idx * 4 + 8], ' ') AS chunk_text,
+        |  CAST(least(8, n - chunk_idx * 4) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
 
     // q45's md5-nibble bucket, gated per-source
     "q50_source_mix" -> {

@@ -118,6 +118,49 @@ object Pipeline {
       .drop(rateCol)
   }
 
+  /** Benchmark decontamination by n-gram containment (the GPT-3/PaLM-style
+    * eval-leak scrub): a training document that shares ANY word n-gram with
+    * an evaluation benchmark may leak that benchmark's answers, so it must
+    * be flagged/dropped before training. Returns one row per corpus doc
+    * with at least n tokens: (idCol, n_grams, matched_grams, contaminated)
+    * — the doc's distinct n-gram count, how many of them occur anywhere in
+    * the benchmark, and the drop flag.
+    *
+    * Scale shape: per-doc DISTINCT grams come from a per-row
+    * `array_distinct` (no corpus-wide distinct shuffle); the benchmark gram
+    * set is tiny by nature (eval sets are thousands of rows, not billions)
+    * and BROADCASTs, so the corpus is never shuffled by gram — the only
+    * exchange is the final map-side-combinable groupBy(id). Set
+    * `broadcastBench = false` for an abnormally large benchmark to fall
+    * back to a shuffle join. With `hashGrams = true` the join keys are
+    * xxhash64(gram) — 8-byte keys instead of ~13-word strings; a collision
+    * can only add a false POSITIVE flag (odds ~|bench grams|/2^64 per doc
+    * gram), the right direction for a safety scrub — the default keys
+    * strings so the operator stays oracle-reproducible. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text", hashGrams: Boolean = false,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(df: DataFrame, tc: String, id: Option[String]) =
+      df.select(id.map(c => col(c).as("__id")).toSeq :+
+          TextAnalysis.tokensWs(col(tc)).as("__toks"): _*)
+        .select(id.map(_ => col("__id")).toSeq :+ explode(array_distinct(
+          TextAnalysis.ngramsOfTokens(col("__toks"), n))).as("__gram"): _*)
+    val key = if (hashGrams) xxhash64(col("__gram")) else col("__gram")
+    val docGrams = grams(corpus, textCol, Some(idCol))
+      .select(col("__id"), key.as("__g"))
+    val benchGrams0 = grams(benchmark, benchTextCol, None)
+      .select(key.as("__g")).distinct()
+      .withColumn("__hit", lit(1))
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    docGrams.join(benchGrams, Seq("__g"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("matched_grams"))
+      .select(col("__id").as(idCol), col("n_grams"), col("matched_grams"),
+        (col("matched_grams") > 0).as("contaminated"))
+  }
+
   /** Deterministic per-language token-budget sampling: rank each
     * language's documents by quality (doc_id tie-break), and keep docs
     * while the language's cumulative token count stays within `budget` —

@@ -108,6 +108,38 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  // ---- token-window chunking --------------------------------------------
+
+  /** Fixed token-window chunking with stride — the training-sample prep
+    * step that turns variable-length documents into model-window-sized
+    * pieces (stride < size gives overlapping context windows). Chunk i
+    * (0-based) covers tokens [i*stride + 1, i*stride + size]; chunks are
+    * emitted while i*stride < n_tokens, so the tail chunk may be partial
+    * (standard LLM packing keeps it — truncation loses data). Output:
+    * (idCol, chunk_idx, chunk_text, n_chunk_tokens), one row per chunk,
+    * whitespace-rejoined. NULL text emits no chunks.
+    *
+    * Scale shape: a pure per-row transform (sequence + slice + concat_ws,
+    * all codegen'd) — NO shuffle at any corpus size; output row count is
+    * ~n_tokens/stride per doc, the same fan-out an explode of the text
+    * itself would cost. */
+  def chunkByTokens(docs: org.apache.spark.sql.DataFrame, size: Int,
+      stride: Int, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(size >= 1 && stride >= 1,
+      s"size and stride must be >= 1, got size=$size stride=$stride")
+    val nTok = org.apache.spark.sql.functions.size(col("__toks"))
+    docs.select(col(idCol), tokensWs(col(textCol)).as("__toks"))
+      .select(col(idCol), nTok.as("__n"),
+        posexplode(transform(
+          sequence(lit(0), floor((nTok - 1) / stride).cast("int")),
+          i => concat_ws(" ", slice(col("__toks"), i * stride + 1, lit(size))))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        least(lit(size), col("__n") - col("pos") * stride).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   // ---- repetition signals (Gopher-style quality rules) ------------------
 
   /** Repetition signals over a BOUND token-array column:

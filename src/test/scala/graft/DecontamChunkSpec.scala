@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Pipeline, TextAnalysis}
+
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"), // contains bench 3-gram
+    (2L, "one two three four five six seven"),   // clean
+    (3L, "alpha beta"),                          // < n tokens -> omitted
+    (4L, "x alpha beta gamma y")                 // contains bench 3-gram
+  ).toDF("doc_id", "text")
+
+  private def bench = Seq(
+    (100L, "alpha beta gamma UNRELATED tail here")
+  ).toDF("doc_id", "text")
+
+  test("flags docs containing a benchmark n-gram; counts are per distinct gram") {
+    val got = Pipeline.decontaminate(corpus, bench, n = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("matched_grams"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.keySet === Set(1L, 2L, 4L)) // doc 3 has < 3 tokens
+    assert(got(1L) === ((4L, 1L, true)))   // "alpha beta gamma" matches
+    assert(got(2L) === ((5L, 0L, false)))
+    assert(got(4L) === ((3L, 1L, true)))
+  }
+
+  test("hashGrams variant agrees with the string-keyed join") {
+    val s = Pipeline.decontaminate(corpus, bench, n = 3)
+      .collect().map(_.toSeq).toSet
+    val h = Pipeline.decontaminate(corpus, bench, n = 3, hashGrams = true)
+      .collect().map(_.toSeq).toSet
+    assert(h === s)
+  }
+
+  test("duplicate grams inside one doc count once (per-row distinct)") {
+    val rep = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val emptyBench = Seq((9L, "z z z")).toDF("doc_id", "text")
+    val r = Pipeline.decontaminate(rep, emptyBench, n = 3).collect().head
+    // 7 gram positions but only 3 distinct 3-grams ("a b c","b c a","c a b")
+    assert(r.getAs[Long]("n_grams") === 3L)
+  }
+
+  test("benchmark side joins as a broadcast (no corpus shuffle by gram)") {
+    val plan = Pipeline.decontaminate(corpus, bench, n = 3)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
+
+class ChunkByTokensSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("size 8 / stride 4 over a 10-token doc: full, overlap, partial tail") {
+    val doc = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(doc, size = 8, stride = 4)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[String]("chunk_text"),
+        r.getAs[Long]("n_chunk_tokens")))
+    assert(got.toSeq === Seq(
+      (0L, "t1 t2 t3 t4 t5 t6 t7 t8", 8L),
+      (1L, "t5 t6 t7 t8 t9 t10", 6L),
+      (2L, "t9 t10", 2L)))
+  }
+
+  test("short doc yields a single partial chunk; null text yields none") {
+    val docs = Seq((1L, Some("only three tokens")), (2L, None))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(docs, size = 8, stride = 4).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("chunk_text") === "only three tokens")
+    assert(got.head.getAs[Long]("n_chunk_tokens") === 3L)
+  }
+
+  test("non-overlapping stride == size tiles the doc exactly") {
+    val doc = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(doc, size = 2, stride = 2)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    assert(got.toSeq === Seq("a b", "c d", "e f"))
+  }
+
+  test("chunking is a pure per-row transform: no exchange in the plan") {
+    val doc = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = TextAnalysis.chunkByTokens(doc, size = 2, stride = 2)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"))
+  }
+}
