@@ -301,7 +301,7 @@ object Dedup {
       .filter(col("rk") <= prefixLen)
       .select(col("id"), col("n_sh"), col("shingle"), col("rk").cast("int").as("pos"))
     val prefixM = materialize(prefixSmall.unionByName(prefixLarge))
-    // Join-side exact filters (both necessary conditions, so the candidate
+    // Join-side exact filters (all necessary conditions, so the candidate
     // set stays a superset of the true pairs):
     //   - LENGTH: J >= t forces t·|a| <= |b| <= |a|/t;
     //   - POSITIONAL (PPJoin, Xiao et al. '08): J >= t forces
@@ -311,17 +311,36 @@ object Dedup {
     //     a true pair passes the bound on EVERY shared prefix entry while
     //     a false candidate whose shared entries all sit too deep is
     //     dropped inside the join — before the pair-dedup shuffle and the
-    //     verification arrays ever see it.
+    //     verification arrays ever see it;
+    //   - INDEX PREFIX (AllPairs, Bayardo et al. '07): roles are canonical —
+    //     x is the SHORTER doc (ties by id) — and the FIRST shared shingle
+    //     in the global (df, hash) order must fall within x's first
+    //     nx - ceil(2t/(1+t)·nx) + 1 postings. Proof of exactness: with
+    //     ny >= nx the overlap bound α >= ceil(2t/(1+t)·nx); were the first
+    //     shared entry deeper, ALL shared entries would sit in x's last
+    //     ceil(2t/(1+t)·nx) - 1 positions — fewer than α of them. At
+    //     t = 0.5 this shrinks the shorter side's effective prefix from
+    //     n/2 + 1 to n/3 + 1, and the candidate set superlinearly with it.
+    //     (The join can't see "first shared" directly; requiring SOME
+    //     shared entry inside the index prefix is implied by it, still
+    //     necessary, and keeps the per-row predicate stateless.)
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("x.n_sh") + col("y.n_sh")))
+    val xIsShorter = col("x.n_sh") < col("y.n_sh") ||
+      (col("x.n_sh") === col("y.n_sh") && col("x.id") < col("y.id"))
+    val idxPrefixLen =
+      col("x.n_sh") - ceil(lit(2 * threshold / (1 + threshold)) * col("x.n_sh")) + 1
     val cands = prefixM.as("x").join(prefixM.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
-        col("y.n_sh") >= ceil(lit(threshold) * col("x.n_sh")) &&
+        col("x.shingle") === col("y.shingle") && xIsShorter &&
+        col("x.pos") <= idxPrefixLen &&
+        // length filter: t·ny <= nx (the ny >= t·nx direction is implied
+        // by the canonical ny >= nx)
         col("x.n_sh") >= ceil(lit(threshold) * col("y.n_sh")) &&
         least(col("x.pos"), col("y.pos")) +
           least(col("x.n_sh") - col("x.pos"), col("y.n_sh") - col("y.pos"))
           >= alpha)
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // exact verification on candidates only (hashed pass + string re-verify)
     verifyPairsExact(sh, cands, threshold)

@@ -65,14 +65,19 @@ object ProfileJaccard {
     }
     // --- stage 4: candidate self-join + pair dedup
     val cands = t("candidate join+dedup") {
+      val xIsShorter = col("x.n_sh") < col("y.n_sh") ||
+        (col("x.n_sh") === col("y.n_sh") && col("x.id") < col("y.id"))
+      val idxPrefixLen = col("x.n_sh") -
+        ceil(lit(2 * threshold / (1 + threshold)) * col("x.n_sh")) + 1
       val c = prefix.as("x").join(prefix.as("y"),
-          col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
-          col("y.n_sh") >= ceil(lit(threshold) * col("x.n_sh")) &&
+          col("x.shingle") === col("y.shingle") && xIsShorter &&
+          col("x.pos") <= idxPrefixLen &&
           col("x.n_sh") >= ceil(lit(threshold) * col("y.n_sh")) &&
           least(col("x.pos"), col("y.pos")) +
           least(col("x.n_sh") - col("x.pos"), col("y.n_sh") - col("y.pos"))
           >= ceil(lit(threshold / (1 + threshold)) * (col("x.n_sh") + col("y.n_sh"))))
-        .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+        .select(least(col("x.id"), col("y.id")).as("doc_a"),
+          greatest(col("x.id"), col("y.id")).as("doc_b"))
         .dropDuplicates("doc_a", "doc_b").persist()
       System.err.println(s"  candidate pairs: ${c.count()}")
       c
