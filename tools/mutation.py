@@ -141,8 +141,8 @@ MUTANTS3 = [
      'val alpha = ceil(lit(threshold / (1 + threshold)) *',
      'val alpha = ceil(lit(threshold) *'),
     ("DD3", DEDUP, "length filter boundary >= -> >",
-     'col("y.n_sh") >= ceil(lit(threshold) * col("x.n_sh")) &&',
-     'col("y.n_sh") > ceil(lit(threshold) * col("x.n_sh")) &&'),
+     'col("x.n_sh") >= ceil(lit(threshold) * col("y.n_sh")) &&',
+     'col("x.n_sh") > ceil(lit(threshold) * col("y.n_sh")) &&'),
     ("DD4", DEDUP, "hashed-verify threshold >= -> >",
      '.filter(col("common") / (col("na") + col("nb") - col("common")) >= threshold)',
      '.filter(col("common") / (col("na") + col("nb") - col("common")) > threshold)'),
@@ -176,15 +176,66 @@ MUTANTS3 = [
 ]
 
 
+# batch 4: per-row sketch kernels + round-5 curation ops. Run with
+# `python3 tools/mutation.py 4`; focused suites in SUITES4.
+SKETCH = "src/main/scala/graft/functions/SketchExprs.scala"
+TA = "src/main/scala/graft/ops/TextAnalysis.scala"
+
+SUITES4 = [
+    "graft.SketchExprsSpec", "graft.DecontaminateSpec",
+    "graft.ChunkByTokensSpec", "graft.DedupSpec", "graft.SimhashMd5Spec",
+    "graft.JaccardExactnessSpec", "graft.OpsSpec",
+]
+
+MUTANTS4 = [
+    ("MS1", SKETCH, "minhash keeps MAX instead of min",
+     "if (v < out(s)) out(s) = v",
+     "if (v > out(s)) out(s) = v"),
+    ("MS2", SKETCH, "minhash seed family shifted by one",
+     "val v = XXH64.hashLong(h, s.toLong)",
+     "val v = XXH64.hashLong(h, (s + 1).toLong)"),
+    ("SH1", SKETCH, "simhash64 tie votes set the bit (> -> >=)",
+     """      if (votes(b) > 0) fp |= (1L << b)
+      b += 1""",
+     """      if (votes(b) >= 0) fp |= (1L << b)
+      b += 1"""),
+    ("SH2", SKETCH, "simhash64 votes per occurrence, not per distinct token",
+     """        if (seen.add(t)) {
+          val h = XXH64.hashUTF8String(t, 42L)""",
+     """        if ({ seen.add(t); true }) {
+          val h = XXH64.hashUTF8String(t, 42L)"""),
+    ("MD1", SKETCH, "md5 simhash nibble order swapped (high<->low)",
+     "val nib = if ((j & 1) == 0) byte >>> 4 else byte & 0xF",
+     "val nib = if ((j & 1) == 0) byte & 0xF else byte >>> 4"),
+    ("DC1", PIPE, "decontaminate inner-joins (clean docs vanish)",
+     'docGrams.join(benchGrams, Seq("__g"), "left")',
+     'docGrams.join(benchGrams, Seq("__g"), "inner")'),
+    ("DC2", PIPE, "decontaminate counts every gram as matched",
+     'count(col("__hit")).as("matched_grams"))',
+     'count(lit(1)).as("matched_grams"))'),
+    ("CK1", TA, "chunk windows all start at token 1 (stride ignored)",
+     'i => concat_ws(" ", slice(col("__toks"), i * stride + 1, lit(size))))))',
+     'i => concat_ws(" ", slice(col("__toks"), lit(1), lit(size))))))'),
+    ("CK2", TA, "partial tail chunk dropped",
+     "sequence(lit(0), floor((nTok - 1) / stride).cast(\"int\")),",
+     "sequence(lit(0), floor((nTok - size) / stride).cast(\"int\")),"),
+    ("DD7", DEDUP, "index-prefix length off-by-one (drop the +1)",
+     'col("x.n_sh") - ceil(lit(2 * threshold / (1 + threshold)) * col("x.n_sh")) + 1',
+     'col("x.n_sh") - ceil(lit(2 * threshold / (1 + threshold)) * col("x.n_sh"))'),
+]
+
+
 def run(cmd, timeout=900):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
                           timeout=timeout)
 
 
 def main():
-    batch3 = len(sys.argv) > 1 and sys.argv[1] == "3"
-    mutants = MUTANTS3 if batch3 else MUTANTS
-    suites = SUITES3 if batch3 else SUITES
+    batch = sys.argv[1] if len(sys.argv) > 1 else "1"
+    batch3 = batch == "3"
+    batch4 = batch == "4"
+    mutants = MUTANTS4 if batch4 else (MUTANTS3 if batch3 else MUTANTS)
+    suites = SUITES4 if batch4 else (SUITES3 if batch3 else SUITES)
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -212,6 +263,31 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch4:
+        marker = "\n## Batch 4 — per-row sketch kernels + round-5 curation ops\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants in the per-row MinHash/SimHash kernels (min",
+            "direction, seed family, vote tie, distinctness, nibble order),",
+            "the decontamination join/count, token-window chunking bounds,",
+            "and the AllPairs index-prefix length. Suites: the sketch",
+            "differential spec + decontam/chunk specs + dedup exactness.",
+            "",
+            f"**Batch-4 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-4 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch3:
         # merge: keep the batch-1/2 report, replace any prior batch-3 section
         marker = "\n## Batch 3 — dedup / similarity / text kernels\n"
