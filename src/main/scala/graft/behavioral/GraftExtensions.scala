@@ -50,5 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sequence_next_node(direction, base, ts, value, baseCond, ev1, ...) - next/prev value") {
       exprs => SequenceNextNodeAgg(exprs)
     }
+
+    // the pipeline scalar kernels (sketches, winnowing, intersection,
+    // dot product) share one builder list with the per-session
+    // PipelineFunctions.register path
+    graft.functions.PipelineFunctions.builders.foreach { case (name, b) =>
+      inject(name, s"$name(...) - graft pipeline kernel")(b)
+    }
   }
 }

@@ -346,12 +346,16 @@ object Dedup {
     verifyPairsExact(sh, cands, threshold)
   }
 
-  /** MinHash signature: array of `numHashes` minima of seeded xxHash64 over
-    * the shingle set. Fixed-size sketch per document. */
+  /** MinHash signature: array of `numHashes` minima of a seeded hash
+    * family over the shingle set — a fixed-size sketch per document.
+    * Shingle strings are hashed to 8 bytes once (xxhash64), then the
+    * per-seed minima come from the `minhash_signature` per-row kernel in
+    * ONE compiled pass (the per-seed `transform` + `array_min` chain this
+    * replaces re-walked the string array `numHashes` times through
+    * interpreted HOF lambdas). NULL/empty shingle sets → NULL. */
   def minhashSignature(sh: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => ColumnBridge.xxhash64(seed.toLong, s)))
-    }: _*)
+    ColumnBridge.column(graft.functions.MinhashSignature(
+      ColumnBridge.expression(transform(sh, s => xxhash64(s))), numHashes))
 
   /** MinHash + LSH banding + exact verification.
     * Returns (doc_a, doc_b, jaccard) with exact J >= threshold among LSH
