@@ -47,6 +47,116 @@ object StreamingBehavioral {
       .dropDuplicatesWithinWatermark("text_hash")
       .drop("text_hash")
 
+  /** One banded fingerprint row for the streaming near-dup dedup: `bucket`
+    * packs (band index, 16 fingerprint bits) so each of the 4 bands keys
+    * its own state partition. */
+  case class SimhashBandEvent(bucket: Long, doc_id: Long,
+      ts: java.sql.Timestamp, simhash: Long)
+
+  /** Per-band vote: was this doc within `maxDist` of anything previously
+    * seen in this band bucket? */
+  case class NearDupVote(doc_id: Long, ts: java.sql.Timestamp, dup: Boolean)
+
+  /** Fingerprints seen in one band bucket within the watermark horizon. */
+  case class BandState(sim: Array[Long], tsUs: Array[Long])
+
+  /** Streaming NEAR-duplicate suppression by SimHash Hamming distance —
+    * the streaming counterpart of `Dedup.simhashPairs`. A document is
+    * flagged `is_near_dup` iff a document within Hamming distance
+    * `maxDist` (≤ 3: the 4×16-bit pigeonhole bound, like the batch join)
+    * was seen earlier within the watermark horizon; suppression is
+    * seen-based (a suppressed doc still suppresses its own later
+    * near-dups), and — exactly like `streamingExactDedup` — the guarantee
+    * only spans the watermark: expired fingerprints are GC'd and a late
+    * near-dup of an expired doc re-emits as new.
+    *
+    * Shape: the fingerprint is the per-row `simhash64` kernel (no
+    * shuffle), each doc fans out to its 4 band buckets (the only
+    * exchange), per-bucket state is a pruned fingerprint list keyed by
+    * (band, 16 bits) — state cardinality is bounded by docs-in-horizon ×
+    * 4, spread over 2^18 bucket keys, with event-time timeout dropping
+    * idle buckets — and a final per-(doc, ts) aggregate ANDs the 4 band
+    * votes (multiple stateful operators in append mode). Output:
+    * (doc_id, ts, is_near_dup), emitted once the watermark passes ts.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false`: Spark's static check cannot see that the vote
+    * stage emits each row in the SAME micro-batch with its ORIGINAL
+    * event time (never late for the downstream aggregate), so it flags
+    * the flatMapGroupsWithState → aggregation chain as a possible
+    * late-row hazard. Documents arriving behind the watermark are
+    * dropped (the standard streaming-lateness contract).
+    */
+  def streamingSimhashDedup(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0,3] for the 4-band pigeonhole guarantee, got $maxDist")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.Simhash64(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              graft.ops.TextAnalysis.tokensWs(col(textCol))))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    val banded = fp.select(col("doc_id"), col("ts"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          lit(b.toLong << 16) + shiftrightunsigned(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL))): _*)).as("bucket"))
+      .withWatermark("ts", watermark)
+      .select(col("bucket"), col("doc_id"), col("ts"), col("simhash"))
+      .as[SimhashBandEvent]
+    val votes = banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BandState, NearDupVote](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, batch: Iterator[SimhashBandEvent], state: GroupState[BandState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sims = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val tss = scala.collection.mutable.ArrayBuffer.empty[Long]
+            state.getOption.foreach { s => sims ++= s.sim; tss ++= s.tsUs }
+            // deterministic within-batch order: earlier (ts, id) suppresses
+            val events = batch.toArray.sortBy(e =>
+              (e.ts.getTime, e.doc_id))
+            val out = events.map { e =>
+              var dup = false
+              var i = 0
+              while (!dup && i < sims.length) {
+                if (java.lang.Long.bitCount(sims(i) ^ e.simhash) <= maxDist)
+                  dup = true
+                i += 1
+              }
+              sims += e.simhash
+              tss += e.ts.getTime * 1000
+              NearDupVote(e.doc_id, e.ts, dup)
+            }
+            // GC: fingerprints behind the watermark can never suppress a
+            // future (non-late) document
+            val horizonUs = state.getCurrentWatermarkMs() * 1000
+            val keep = tss.indices.filter(i => tss(i) >= horizonUs)
+            if (keep.isEmpty) state.remove()
+            else {
+              state.update(BandState(keep.map(sims).toArray, keep.map(tss).toArray))
+              val maxTsMs = keep.map(i => tss(i) / 1000).max
+              state.setTimeoutTimestamp(
+                math.max(maxTsMs, state.getCurrentWatermarkMs()) + 1)
+            }
+            out.iterator
+          }
+      }
+    // AND the 4 band votes per (doc, ts): near-dup iff ANY band saw a
+    // within-distance prior fingerprint
+    votes.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(col("doc_id"), col("ts"))
+      .agg((max(col("dup").cast("int")) === 1).as("is_near_dup"))
+  }
+
   /** One input event for the streaming funnel: condition bitmask packed
     * exactly like the batch EventBuf (bit i = condition i). */
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, conds: Int)

@@ -247,3 +247,81 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingSimhashDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming simhash dedup flags near-dups within the watermark, keeps distinct docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the vote stage emits same-batch with original event times, which the
+    // static chained-stateful-operator check cannot prove (see scaladoc)
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.StreamingBehavioral
+      .streamingSimhashDedup(docs, maxDist = 3, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("simdedup_out")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), base),
+        (2L, ts("2024-01-01 00:01:00"), base), // identical -> hamming 0
+        (3L, ts("2024-01-01 00:02:00"),
+          "completely unrelated content about spark aggregation engines instead"))
+      q.processAllAvailable()
+      // doc 4: near-dup of doc 1 arriving in a LATER micro-batch
+      input.addData((4L, ts("2024-01-01 00:03:00"), base))
+      q.processAllAvailable()
+      // push the watermark far enough to flush all append results
+      input.addData((9L, ts("2024-01-01 02:00:00"), "watermark flush filler row"))
+      q.processAllAvailable()
+      val got = spark.table("simdedup_out")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_dup"))
+        .toMap
+      assert(got(1L) === false)
+      assert(got(2L) === true)  // same-batch near-dup of doc 1
+      assert(got(3L) === false) // distinct content
+      assert(got(4L) === true)  // cross-batch near-dup via band state
+    } finally q.stop()
+  }
+
+  test("simhash dedup state is watermark-bounded: near-dup after expiry is new again") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the vote stage emits same-batch with original event times, which the
+    // static chained-stateful-operator check cannot prove (see scaladoc)
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.StreamingBehavioral
+      .streamingSimhashDedup(docs, maxDist = 3, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("simdedup_expiry")
+      .outputMode("append").start()
+    try {
+      val base = "some boilerplate paragraph that web pages copy everywhere verbatim"
+      input.addData((1L, ts("2024-01-01 00:00:00"), base))
+      q.processAllAvailable()
+      // watermark sails far past 00:00 + 10min -> doc 1's fingerprints GC
+      input.addData((2L, ts("2024-01-01 03:00:00"), "totally different filler text here"))
+      q.processAllAvailable()
+      // the same text re-arrives AFTER expiry: new again (the contract)
+      input.addData((3L, ts("2024-01-01 03:05:00"), base))
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 06:00:00"), "final watermark flush row"))
+      q.processAllAvailable()
+      val got = spark.table("simdedup_expiry")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_dup"))
+        .toMap
+      assert(got(1L) === false)
+      assert(got(3L) === false, "expired fingerprint must not suppress")
+    } finally q.stop()
+  }
+}
