@@ -121,6 +121,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project"), p)
     assert(!p.contains("Exchange"), "doc-level map must not shuffle")
   }
+
+  test("q28: per-row simhash fingerprint plans with zero exchanges and no aggregate") {
+    val p = plan("q28_simhash")
+    // the kernel rewrite's whole point: a sketch that depends only on its
+    // own row must not explode + regroup (the old shape shuffled the full
+    // exploded token index through a 64-column aggregate)
+    assert(!p.contains("Exchange"), "per-row sketch must not shuffle:\n" + p)
+    assert(!p.contains("HashAggregate"), "per-row sketch must not aggregate:\n" + p)
+  }
+
+  test("minhash signature build is a pure projection (no exchange, no aggregate)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val sig = docs.select(col("doc_id"),
+      graft.ops.Dedup.minhashSignature(
+        graft.ops.Dedup.shingles(col("text")), 16).as("sig"))
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q51: benchmark gram set broadcasts; scan reads only id + text") {
+    val p = plan("q51_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the CORPUS must never shuffle by gram: its exchanges are the final
+    // map-side-combinable groupBy(id) only. The benchmark side may shuffle
+    // for its distinct — it is tiny by contract and feeds a broadcast.
+    val exchanges = "Exchange hashpartitioning\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.count(_.startsWith("__id")) === 1, p)
+    assert(exchanges.forall(k => k.startsWith("__id") || k.startsWith("__g")), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("lang#") && !p.contains("n_chars#"),
+      "decontaminate reads columns it never uses:\n" + p)
+  }
+
+  test("q52: token-window chunking is a pure per-row transform on a pruned scan") {
+    val p = plan("q52_chunks")
+    assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p)
+    assert(!p.contains("lang#") && !p.contains("source#"),
+      "chunking reads columns it never uses:\n" + p)
+  }
 }
 
 class IvfPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
