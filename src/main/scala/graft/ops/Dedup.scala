@@ -264,20 +264,21 @@ object Dedup {
     // Candidates are then verified with the exact intersection, so the
     // result is EXACT — identical to the naive all-pairs join.
     //
-    // The per-doc ranking runs as a HASH aggregate (collect + in-memory
-    // sort of each doc's ~n_sh postings + slice), not a row_number window:
-    // a window would sort every posting within each shuffle partition
-    // (sort-based, spillable at scale) to rank lists that individually fit
-    // in a cache line. Same one shuffle by id, no partition-wide sort.
+    // The per-doc ranking runs as a HASH aggregate over a BOUNDED top-k
+    // heap (`prefix_topk`), not a row_number window and not a
+    // collect_list: a window would sort every posting within each shuffle
+    // partition to rank lists that individually fit in a cache line, and
+    // a collect_list would buffer AND shuffle each doc's entire posting
+    // list just to slice a prefix from it. The heap keeps only the
+    // prefixLen globally-rarest (df, shingle) pairs per doc — O(prefixLen)
+    // buffer memory, and map-side partial aggregation ships at most
+    // prefixLen entries per (doc, partition) instead of every posting.
     //
-    // The hash aggregate buffers one doc's full posting list in a single
-    // aggregation row, so a pathological document (n_sh above
-    // MaxBufferedPrefixShingles) would concentrate an unbounded buffer in
-    // memory where a window sort spills. Guard: oversized docs take a
-    // sort-based row_number window over the SAME (df, shingle) order —
-    // identical prefix, spillable — and union back in. The common case
-    // (every doc under the cap) keeps the pure hash-aggregate plan; the
-    // window branch reads the reused exchange and ranks only the outliers.
+    // The oversized-document guard stays: docs above
+    // MaxBufferedPrefixShingles take a sort-based row_number window over
+    // the SAME (df, shingle) order — identical prefix, fully spillable —
+    // and union back in, so even a heap of prefixLen entries cannot
+    // concentrate an arbitrary buffer in one aggregation row.
     val df_ = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = inv.join(df_, "shingle")
     val prefixLen =
@@ -288,10 +289,11 @@ object Dedup {
       .filter(col("n_sh") <= MaxBufferedPrefixShingles)
       .groupBy(col("id"))
       .agg(first(col("n_sh")).as("n_sh"),
-        sort_array(collect_list(struct(col("df"), col("shingle")))).as("ps"))
-      .select(col("id"), col("n_sh"),
-        posexplode(slice(col("ps"), lit(1), prefixLen)))
-      .select(col("id"), col("n_sh"), col("col.shingle").as("shingle"),
+        ColumnBridge.column(graft.functions.PrefixTopK(
+          Seq(prefixLen.cast("long"), col("df"), col("shingle"))
+            .map(ColumnBridge.expression)).toAggregateExpression()).as("ps"))
+      .select(col("id"), col("n_sh"), posexplode(col("ps")))
+      .select(col("id"), col("n_sh"), col("col.h").as("shingle"),
         (col("pos") + 1).as("pos"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
