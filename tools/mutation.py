@@ -180,11 +180,12 @@ MUTANTS3 = [
 # `python3 tools/mutation.py 4`; focused suites in SUITES4.
 SKETCH = "src/main/scala/graft/functions/SketchExprs.scala"
 TA = "src/main/scala/graft/ops/TextAnalysis.scala"
+PTK = "src/main/scala/graft/functions/PrefixTopK.scala"
 
 SUITES4 = [
     "graft.SketchExprsSpec", "graft.DecontaminateSpec",
     "graft.ChunkByTokensSpec", "graft.DedupSpec", "graft.SimhashMd5Spec",
-    "graft.JaccardExactnessSpec", "graft.OpsSpec",
+    "graft.JaccardExactnessSpec", "graft.OpsSpec", "graft.PrefixTopKSpec",
 ]
 
 MUTANTS4 = [
@@ -222,6 +223,12 @@ MUTANTS4 = [
     ("DD7", DEDUP, "index-prefix length off-by-one (drop the +1)",
      'col("x.n_sh") - ceil(lit(2 * threshold / (1 + threshold)) * col("x.n_sh")) + 1',
      'col("x.n_sh") - ceil(lit(2 * threshold / (1 + threshold)) * col("x.n_sh"))'),
+    ("PT1", PTK, "heap tie-break inverted on equal df",
+     "d1 < d2 || (d1 == d2 && h1 < h2)",
+     "d1 < d2 || (d1 == d2 && h1 > h2)"),
+    ("PT2", PTK, "heap keeps the k LARGEST (eviction comparison flipped)",
+     "} else if (k > 0 && less(df, h, dfs(0), hs(0))) {",
+     "} else if (k > 0 && less(dfs(0), hs(0), df, h)) {"),
 ]
 
 
