@@ -560,6 +560,22 @@ object SparkEntry {
         size = 8, stride = 4)
     },
 
+    // ---- LLM pipeline: batched exact top-k similarity search ------------
+    // every 100th vector is a probe; per-query top-5 over the rest via the
+    // score_topk bounded-heap aggregate (no window sort, no join node)
+    "q53_batch_topk" -> { (s, dir) =>
+      prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      ops.Similarity.batchTopK(
+        emb.filter(col("vec_id") % 100 =!= 0),
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv")),
+        k = 5)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+    },
+
     // ---- registered SQL surface, exercised as SQL TEXT ------------------
     // the other behavioral queries go through the Column API; this one
     // pins the spark.sql(...) string path end-to-end — FunctionRegistry
@@ -1157,6 +1173,23 @@ object SparkEntry {
         |  array_to_string(toks[chunk_idx * 4 + 1 : chunk_idx * 4 + 8], ' ') AS chunk_text,
         |  CAST(least(8, n - chunk_idx * 4) AS BIGINT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+
+    // per-query rank by (sim desc, id asc) — the heap aggregate's order
+    "q53_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 100 <> 0),
+        |s AS (SELECT q.qid, c.vec_id,
+        |        list_dot_product(v, qv)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |      FROM c CROSS JOIN q),
+        |r AS (SELECT qid, vec_id, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        |  CAST(round(sim, 6) AS DOUBLE) AS sim
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // q45's md5-nibble bucket, gated per-source
     "q50_source_mix" -> {

@@ -64,6 +64,16 @@ object PipelineFunctions {
       require(exprs.length == 2,
         "sorted_intersect_count_long(sorted_array, sorted_array)")
       SortedIntersectCountLong(exprs(0), exprs(1))
+    },
+    // bounded top-k heap AGGREGATES (the registry accepts AggregateFunction
+    // builders directly, like the behavioral family)
+    "prefix_topk" -> { exprs =>
+      require(exprs.length == 3, "prefix_topk(k, df, h)")
+      PrefixTopK(exprs)
+    },
+    "score_topk" -> { exprs =>
+      require(exprs.length == 3, "score_topk(k, score, id)")
+      ScoreTopK(exprs)
     })
 
   private def litInt(e: Expression, what: String): Int = e match {

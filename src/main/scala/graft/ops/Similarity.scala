@@ -52,6 +52,58 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
+  /** Exact BATCHED top-k: the k nearest corpus vectors (cosine, ties by
+    * ascending id) for EVERY query in `queries` at once — the realistic
+    * serving/eval shape (a batch of probe embeddings against a huge
+    * corpus). Output: (qid, rank, idCol, sim), rank 1-based.
+    *
+    * Scale shape: the query batch is collected to the driver (bounded
+    * state, the same exception as the IVF coarse quantizer — a query
+    * batch is thousands of vectors, not billions) and attached as ONE
+    * literal array, so the corpus side has NO join node: one codegen'd
+    * pass computes Q sims per corpus row, and the per-query top-k runs
+    * as the `score_topk` bounded-heap aggregate — map-side partials keep
+    * at most k entries per (query, partition), the one shuffle carries
+    * Q × k × partitions rows regardless of corpus size, and no
+    * partition-wide sort ever runs (a row_number window would sort
+    * N × Q rows in Q skewed partitions). For very large query batches,
+    * chunk the batch or use `ivfTopK` per query. */
+  def batchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qs = queries.select(col(qidCol).cast("long"), col(qvecCol)).collect()
+    if (qs.isEmpty) {
+      return corpus.sparkSession.emptyDataFrame
+        .withColumn("qid", lit(0L)).withColumn("rank", lit(0L))
+        .withColumn(idCol, lit(0L)).withColumn("sim", lit(0.0))
+        .limit(0)
+    }
+    // query norms precomputed on the driver, corpus norms once per row
+    // BEFORE the explode — per (row, query) work is one dot product, and
+    // sqrt(v·v) * sqrt(q·q) is the oracle's own arithmetic shape
+    val qLit = array(qs.map { r =>
+      val v = r.getSeq[Double](1)
+      struct(lit(r.getLong(0)).as("qid"),
+        array(v.map(lit): _*).as("qv"),
+        lit(math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))).as("qn"))
+    }: _*)
+    val scored = corpus
+      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__nrm"))
+      .select(col("__cid"), col("__nrm"), col("__v"), explode(qLit).as("q"))
+      .select(col("q.qid").as("qid"), col("__cid"),
+        (dot(col("__v"), col("q.qv")) / (col("__nrm") * col("q.qn"))).as("sim"))
+    val topk = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ScoreTopK(Seq(lit(k.toLong), col("sim"), col("__cid"))
+        .map(org.apache.spark.sql.graftbridge.ColumnBridge.expression))
+        .toAggregateExpression())
+    scored.groupBy(col("qid")).agg(topk.as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").as("sim"))
+  }
+
   /** Exact all-pairs self-join with cosine >= threshold. O(n²) — the
     * verification baseline; use `lshSelfJoin` when n is large.
     * Norms are computed once per vector BEFORE the join (n sqrt+dot calls,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+
+class ScoreTopKSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def topk(k: Int, s: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column) =
+    ColumnBridge.column(graft.functions.ScoreTopK(
+      Seq(lit(k.toLong), s, id).map(ColumnBridge.expression)).toAggregateExpression())
+
+  test("keeps the k largest scores, ordered (score desc, id asc); ties prefer smaller id") {
+    val df = Seq((1L, 0.9, 10L), (1L, 0.9, 3L), (1L, 0.5, 1L), (1L, 0.99, 7L),
+      (1L, 0.1, 2L)).toDF("g", "s", "id")
+    val got = df.groupBy("g").agg(topk(3, col("s"), col("id")).as("t"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got === Seq((0.99, 7L), (0.9, 3L), (0.9, 10L)))
+  }
+
+  test("partial heaps across partitions merge to the global top-k") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map(i => (1L, rnd.nextDouble(), i.toLong))
+    val got = rows.toDF("g", "s", "id").repartition(32)
+      .groupBy("g").agg(topk(10, col("s"), col("id")).as("t"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val want = rows.map(r => (r._2, r._3)).sortBy(r => (-r._1, r._2)).take(10)
+    assert(got === want)
+  }
+}
+
+class BatchTopKSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  test("batchTopK per query == bruteTopK run separately per query") {
+    val corpus = vecs(80, 8, 1).toDF("vec_id", "v")
+    val queries = vecs(3, 8, 2).map { case (i, v) => (i + 100L, v) }
+      .toDF("qid", "qv")
+    val batched = Similarity.batchTopK(corpus, queries, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))))
+      .toMap
+    for (q <- queries.collect()) {
+      val single = Similarity.bruteTopK(corpus,
+          Seq(Tuple1(q.getSeq[Double](1))).toDF("qv"), k = 5)
+        .collect()
+      single.zipWithIndex.foreach { case (row, i) =>
+        val (gotId, gotSim) = batched((q.getLong(0), i + 1L))
+        assert(gotId === row.getAs[Long]("vec_id"))
+        assert(math.abs(gotSim - row.getAs[Double]("sim")) < 1e-12)
+      }
+    }
+  }
+
+  test("no join node: the corpus side plans as generate + aggregate only") {
+    val corpus = vecs(20, 4, 3).toDF("vec_id", "v")
+    val queries = vecs(2, 4, 4).toDF("qid", "qv")
+    val p = Similarity.batchTopK(corpus, queries, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("empty query batch returns an empty frame") {
+    val corpus = vecs(5, 4, 5).toDF("vec_id", "v")
+    val queries = Seq.empty[(Long, Seq[Double])].toDF("qid", "qv")
+    assert(Similarity.batchTopK(corpus, queries, k = 3).count() === 0)
+  }
+}
