@@ -576,6 +576,15 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     },
 
+    // ---- LLM pipeline: deterministic sequence packing --------------------
+    // 8 buckets / 512-token sequences on the test corpus; real runs size
+    // buckets so one bucket's tokens fit a task
+    "q54_pack" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Pipeline.packSequences(Tables.load(s, dir, "documents"),
+        seqLen = 512, buckets = 8)
+    },
+
     // ---- registered SQL surface, exercised as SQL TEXT ------------------
     // the other behavioral queries go through the Column API; this one
     // pins the spark.sql(...) string path end-to-end — FunctionRegistry
@@ -1190,6 +1199,24 @@ object SparkEntry {
         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
         |  CAST(round(sim, 6) AS DOUBLE) AS sim
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // q45's md5-nibble bucket sharded % 8, then a per-bucket running sum
+    // in doc_id order — the concatenate-and-chop layout
+    "q54_pack" -> {
+      def nib(j: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $j, 1)) - 1)"
+      s"""WITH t AS (SELECT doc_id,
+         |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |        CAST((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 8 AS BIGINT) AS bucket
+         |      FROM documents),
+         |w AS (SELECT doc_id, bucket, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens AS start
+         |      FROM t)
+         |SELECT doc_id, bucket, n_tokens, CAST(start AS BIGINT) AS start,
+         |  CAST(floor(start / 512) AS BIGINT) AS seq_idx,
+         |  CAST(start % 512 AS BIGINT) AS offset
+         |FROM w""".stripMargin
+    },
 
     // q45's md5-nibble bucket, gated per-source
     "q50_source_mix" -> {

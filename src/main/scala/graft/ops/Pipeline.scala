@@ -161,6 +161,38 @@ object Pipeline {
         (col("matched_grams") > 0).as("contaminated"))
   }
 
+  /** Deterministic sequence packing (the concatenate-and-chop training
+    * layout): documents are concatenated in a deterministic order and
+    * chopped into fixed `seqLen`-token training sequences; each doc's row
+    * reports where its tokens land — (bucket, start, seq_idx, offset):
+    * the doc's first token is token `start` of its bucket's stream, i.e.
+    * token `offset` of sequence `seq_idx`. A doc may straddle sequences
+    * (standard GPT-style packing; no padding is modeled).
+    *
+    * Scale shape: packing is inherently sequential, so the corpus is
+    * sharded into `buckets` independent streams by an md5 bucket of the
+    * id (the same seedless hash as `sampleDeterministic` — rerun-stable,
+    * engine-reproducible) and each bucket packs independently: one
+    * shuffle by bucket, one within-bucket sort (Spark's spillable window
+    * path), no global sort, no driver state. Size `buckets` so a
+    * bucket's docs fit a task (corpus_tokens / buckets ≈ 10-100M). */
+  def packSequences(docs: DataFrame, seqLen: Int, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % buckets).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+    docs.select(col(idCol),
+        size(TextAnalysis.tokensWs(col(textCol))).cast("long").as("n_tokens"),
+        bucket.as("bucket"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("bucket"), col("n_tokens"), col("start"),
+        floor(col("start") / seqLen).as("seq_idx"),
+        (col("start") % seqLen).as("offset"))
+  }
+
   /** Deterministic per-language token-budget sampling: rank each
     * language's documents by quality (doc_id tie-break), and keep docs
     * while the language's cumulative token count stays within `budget` —

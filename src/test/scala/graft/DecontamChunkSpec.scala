@@ -94,3 +94,44 @@ class ChunkByTokensSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 }
+
+class PackSequencesSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("concatenate-and-chop: starts accumulate in doc_id order, docs straddle") {
+    // one bucket so the stream order is just doc_id order
+    val docs = Seq(
+      (1L, "a b c"),          // 3 tokens, start 0
+      (2L, "d e f g"),        // 4 tokens, start 3
+      (3L, "h i")             // 2 tokens, start 7 -> seq 1 at offset 2 (seqLen 5)
+    ).toDF("doc_id", "text")
+    val got = Pipeline.packSequences(docs, seqLen = 5, buckets = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start"),
+        r.getAs[Long]("seq_idx"), r.getAs[Long]("offset")))
+    assert(got.toSeq === Seq((1L, 0L, 0L, 0L), (2L, 3L, 0L, 3L), (3L, 7L, 1L, 2L)))
+  }
+
+  test("packing is deterministic and buckets partition the corpus") {
+    val docs = (0 until 200).map(i => (i.toLong, s"tok$i " * (1 + i % 7)))
+      .toDF("doc_id", "text")
+    val a = Pipeline.packSequences(docs, 64, buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("bucket"), r.getAs[Long]("start"))).sorted
+    val b = Pipeline.packSequences(docs, 64, buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("bucket"), r.getAs[Long]("start"))).sorted
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_._2).distinct.length > 1) // really sharded
+    // within a bucket, starts are the exclusive prefix sums of n_tokens
+    val byBucket = Pipeline.packSequences(docs, 64, buckets = 8).collect()
+      .groupBy(_.getAs[Long]("bucket"))
+    for ((_, rows) <- byBucket) {
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("start") === cum)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+}
