@@ -121,6 +121,30 @@ object Drive {
     graft.ops.Similarity.bruteTopK(
       emb.filter(col("vec_id") =!= 0),
       emb.filter(col("vec_id") === 0).select(col("v").as("qv")), 5).show(false)
+    println("-- batched top-3 for 2 probe vectors at once:")
+    graft.ops.Similarity.batchTopK(
+      emb.filter(col("vec_id") > 1),
+      emb.filter(col("vec_id") <= 1).select(col("vec_id").as("qid"), col("v").as("qv")),
+      k = 3).orderBy("qid", "rank").show(false)
+    println("-- benchmark decontamination (every 20th doc is the benchmark):")
+    graft.ops.Pipeline.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 5)
+      .orderBy(col("contaminated").desc, col("doc_id")).show(5, false)
+    println("-- token-window chunks (size 8 / stride 4) of doc 0:")
+    graft.ops.TextAnalysis.chunkByTokens(
+        docs.filter(col("doc_id") === 0), size = 8, stride = 4)
+      .show(4, false)
+    println("-- sequence packing (512-token sequences, 4 buckets):")
+    graft.ops.Pipeline.packSequences(docs, seqLen = 512, buckets = 4)
+      .orderBy("bucket", "start").show(5, false)
+    println("-- pipeline kernels via SQL text:")
+    graft.functions.PipelineFunctions.register(spark)
+    docs.createOrReplaceTempView("docs_v")
+    spark.sql(
+      """SELECT doc_id, simhash_md5_hex(split(trim(text), '\\s+')) AS fp,
+        |       winnow_fingerprint(text, 8, 4)[0] AS first_winnow
+        |FROM docs_v ORDER BY doc_id LIMIT 3""".stripMargin).show(false)
     graft.ops.OpCaches.unpersistAll()
 
     println("=== SparkEntry.entry flagship (driver smoke) ===")

@@ -23,6 +23,24 @@ class ScoreTopKSpec extends AnyFunSuite {
     assert(got === Seq((0.99, 7L), (0.9, 3L), (0.9, 10L)))
   }
 
+  test("a score tie straddling the k boundary keeps the SMALLER id") {
+    // the tie-break is only observable when equal scores compete for the
+    // last kept slot (a mutation-run survivor found this gap: the ordering
+    // of the OUTPUT hides which tied entry was evicted unless k cuts
+    // through the tie)
+    val df = Seq((1L, 0.99, 7L), (1L, 0.9, 10L), (1L, 0.9, 3L))
+      .toDF("g", "s", "id")
+    val got = df.coalesce(1).groupBy("g").agg(topk(2, col("s"), col("id")).as("t"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got === Seq((0.99, 7L), (0.9, 3L)))
+    // and the same through the merge path (tied entries in separate partials)
+    val got2 = df.repartition(3).groupBy("g").agg(topk(2, col("s"), col("id")).as("t"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got2 === Seq((0.99, 7L), (0.9, 3L)))
+  }
+
   test("partial heaps across partitions merge to the global top-k") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 4000).map(i => (1L, rnd.nextDouble(), i.toLong))

@@ -181,11 +181,13 @@ MUTANTS3 = [
 SKETCH = "src/main/scala/graft/functions/SketchExprs.scala"
 TA = "src/main/scala/graft/ops/TextAnalysis.scala"
 PTK = "src/main/scala/graft/functions/PrefixTopK.scala"
+STK = "src/main/scala/graft/functions/ScoreTopK.scala"
 
 SUITES4 = [
     "graft.SketchExprsSpec", "graft.DecontaminateSpec",
     "graft.ChunkByTokensSpec", "graft.DedupSpec", "graft.SimhashMd5Spec",
     "graft.JaccardExactnessSpec", "graft.OpsSpec", "graft.PrefixTopKSpec",
+    "graft.ScoreTopKSpec", "graft.BatchTopKSpec", "graft.PackSequencesSpec",
 ]
 
 MUTANTS4 = [
@@ -229,6 +231,12 @@ MUTANTS4 = [
     ("PT2", PTK, "heap keeps the k LARGEST (eviction comparison flipped)",
      "} else if (k > 0 && less(df, h, dfs(0), hs(0))) {",
      "} else if (k > 0 && less(dfs(0), hs(0), df, h)) {"),
+    ("ST1", STK, "score heap tie-break prefers LARGER id",
+     "s1 < s2 || (s1 == s2 && i1 > i2)",
+     "s1 < s2 || (s1 == s2 && i1 < i2)"),
+    ("ST2", STK, "score heap keeps the k WORST (eviction flipped)",
+     "} else if (k > 0 && worse(scores(0), ids(0), score, id)) {",
+     "} else if (k > 0 && worse(score, id, scores(0), ids(0))) {"),
 ]
 
 
