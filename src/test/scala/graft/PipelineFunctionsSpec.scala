@@ -73,6 +73,23 @@ class PipelineFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(2) === 2)
   }
 
+  test("score_topk and prefix_topk work as SQL-text aggregates") {
+    Seq((1L, 0.9, 10L), (1L, 0.7, 3L), (1L, 0.99, 7L))
+      .toDF("g", "s", "id").createOrReplaceTempView("pf_scores")
+    val top = spark.sql(
+      "SELECT score_topk(2L, s, id) AS t FROM pf_scores GROUP BY g")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top === Seq((0.99, 7L), (0.9, 10L)))
+    Seq((1L, 5L, 100L), (1L, 2L, 200L), (1L, 9L, 300L))
+      .toDF("g", "df", "h").createOrReplaceTempView("pf_posts")
+    val pre = spark.sql(
+      "SELECT prefix_topk(2L, df, h) AS t FROM pf_posts GROUP BY g")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pre === Seq((2L, 200L), (5L, 100L)))
+  }
+
   test("non-literal static parameter fails analysis with a clear message") {
     docs.createOrReplaceTempView("pf_docs")
     val e = intercept[Exception] {
