@@ -67,12 +67,22 @@ object Similarity {
     * Q × k × partitions rows regardless of corpus size, and no
     * partition-wide sort ever runs (a row_number window would sort
     * N × Q rows in Q skewed partitions). For very large query batches,
-    * chunk the batch or use `ivfTopK` per query. */
+    * chunk the batch or use `ivfTopK` per query. Zero-norm vectors yield
+    * NaN cosines (0/0); NaN compares false against everything, so such a
+    * row can occupy a top-k slot it doesn't deserve — filter zero-norm
+    * embeddings upstream if the corpus can contain them. */
   def batchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "v",
       qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val qs = queries.select(col(qidCol).cast("long"), col(qvecCol)).collect()
+    // the batch becomes a literal in every task's plan: dim × |batch|
+    // doubles. Bound it so a mistaken full-table "batch" fails fast
+    // instead of OOMing the driver or generating a megabyte plan — chunk
+    // the batch (union the results) or switch to ivfTopK beyond this.
+    require(qs.length <= 4096,
+      s"batchTopK got ${qs.length} query vectors; chunk the batch to <= 4096 " +
+        "per call (results union cleanly) or use ivfTopK")
     if (qs.isEmpty) {
       return corpus.sparkSession.emptyDataFrame
         .withColumn("qid", lit(0L)).withColumn("rank", lit(0L))
