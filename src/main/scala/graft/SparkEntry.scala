@@ -585,6 +585,16 @@ object SparkEntry {
         seqLen = 512, buckets = 8)
     },
 
+    // ---- LLM pipeline: unigram LM quality score --------------------------
+    // vocab 500 so the OOV floor path is exercised on this corpus
+    "q55_lm_quality" -> { (s, dir) =>
+      prep(s, dir)
+      ops.TextAnalysis.lmQuality(Tables.load(s, dir, "documents"),
+          vocabSize = 500)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+    },
+
     // ---- registered SQL surface, exercised as SQL TEXT ------------------
     // the other behavioral queries go through the Column API; this one
     // pins the spark.sql(...) string path end-to-end — FunctionRegistry
@@ -1217,6 +1227,19 @@ object SparkEntry {
          |  CAST(start % 512 AS BIGINT) AS offset
          |FROM w""".stripMargin
     },
+
+    // corpus unigram distribution, top-500 vocab cut, OOV floor 1/total
+    "q55_lm_quality" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM c),
+        |v AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 500)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(coalesce(v.cnt, 1) AS DOUBLE) / (SELECT total FROM tot))), 6)
+        |    AS avg_logprob
+        |FROM t LEFT JOIN v ON t.tok = v.tok
+        |GROUP BY t.doc_id""".stripMargin,
 
     // q45's md5-nibble bucket, gated per-source
     "q50_source_mix" -> {

@@ -140,6 +140,50 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  // ---- unigram LM scoring (CCNet-style quality filtering, simplified) ----
+
+  /** Per-document average unigram log-probability under the corpus's own
+    * (lowercased) token distribution — the simplified form of CCNet-style
+    * LM quality filtering: natural text scores near the corpus average,
+    * gibberish and boilerplate-with-rare-tokens score low, a top-`
+    * vocabSize` cut keeps the model bounded. p(tok) = cnt/total for the
+    * top-`vocabSize` tokens (count desc, token asc — a total order, so
+    * the cut is deterministic); out-of-vocabulary tokens get the floor
+    * 1/total. Output: (idCol, n_tokens, avg_logprob). NULL-text docs are
+    * omitted.
+    *
+    * Scale shape: one explode + map-side-combinable count for the vocab
+    * (Zipf heads pre-combine per partition), a driver-side top-K cut
+    * (vocabSize rows — bounded, like the IVF centroids), then the corpus
+    * pass is explode → BROADCAST join against the vocab → one
+    * map-side-combinable groupBy(id); the corpus is never shuffled by
+    * token. */
+  def lmQuality(docs: org.apache.spark.sql.DataFrame, vocabSize: Int = 50000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = docs.select(col(idCol).as("__id"),
+        explode(tokensWs(lower(col(textCol)))).as("__tok"))
+    val counted = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    // the scalar total counts ALL tokens (not just the kept vocab), so
+    // probabilities are true corpus frequencies and the OOV floor 1/total
+    // is below every kept token's probability
+    val total = counted.agg(sum(col("__cnt"))).first().getLong(0)
+    if (total == 0L) {
+      return docs.sparkSession.emptyDataFrame
+        .withColumn(idCol, lit(0L)).withColumn("n_tokens", lit(0L))
+        .withColumn("avg_logprob", lit(0.0)).limit(0)
+    }
+    val vocab = broadcast(
+      counted.orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize))
+    toks.join(vocab, Seq("__tok"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(coalesce(col("__cnt"), lit(1L)).cast("double") / total))
+          .as("avg_logprob"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("avg_logprob"))
+  }
+
   // ---- repetition signals (Gopher-style quality rules) ------------------
 
   /** Repetition signals over a BOUND token-array column:

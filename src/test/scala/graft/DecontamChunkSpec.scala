@@ -135,3 +135,32 @@ class PackSequencesSpec extends AnyFunSuite {
     }
   }
 }
+
+class LmQualitySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("in-vocab docs score higher than OOV-heavy docs; probabilities are corpus freqs") {
+    // 'common' appears 6x (4 + 2), rare tokens once each; total = 12 tokens
+    val docs = Seq(
+      (1L, "common common common common"),           // all in-vocab
+      (2L, "common common rare1 rare2"),             // half rare
+      (3L, "rare3 rare4 rare5 rare6")                // all OOV under vocab 1
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.lmQuality(docs, vocabSize = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob")))).toMap
+    assert(got(1L)._1 === 4L)
+    // doc1: avg(ln(6/12)); doc3: avg(ln(1/12)) — OOV floor
+    assert(math.abs(got(1L)._2 - math.log(6.0 / 12)) < 1e-12)
+    assert(math.abs(got(3L)._2 - math.log(1.0 / 12)) < 1e-12)
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
+  test("vocab joins as a broadcast; corpus never shuffles by token") {
+    val docs = Seq((1L, "a b c"), (2L, "a d")).toDF("doc_id", "text")
+    val p = graft.ops.TextAnalysis.lmQuality(docs, vocabSize = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
