@@ -188,6 +188,7 @@ SUITES4 = [
     "graft.ChunkByTokensSpec", "graft.DedupSpec", "graft.SimhashMd5Spec",
     "graft.JaccardExactnessSpec", "graft.OpsSpec", "graft.PrefixTopKSpec",
     "graft.ScoreTopKSpec", "graft.BatchTopKSpec", "graft.PackSequencesSpec",
+    "graft.LmQualitySpec",
 ]
 
 MUTANTS4 = [
@@ -237,6 +238,12 @@ MUTANTS4 = [
     ("ST2", STK, "score heap keeps the k WORST (eviction flipped)",
      "} else if (k > 0 && worse(scores(0), ids(0), score, id)) {",
      "} else if (k > 0 && worse(score, id, scores(0), ids(0))) {"),
+    ("LM1", TA, "lmQuality OOV floor dropped (OOV counts as frequency 0... NULL)",
+     'avg(log(coalesce(col("__cnt"), lit(1L)).cast("double") / total))',
+     'avg(log(col("__cnt").cast("double") / total))'),
+    ("LM2", TA, "lmQuality vocab cut keeps the RAREST tokens",
+     'counted.orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize))',
+     'counted.orderBy(col("__cnt").asc, col("__tok")).limit(vocabSize))'),
 ]
 
 
