@@ -87,6 +87,14 @@ class ChunkByTokensSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("a b", "c d", "e f"))
   }
 
+  test("stride > size SAMPLES windows: tokens between windows are skipped") {
+    val doc = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(doc, size = 2, stride = 4)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    // windows start at tokens 1, 5, 9 — c/d and g/h never appear
+    assert(got.toSeq === Seq("a b", "e f", "i j"))
+  }
+
   test("chunking is a pure per-row transform: no exchange in the plan") {
     val doc = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val plan = TextAnalysis.chunkByTokens(doc, size = 2, stride = 2)
@@ -111,6 +119,17 @@ class PackSequencesSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start"),
         r.getAs[Long]("seq_idx"), r.getAs[Long]("offset")))
     assert(got.toSeq === Seq((1L, 0L, 0L, 0L), (2L, 3L, 0L, 3L), (3L, 7L, 1L, 2L)))
+  }
+
+  test("seqLen 1 degenerates to one sequence per token; offsets always 0") {
+    val docs = Seq((1L, "a b c"), (2L, "d")).toDF("doc_id", "text")
+    val got = Pipeline.packSequences(docs, seqLen = 1, buckets = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start"),
+        r.getAs[Long]("seq_idx"), r.getAs[Long]("offset")))
+    // every token starts its own sequence: seq_idx == start, offset == 0
+    assert(got.forall { case (_, start, seqIdx, off) =>
+      seqIdx == start && off == 0L })
   }
 
   test("packing is deterministic and buckets partition the corpus") {
