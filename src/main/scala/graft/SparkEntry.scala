@@ -585,6 +585,24 @@ object SparkEntry {
         seqLen = 512, buckets = 8)
     },
 
+    // ---- LLM pipeline: batched IVF top-k (full probe -> exact) -----------
+    // same probe/corpus split as q53; full-probe batched IVF must equal
+    // the exact batch, so the brute-force oracle covers the whole
+    // cell-assign + probe + per-cell-scoring + heap pipeline
+    "q56_ivf_batch" -> { (s, dir) =>
+      prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (indexed, centroids) = ops.Similarity.ivfIndex(
+        emb.filter(col("vec_id") % 100 =!= 0), nCells = 8, iterations = 2)
+      ops.Similarity.ivfBatchTopK(indexed, centroids,
+          emb.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("v").as("qv")),
+          k = 5, nProbe = 8)
+        .select(col("qid"), col("rank"), col("id").as("vec_id"),
+          round(col("sim"), 6).as("sim"))
+    },
+
     // ---- LLM pipeline: unigram LM quality score --------------------------
     // vocab 500 so the OOV floor path is exercised on this corpus
     "q55_lm_quality" -> { (s, dir) =>
@@ -1195,6 +1213,23 @@ object SparkEntry {
 
     // per-query rank by (sim desc, id asc) — the heap aggregate's order
     "q53_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 100 <> 0),
+        |s AS (SELECT q.qid, c.vec_id,
+        |        list_dot_product(v, qv)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |      FROM c CROSS JOIN q),
+        |r AS (SELECT qid, vec_id, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        |  CAST(round(sim, 6) AS DOUBLE) AS sim
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // full-probe batched IVF is exact: same oracle as the brute-force batch
+    "q56_ivf_batch" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id % 100 = 0),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

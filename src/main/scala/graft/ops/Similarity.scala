@@ -246,6 +246,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF top-k: every query in `queries` at once against a
+    * cell-indexed corpus. Per-query probe cells are computed on the driver
+    * (centroids are already driver state); the scan filters to the UNION
+    * of all probed cells — on cell-partitioned storage that is partition
+    * pruning, so the read touches only the probed fraction of the bytes —
+    * then each surviving row scores ONLY against the queries that probed
+    * its cell (an `array_contains` guard on the per-query cell list), and
+    * per-query top-k runs as the `score_topk` bounded heap, exactly like
+    * `batchTopK`. With nProbe = nCells this is exact and equals
+    * `batchTopK`; smaller nProbe trades recall for scan fraction.
+    * Output: (qid, rank, idCol, sim). */
+  def ivfBatchTopK(indexed: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, k: Int, nProbe: Int, idCol: String = "id",
+      qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"k and nProbe must be >= 1, got k=$k nProbe=$nProbe")
+    val qs = queries.select(col(qidCol).cast("long"), col(qvecCol)).collect()
+    require(qs.length <= 4096,
+      s"ivfBatchTopK got ${qs.length} query vectors; chunk the batch to <= 4096 per call")
+    if (qs.isEmpty) {
+      return indexed.sparkSession.emptyDataFrame
+        .withColumn("qid", lit(0L)).withColumn("rank", lit(0L))
+        .withColumn(idCol, lit(0L)).withColumn("sim", lit(0.0)).limit(0)
+    }
+    def probesOf(q: Seq[Double]): Array[Int] =
+      centroids.zipWithIndex.sortBy { case (c, _) =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { val t = c(i) - q(i); s += t * t; i += 1 }
+        s
+      }.take(nProbe).map(_._2)
+    val perQuery = qs.map { r =>
+      val v = r.getSeq[Double](1)
+      (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x)), probesOf(v))
+    }
+    val allCells = perQuery.flatMap(_._4).distinct.sorted
+    val qLit = array(perQuery.map { case (qid, v, qn, cells) =>
+      struct(lit(qid).as("qid"), array(v.map(lit): _*).as("qv"),
+        lit(qn).as("qn"), array(cells.map(lit): _*).as("cells"))
+    }: _*)
+    val scored = indexed
+      .filter(col("cell").isin(allCells.map(Integer.valueOf): _*))
+      .select(col(idCol).cast("long").as("__cid"), col("v").as("__v"),
+        col("cell"), sqrt(dot(col("v"), col("v"))).as("__nrm"))
+      .select(col("__cid"), col("__v"), col("__nrm"), col("cell"),
+        explode(qLit).as("q"))
+      .filter(array_contains(col("q.cells"), col("cell")))
+      .select(col("q.qid").as("qid"), col("__cid"),
+        (dot(col("__v"), col("q.qv")) / (col("__nrm") * col("q.qn"))).as("sim"))
+    val topk = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ScoreTopK(Seq(lit(k.toLong), col("sim"), col("__cid"))
+        .map(org.apache.spark.sql.graftbridge.ColumnBridge.expression))
+        .toAggregateExpression())
+    scored.groupBy(col("qid")).agg(topk.as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").as("sim"))
+  }
+
   /** Writes the IVF-indexed corpus PARTITIONED BY cell: queries that filter
     * on the probed cells then PRUNE partitions at the file listing — the
     * read-side scan touches only nProbe/nCells of the stored bytes, which

@@ -92,6 +92,50 @@ class BatchTopKSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("batched IVF at full probe == exact batchTopK; partial probe == per-query ivfTopK") {
+    val corpus = vecs(60, 6, 6).toDF("vec_id", "v")
+    val queries = vecs(3, 6, 7).map { case (i, v) => (i + 500L, v) }.toDF("qid", "qv")
+    val (indexed, centroids) = Similarity.ivfIndex(corpus, nCells = 4, iterations = 2)
+    // full probe: exact
+    val full = Similarity.ivfBatchTopK(indexed, centroids, queries, k = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("id"))).sorted
+    val exact = Similarity.batchTopK(corpus, queries, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("vec_id"))).sorted
+    assert(full.toSeq === exact.toSeq)
+    // partial probe: must agree with the single-query IVF path per query
+    val partial = Similarity.ivfBatchTopK(indexed, centroids, queries, k = 4, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("id")).toMap
+    for (q <- queries.collect()) {
+      val single = Similarity.ivfTopK(indexed, centroids,
+          q.getSeq[Double](1).toArray, k = 4, nProbe = 2)
+        .collect().map(_.getAs[Long]("id"))
+      single.zipWithIndex.foreach { case (id, i) =>
+        assert(partial((q.getLong(0), i + 1L)) === id)
+      }
+    }
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("batched IVF prunes partitions on cell-partitioned storage") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 8; y <- 0 until 8)
+      yield ((x * 8 + y).toLong, Seq(x.toDouble + 0.1, y.toDouble + 0.1)))
+      .toDF("vec_id", "v")
+    val (indexed, centroids) = Similarity.ivfIndex(grid, nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfb").toString
+    Similarity.writeIvfPartitioned(indexed, dir)
+    val stored = spark.read.parquet(dir)
+    val queries = Seq((1L, Seq(7.0, 7.0)), (2L, Seq(6.5, 6.5))).toDF("qid", "qv")
+    val probed = Similarity.ivfBatchTopK(stored, centroids, queries, k = 3, nProbe = 1)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("cell"),
+      plan)
+    assert(probed.collect().nonEmpty)
+    graft.ops.OpCaches.unpersistAll()
+  }
+
   test("empty query batch returns an empty frame") {
     val corpus = vecs(5, 4, 5).toDF("vec_id", "v")
     val queries = Seq.empty[(Long, Seq[Double])].toDF("qid", "qv")
