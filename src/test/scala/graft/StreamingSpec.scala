@@ -325,3 +325,62 @@ class StreamingSimhashDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingSimhashDifferentialSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("random corpus: streaming flags == batch seen-based suppression reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // corpus with planted near-dup families: base docs + light perturbations
+    val rnd = new scala.util.Random(23)
+    val words = (0 until 30).map(i => s"w$i")
+    val bases = (0 until 12).map(_ =>
+      Seq.fill(10)(words(rnd.nextInt(words.length))))
+    val docs = (0 until 40).map { i =>
+      val base = bases(rnd.nextInt(bases.length))
+      // perturb 0..2 token positions: mostly within hamming 3, sometimes not
+      val toks = base.toArray
+      for (_ <- 0 until rnd.nextInt(3))
+        toks(rnd.nextInt(toks.length)) = words(rnd.nextInt(words.length))
+      (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 00:${10 + i}:00"),
+        toks.mkString(" "))
+    }
+    // batch reference: doc i is a near-dup iff ANY earlier doc (by ts, then
+    // id — the operator's within-batch order) is within hamming 3. All ts
+    // fit inside the watermark horizon, so no expiry in this window.
+    val fps = graft.ops.Dedup.simhash(docs.toDF("doc_id", "ts", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordered = docs.sortBy(d => (d._2.getTime, d._1))
+    val expected = scala.collection.mutable.Map.empty[Long, Boolean]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for ((id, _, _) <- ordered) {
+      val fp = fps(id)
+      expected(id) = seen.exists(s => java.lang.Long.bitCount(s ^ fp) <= 3)
+      seen += fp
+    }
+    // stream the same corpus in 4 micro-batches
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingBehavioral
+      .streamingSimhashDedup(input.toDF().toDF("doc_id", "ts", "text"),
+        maxDist = 3, watermark = "2 hours")
+      .writeStream.format("memory").queryName("simdedup_diff")
+      .outputMode("append").start()
+    try {
+      ordered.grouped(10).foreach { g => input.addData(g); q.processAllAvailable() }
+      input.addData((999L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"),
+        "flush row far in the future"))
+      q.processAllAvailable()
+      val got = spark.table("simdedup_diff")
+        .filter(org.apache.spark.sql.functions.col("doc_id") =!= 999L)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_dup"))
+        .toMap
+      assert(got.keySet === expected.keys.toSet)
+      for ((id, want) <- expected) assert(got(id) === want, s"doc $id")
+    } finally q.stop()
+  }
+}
