@@ -384,3 +384,137 @@ class StreamingSimhashDifferentialSpec extends org.scalatest.funsuite.AnyFunSuit
     } finally q.stop()
   }
 }
+
+/** Killer tests for the batch-5 streaming mutation survivors — each
+  * constructs the exact boundary its mutant hides behind. The magic
+  * docs/tokens were found by search over the (fixed) XXH64 hash space and
+  * are re-verified by assertion here, so a hash-function change fails the
+  * precondition loudly instead of silently weakening the test. */
+class StreamingMutantKillSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  // base with token 1 replaced: simhash hamming to base is EXACTLY 3
+  private val atThree = "alpha repl47 gamma delta epsilon zeta eta theta iota kappa"
+  // single tokens whose xxhash64 matches base's fingerprint on exactly the
+  // given 16-bit band (and is > 3 away overall) — they invoke base's state
+  // buckets without being near-dups
+  private val bandMatchers = Seq("e94009", "e39636", "e57338", "e67174")
+
+  private def fpOf(texts: (Long, String)*): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ops.Dedup.simhash(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("near-dup at EXACTLY hamming == maxDist is suppressed (boundary <=)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val fps = fpOf(1L -> base, 2L -> atThree)
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(2L)) === 3, "precondition")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingBehavioral
+      .streamingSimhashDedup(input.toDF().toDF("doc_id", "ts", "text"),
+        maxDist = 3, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sm1_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), base))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 00:01:00"), atThree))
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 03:00:00"), "flush far future"))
+      q.processAllAvailable()
+      val got = spark.table("sm1_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_dup")).toMap
+      assert(got(2L) === true, "hamming == maxDist must suppress")
+    } finally q.stop()
+  }
+
+  test("a fingerprint exactly AT the watermark still suppresses (GC boundary >=)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val pusher = "totally unrelated watermark pusher content here"
+    val fps = fpOf((1L -> base) +: (10L -> pusher) +:
+      bandMatchers.zipWithIndex.map { case (t, i) => (20L + i) -> t }: _*)
+    // preconditions: each matcher shares ITS band with base, none is a
+    // near-dup of base, the pusher shares no band at all
+    for (b <- 0 until 4) {
+      val m = fps(20L + b)
+      assert(((m >>> (b * 16)) & 0xFFFFL) === ((fps(1L) >>> (b * 16)) & 0xFFFFL))
+      assert(java.lang.Long.bitCount(m ^ fps(1L)) > 3)
+    }
+    assert((0 until 4).forall(b =>
+      ((fps(10L) >>> (b * 16)) & 0xFFFFL) != ((fps(1L) >>> (b * 16)) & 0xFFFFL)))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingBehavioral
+      .streamingSimhashDedup(input.toDF().toDF("doc_id", "ts", "text"),
+        maxDist = 3, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sm3_out")
+      .outputMode("append").start()
+    try {
+      // base's fingerprints enter all 4 band buckets at 00:00:00
+      input.addData((1L, ts("2024-01-01 00:00:00"), base))
+      q.processAllAvailable()
+      // watermark -> exactly base's event time
+      input.addData((10L, ts("2024-01-01 00:10:00"), pusher))
+      q.processAllAvailable()
+      // invoke ALL FOUR of base's buckets while watermark == base's ts: the
+      // GC horizon lands exactly ON base's fingerprint in each of them
+      input.addData(bandMatchers.zipWithIndex.map { case (t, i) =>
+        ((20L + i), ts(s"2024-01-01 00:09:0$i"), t) }: _*)
+      q.processAllAvailable()
+      // a copy of base arrives: only the at-watermark fingerprints can
+      // suppress it — an over-eager GC (>) already dropped every one
+      input.addData((2L, ts("2024-01-01 00:09:30"), base))
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 03:00:00"), "flush far future"))
+      q.processAllAvailable()
+      val got = spark.table("sm3_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_dup")).toMap
+      assert(got(2L) === true,
+        "fingerprint exactly at the watermark must still suppress")
+    } finally q.stop()
+  }
+
+  test("funnel pruning never lowers a previously reported step (monotone best)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingBehavioral.{FunnelEvent, FunnelUpdate}
+    val input = MemoryStream[FunnelEvent]
+    val out = graft.streaming.StreamingBehavioral.streamingFunnel(
+      input.toDS(), windowMicros = 3600L * 1000000, numConds = 3,
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sm5_out")
+      .outputMode("update").start()
+    try {
+      // a completed 2-step chain
+      input.addData(
+        FunnelEvent(5L, ts("2024-01-01 00:00:00"), 1),
+        FunnelEvent(5L, ts("2024-01-01 00:30:00"), 2))
+      q.processAllAvailable()
+      // watermark -> 01:10 (above entry+window for the 00:00 event, below
+      // the state timeout at maxTs+window = 01:30)
+      input.addData(FunnelEvent(99L, ts("2024-01-01 01:20:00"), 1))
+      q.processAllAvailable()
+      // re-invoke user 5: the prune horizon (01:10 - 1h = 00:10) drops the
+      // chain's entry event; the rescan alone would report 0 — the
+      // monotone best must hold the reported step at 2
+      input.addData(FunnelEvent(5L, ts("2024-01-01 01:15:00"), 4))
+      q.processAllAvailable()
+      val updates = spark.table("sm5_out").as[FunnelUpdate].collect()
+        .filter(_.user_id == 5L).map(_.steps).toSeq
+      assert(updates.head === 2)
+      assert(updates.last === 2,
+        s"pruning regressed the reported funnel step: $updates")
+    } finally q.stop()
+  }
+}

@@ -247,6 +247,35 @@ MUTANTS4 = [
 ]
 
 
+# batch 5: streaming operators. Run with `python3 tools/mutation.py 5`.
+STREAM = "src/main/scala/graft/streaming/StreamingBehavioral.scala"
+
+SUITES5 = [
+    "graft.StreamingSpec", "graft.SessionBoundarySpec",
+    "graft.StreamingBatchDifferentialSpec", "graft.StreamingDedupSpec",
+    "graft.StreamingSimhashDedupSpec", "graft.StreamingSimhashDifferentialSpec",
+    "graft.StreamingMutantKillSpec",  # written to kill the first run's survivors
+]
+
+MUTANTS5 = [
+    ("SM1", STREAM, "simhash dedup hamming cut <= -> <",
+     "if (java.lang.Long.bitCount(sims(i) ^ e.simhash) <= maxDist)",
+     "if (java.lang.Long.bitCount(sims(i) ^ e.simhash) < maxDist)"),
+    ("SM2", STREAM, "within-batch suppression order reversed",
+     "val events = batch.toArray.sortBy(e =>\n              (e.ts.getTime, e.doc_id))",
+     "val events = batch.toArray.sortBy(e =>\n              (-e.ts.getTime, e.doc_id))"),
+    ("SM3", STREAM, "simhash state GC drops the at-watermark fingerprint",
+     "val keep = tss.indices.filter(i => tss(i) >= horizonUs)",
+     "val keep = tss.indices.filter(i => tss(i) > horizonUs)"),
+    ("SM4", STREAM, "funnel prune drops the at-horizon event (>= -> >)",
+     "if (buf.ts(i) >= horizonUs) pruned.append(buf.ts(i), buf.conds(i))",
+     "if (buf.ts(i) > horizonUs) pruned.append(buf.ts(i), buf.conds(i))"),
+    ("SM5", STREAM, "funnel monotone-best dropped (pruning can regress steps)",
+     "val steps = math.max(best,\n              FunnelScan.maxStep(kept, windowMicros, mode, numConds))",
+     "val steps =\n              FunnelScan.maxStep(kept, windowMicros, mode, numConds)"),
+]
+
+
 def run(cmd, timeout=900):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
                           timeout=timeout)
@@ -256,8 +285,11 @@ def main():
     batch = sys.argv[1] if len(sys.argv) > 1 else "1"
     batch3 = batch == "3"
     batch4 = batch == "4"
-    mutants = MUTANTS4 if batch4 else (MUTANTS3 if batch3 else MUTANTS)
-    suites = SUITES4 if batch4 else (SUITES3 if batch3 else SUITES)
+    batch5 = batch == "5"
+    mutants = (MUTANTS5 if batch5 else
+               (MUTANTS4 if batch4 else (MUTANTS3 if batch3 else MUTANTS)))
+    suites = (SUITES5 if batch5 else
+              (SUITES4 if batch4 else (SUITES3 if batch3 else SUITES)))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -285,6 +317,31 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch5:
+        marker = "\n## Batch 5 — streaming operators\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants in the stateful streaming operators: the",
+            "simhash-dedup hamming boundary, within-batch suppression order,",
+            "state-GC horizon boundaries (simhash fingerprints + funnel",
+            "events), and the funnel's monotone-best guard. Suites: all",
+            "streaming specs incl. both streaming-vs-batch differentials.",
+            "",
+            f"**Batch-5 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-5 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch4:
         marker = "\n## Batch 4 — per-row sketch kernels + round-5 curation ops\n"
         existing = Path("MUTATION.md").read_text()
