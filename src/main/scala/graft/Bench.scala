@@ -34,6 +34,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       // best of N runs = steady-state cost (first run pays codegen + input
       // listing); noop sink forces full evaluation of every output column —
@@ -44,18 +45,41 @@ object Bench {
         // best-of-N measures a cache hit instead of the operator
         graft.ops.OpCaches.unpersistAll()
         val t0 = System.nanoTime()
+        // a failing query must NOT bench as ~0 s with a plausible total:
+        // record the error and poison the query's time so the artifact is
+        // visibly broken, and exit non-zero at the end
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(300)
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
       graft.ops.OpCaches.unpersistAll()
-      System.err.println(f"[bench] $name $sec%.2f s")
+      System.err.println(f"[bench] $name $sec%.2f s" +
+        errors.get(name).map(m => s" ERROR: $m").getOrElse(""))
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // contention self-diagnosis: q12_text_stats is a pure no-shuffle
+    // codegen'd scan — its time is the host's per-query floor. Each query's
+    // floor-ratio is scale-invariant across hosts, so a run where EVERY
+    // ratio looks normal but the floor itself is 4x is contended, and a run
+    // where one query's ratio exploded is a code regression.
+    val floor = results.collectFirst { case ("q12_text_stats", s) if s > 0 => s }
+    val ratios = floor.map { f =>
+      results.map { case (k, v) => s"\"" + k + "\":" + f"${v / f}%.2f" }
+        .mkString(",\"floor_sec\":" + f"$f%.4f" + ",\"floor_ratios\":{", ",", "}")
+    }.getOrElse("")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$ratios$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -99,7 +99,14 @@ case class ScoreTopK(
     if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2)) return buf
     val k = row.getLong(0).toInt
     if (buf.k == 0 && k > 0) buf.k = k
-    buf.insert(row.getDouble(1), row.getLong(2))
+    val score = row.getDouble(1)
+    // NaN never outranks a real score (SQL ordering would put it last, and
+    // every `worse` comparison against NaN is false) — but a NaN inserted
+    // while the heap is under-full would permanently occupy a top-k slot,
+    // since eviction only ever replaces the root. Skip it, so zero-norm
+    // cosine scores (0/0) can't displace genuine neighbors.
+    if (java.lang.Double.isNaN(score)) return buf
+    buf.insert(score, row.getLong(2))
     buf
   }
 

@@ -354,7 +354,15 @@ object Dedup {
     * per-seed minima come from the `minhash_signature` per-row kernel in
     * ONE compiled pass (the per-seed `transform` + `array_min` chain this
     * replaces re-walked the string array `numHashes` times through
-    * interpreted HOF lambdas). NULL/empty shingle sets → NULL. */
+    * interpreted HOF lambdas). NULL/empty shingle sets → NULL.
+    *
+    * SKETCH FORMAT v2 — incompatible with signatures persisted before the
+    * kernel rewrite: the hash family changed (was per-seed xxhash64 over
+    * the shingle STRING; now seeded XXH64.hashLong over xxhash64(string))
+    * and so did NULL/empty semantics (empty array now yields a NULL
+    * signature, not an array of NULLs). Stored v1 sketches never compare
+    * equal to v2 — regenerate any persisted signature columns rather
+    * than mixing generations in one join. */
   def minhashSignature(sh: Column, numHashes: Int = 64): Column =
     ColumnBridge.column(graft.functions.MinhashSignature(
       ColumnBridge.expression(transform(sh, s => xxhash64(s))), numHashes))

@@ -68,9 +68,9 @@ object Similarity {
     * partition-wide sort ever runs (a row_number window would sort
     * N × Q rows in Q skewed partitions). For very large query batches,
     * chunk the batch or use `ivfTopK` per query. Zero-norm vectors yield
-    * NaN cosines (0/0); NaN compares false against everything, so such a
-    * row can occupy a top-k slot it doesn't deserve — filter zero-norm
-    * embeddings upstream if the corpus can contain them. */
+    * NaN cosines (0/0); `score_topk` skips NaN scores (SQL ordering: NaN
+    * never outranks a real value), so such rows are simply absent from
+    * the top-k rather than displacing genuine neighbors. */
   def batchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "v",
       qidCol: String = "qid", qvecCol: String = "qv"): DataFrame = {
@@ -83,6 +83,7 @@ object Similarity {
     require(qs.length <= 4096,
       s"batchTopK got ${qs.length} query vectors; chunk the batch to <= 4096 " +
         "per call (results union cleanly) or use ivfTopK")
+    validateBatch(qs, "batchTopK")
     if (qs.isEmpty) {
       return corpus.sparkSession.emptyDataFrame
         .withColumn("qid", lit(0L)).withColumn("rank", lit(0L))
@@ -112,6 +113,23 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol), col("col.score").as("sim"))
+  }
+
+  /** A collected query batch must be well-formed before it becomes plan
+    * literals: a NULL query vector would NPE deep in the driver-side norm
+    * fold, and duplicate qids would silently merge two different query
+    * vectors into one score_topk group (a mixed, meaningless top-k). */
+  private def validateBatch(qs: Array[org.apache.spark.sql.Row], fn: String): Unit = {
+    val nullQids = qs.filter(_.isNullAt(0))
+    require(nullQids.isEmpty, s"$fn: ${nullQids.length} query rows have NULL qid")
+    val nulls = qs.filter(_.isNullAt(1))
+    require(nulls.isEmpty,
+      s"$fn: query vectors must be non-null; NULL for qid(s) " +
+        nulls.take(5).map(_.getLong(0)).mkString(", "))
+    val dups = qs.groupBy(_.getLong(0)).filter(_._2.length > 1).keys
+    require(dups.isEmpty,
+      s"$fn: duplicate qid(s) ${dups.take(5).mkString(", ")} — each qid must " +
+        "map to exactly one query vector, or the per-qid top-k mixes vectors")
   }
 
   /** Exact all-pairs self-join with cosine >= threshold. O(n²) — the
@@ -264,6 +282,7 @@ object Similarity {
     val qs = queries.select(col(qidCol).cast("long"), col(qvecCol)).collect()
     require(qs.length <= 4096,
       s"ivfBatchTopK got ${qs.length} query vectors; chunk the batch to <= 4096 per call")
+    validateBatch(qs, "ivfBatchTopK")
     if (qs.isEmpty) {
       return indexed.sparkSession.emptyDataFrame
         .withColumn("qid", lit(0L)).withColumn("rank", lit(0L))

@@ -149,15 +149,19 @@ object TextAnalysis {
     * vocabSize` cut keeps the model bounded. p(tok) = cnt/total for the
     * top-`vocabSize` tokens (count desc, token asc — a total order, so
     * the cut is deterministic); out-of-vocabulary tokens get the floor
-    * 1/total. Output: (idCol, n_tokens, avg_logprob). NULL-text docs are
-    * omitted.
+    * 1/total, at or below every kept token's probability (a kept token
+    * with count 1 ties the floor exactly). Output: (idCol, n_tokens,
+    * avg_logprob). NULL-text docs are omitted.
     *
     * Scale shape: one explode + map-side-combinable count for the vocab
-    * (Zipf heads pre-combine per partition), a driver-side top-K cut
-    * (vocabSize rows — bounded, like the IVF centroids), then the corpus
+    * (Zipf heads pre-combine per partition), a Catalyst top-K cut
+    * (TakeOrderedAndProject — vocabSize rows, broadcast), then the corpus
     * pass is explode → BROADCAST join against the vocab → one
     * map-side-combinable groupBy(id); the corpus is never shuffled by
-    * token. */
+    * token. Fully lazy: the scalar token total is an uncorrelated scalar
+    * subquery (`Dataset.scalar()`), so constructing the returned
+    * DataFrame triggers no Spark jobs — unlike a driver-side `.first()`,
+    * nothing runs until the caller acts, and no join node is added. */
   def lmQuality(docs: org.apache.spark.sql.DataFrame, vocabSize: Int = 50000,
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
@@ -166,17 +170,18 @@ object TextAnalysis {
         explode(tokensWs(lower(col(textCol)))).as("__tok"))
     val counted = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
     // the scalar total counts ALL tokens (not just the kept vocab), so
-    // probabilities are true corpus frequencies and the OOV floor 1/total
-    // is below every kept token's probability
-    val total = counted.agg(sum(col("__cnt"))).first().getLong(0)
-    if (total == 0L) {
-      return docs.sparkSession.emptyDataFrame
-        .withColumn(idCol, lit(0L)).withColumn("n_tokens", lit(0L))
-        .withColumn("avg_logprob", lit(0.0)).limit(0)
-    }
+    // probabilities are true corpus frequencies. It enters the plan as an
+    // uncorrelated scalar subquery: evaluated once (a tiny side job) when
+    // the frame first runs, embedded as a literal — no join node, nothing
+    // for FoldablePropagation to degrade. An empty corpus yields an empty
+    // toks frame, so the total-0 division never evaluates.
+    val total = counted
+      .agg(coalesce(sum(col("__cnt")), lit(0L)).cast("double").as("__total"))
+      .scalar()
     val vocab = broadcast(
       counted.orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize))
-    toks.join(vocab, Seq("__tok"), "left")
+    toks
+      .join(vocab, Seq("__tok"), "left")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_tokens"),
         avg(log(coalesce(col("__cnt"), lit(1L)).cast("double") / total))

@@ -75,8 +75,10 @@ object StreamingBehavioral {
     * exchange), per-bucket state is a pruned fingerprint list keyed by
     * (band, 16 bits) — state cardinality is bounded by docs-in-horizon ×
     * 4, spread over 2^18 bucket keys, with event-time timeout dropping
-    * idle buckets — and a final per-(doc, ts) aggregate ANDs the 4 band
-    * votes (multiple stateful operators in append mode). Output:
+    * idle buckets — and a final per-(doc, ts) aggregate ORs the 4 band
+    * votes — any band finding a within-distance prior fingerprint makes
+    * the doc a near-dup (multiple stateful operators in append mode).
+    * Output:
     * (doc_id, ts, is_near_dup), emitted once the watermark passes ts.
     *
     * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
@@ -149,7 +151,7 @@ object StreamingBehavioral {
             out.iterator
           }
       }
-    // AND the 4 band votes per (doc, ts): near-dup iff ANY band saw a
+    // OR the 4 band votes per (doc, ts): near-dup iff ANY band saw a
     // within-distance prior fingerprint
     votes.toDF()
       .withWatermark("ts", watermark)

@@ -181,5 +181,27 @@ class LmQualitySpec extends AnyFunSuite {
     val p = graft.ops.TextAnalysis.lmQuality(docs, vocabSize = 2)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
+    // the scalar-total frame must ride a broadcast EQUI-join, not degrade
+    // into a nested-loop join via FoldablePropagation of its constant key
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("construction is fully lazy: no Spark jobs until the caller acts") {
+    val docs = Seq((1L, "a b c"), (2L, "a d")).toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    val tracker = sc.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val df = graft.ops.TextAnalysis.lmQuality(docs, vocabSize = 2)
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after === before,
+      s"lmQuality construction ran ${after - before} Spark job(s)")
+    // and the frame still evaluates correctly afterwards
+    assert(df.count() === 2)
+  }
+
+  test("empty corpus yields an empty frame (no division by zero total)") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.lmQuality(docs, vocabSize = 2).count() === 0)
   }
 }
