@@ -649,8 +649,80 @@ object SparkEntry {
           col("event_type"),
           col("event_type") === "click",
           col("event_type") === "click").as("prev_node"))
+    },
+
+    // ---- multimodal: binary-column feature extraction -------------------
+    // writes the deterministic demo media table to parquet, reads it back
+    // through the typed Dataset path, and extracts features with the
+    // mapPartitions kernel — the oracle recomputes n_bytes / mean_byte /
+    // header_ok byte-by-byte from the SAME parquet (hex-decoded in SQL),
+    // so the binary-column round-trip and the per-partition kernel are
+    // both under the hash gate. The decode body itself stays the honest
+    // environment-limited stub (fake 4-byte magic header).
+    "q57_media_features" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Multimodal.demoTable(s, 300).write.mode("overwrite")
+        .parquet(MediaParquetPath)
+      import s.implicits._
+      val media = s.read.parquet(MediaParquetPath).as[ops.Multimodal.MediaRow]
+      ops.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"), col("header_ok"))
+    },
+
+    // ---- LLM pipeline: hyperplane-LSH near-neighbor self-join ------------
+    // full-recall regime on this corpus: planes=3 x tables=24 at
+    // threshold 0.45 provably finds every qualifying pair of the sf0.01
+    // embeddings (LshRecallSpec pins recall == 1 vs the exact join), and
+    // candidates verify exactly, so the result is hash-identical to the
+    // exact O(n^2) oracle while the operator itself only compares
+    // bucket-colliding pairs.
+    "q58_lsh_selfjoin" -> { (s, dir) =>
+      prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      ops.Similarity.lshSelfJoin(emb, threshold = 0.45, dim = 64,
+          nPlanes = 3, tables = 24)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+    },
+
+    // ---- 2.8 time comparator (?t>N) --------------------------------------
+    // hour-of-day conds (pure epoch arithmetic — timezone-free on both
+    // engines) thin the stream so the single view->click adjacency per
+    // user makes the strict-greater comparison observable: gaps at
+    // exactly/below 500000 s flip users to false
+    "q59_seq_match_time_gt" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match("(?1)(?t>500000)(?2)", col("ts"),
+          col("event_type") === "view" && epochHourTs === 3,
+          col("event_type") === "click" && epochHourTs === 4).as("matched"))
+    },
+
+    // ---- 2.8 time comparator (?t!=N) -------------------------------------
+    // N = 2901 is the exact gap of one user's ONLY qualifying adjacency in
+    // the sf0.01 data, so != genuinely excludes a user that the
+    // unconstrained pattern matches (a mutant ignoring the comparator
+    // hash-mismatches)
+    "q60_seq_match_time_ne" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match("(?1)(?t!=2901)(?2)", col("ts"),
+          col("event_type") === "view" && epochHourTs === 3,
+          col("event_type") === "click" && epochHourTs === 4).as("matched"))
     }
   )
+
+  /** Fixed absolute path (same JVM-default /tmp for Spark and the driver's
+    * DuckDB) where q57 materializes the demo media table; the oracle SQL
+    * reads the same files back. */
+  private val MediaParquetPath = "/tmp/graft_q57_media"
+
+  /** UTC hour-of-day of the `ts` column as pure integer arithmetic on epoch
+    * microseconds — identical on any engine regardless of session timezone
+    * (DuckDB twin: `(epoch_us(ts) // 3600000000) % 24`). */
+  private def epochHourTs: org.apache.spark.sql.Column =
+    expr("(unix_micros(ts) div 3600000000) % 24")
 
   /** DuckDB twin of Dedup.simhashMd5, generated (64 majority votes is
     * mechanical): decode nibble j of md5(token), vote per bit, re-encode 16
@@ -1586,6 +1658,62 @@ object SparkEntry {
         |             * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS sim
         |      FROM embeddings WHERE vec_id <> 0)
         |SELECT vec_id, CAST(round(sim, 6) AS DOUBLE) AS sim
-        |FROM s ORDER BY s.sim DESC, vec_id LIMIT 10""".stripMargin
+        |FROM s ORDER BY s.sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // recomputes the media features byte-by-byte from the SAME parquet q57
+    // wrote: payload bytes decoded from hex(bytes) two nibbles at a time,
+    // header check against hex('GFT0') = 47465430
+    "q57_media_features" ->
+      s"""WITH m AS (SELECT media_id, kind, hex(bytes) AS h,
+         |             octet_length(bytes) AS nb
+         |           FROM read_parquet('$MediaParquetPath/*.parquet')),
+         |s AS (SELECT media_id, kind, nb,
+         |        CASE WHEN nb > 4 THEN
+         |          list_sum(list_transform(range(0, nb - 4), j ->
+         |            (strpos('0123456789ABCDEF', h[9 + 2 * j]) - 1) * 16
+         |            + strpos('0123456789ABCDEF', h[10 + 2 * j]) - 1))
+         |        ELSE 0 END AS paysum, h
+         |      FROM m)
+         |SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+         |  CAST(round(CASE WHEN nb > 4
+         |                  THEN paysum / CAST(nb - 4 AS DOUBLE)
+         |                  ELSE 0.0 END, 6) AS DOUBLE) AS mean_byte,
+         |  (nb >= 4 AND h[1:8] = '47465430') AS header_ok
+         |FROM s""".stripMargin,
+
+    "q58_lsh_selfjoin" -> // full recall on this corpus -> exact-join oracle
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS DOUBLE) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""".stripMargin,
+
+    "q59_seq_match_time_gt" -> seqMatchTimeOracle("> 500000"),
+
+    "q60_seq_match_time_ne" -> seqMatchTimeOracle("<> 2901")
   )
+
+  /** q16's lead/lag adjacency oracle, specialized to the hour-thinned
+    * view->click stream of q59/q60 with a pluggable elapsed-seconds
+    * comparison (`//` floor division mirrors the executor's integer
+    * microseconds-to-seconds truncation). */
+  private def seqMatchTimeOracle(gapCmp: String): String =
+    s"""WITH f AS (SELECT user_id, epoch_us(ts) AS t,
+       |             CASE WHEN event_type = 'view'
+       |                       AND (epoch_us(ts) // 3600000000) % 24 = 3 THEN 1
+       |                  WHEN event_type = 'click'
+       |                       AND (epoch_us(ts) // 3600000000) % 24 = 4 THEN 2 END AS c
+       |           FROM events
+       |           WHERE (event_type = 'view' AND (epoch_us(ts) // 3600000000) % 24 = 3)
+       |              OR (event_type = 'click' AND (epoch_us(ts) // 3600000000) % 24 = 4)),
+       |l AS (SELECT user_id, t, c,
+       |        lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt,
+       |        lead(c) OVER (PARTITION BY user_id ORDER BY t) AS nc FROM f)
+       |SELECT e.user_id, coalesce(m.matched, false) AS matched
+       |FROM (SELECT DISTINCT user_id FROM events) e
+       |LEFT JOIN (SELECT user_id,
+       |             bool_or(c = 1 AND nc = 2 AND (nt - t) // 1000000 $gapCmp) AS matched
+       |           FROM l GROUP BY user_id) m ON e.user_id = m.user_id""".stripMargin
 }
