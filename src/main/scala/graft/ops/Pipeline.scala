@@ -203,20 +203,55 @@ object Pipeline {
     * Output: (doc_id, lang_guess, n_tokens, cum_tokens). One shuffle by
     * language; the running sum is a window over the language partition —
     * low-cardinality partitions with millions of rows each are the
-    * documented skew case for window functions, so at corpus scale
-    * pre-aggregate per (lang, quality-bucket) if a single language
-    * dominates. */
+    * documented skew case for window functions, so at corpus scale set
+    * `qualityBuckets > 0` to pre-aggregate per (lang, quality-bucket).
+    *
+    * The bucketed form computes the SAME cum_tokens exactly: quality is in
+    * [0,1], so `floor(quality * B)` buckets are quality ranges whose
+    * descending order agrees with the global (quality desc, id) order;
+    * each doc's running sum becomes [prefix of all strictly-better
+    * buckets' token totals — a tiny per-lang window over at most B
+    * aggregate rows, broadcast back] + [within-bucket running sum — a
+    * window partitioned by (lang, bucket), which is what breaks a
+    * dominant language's single window partition into B parallel ones].
+    * A whole bucket below the already-spent budget short-circuits via the
+    * same start-of-doc filter. */
   def sampleByTokenBudget(docs: DataFrame, budget: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang_guess"))
-      .orderBy(col("quality").desc, col(idCol))
-    docs.select(col(idCol),
-        TextAnalysis.langId(col(textCol)).as("lang_guess"),
-        round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"),
-        size(TextAnalysis.tokensWs(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      idCol: String = "doc_id", textCol: String = "text",
+      qualityBuckets: Int = 0): DataFrame = {
+    val base = docs.select(col(idCol),
+      TextAnalysis.langId(col(textCol)).as("lang_guess"),
+      round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"),
+      size(TextAnalysis.tokensWs(col(textCol))).cast("long").as("n_tokens"))
+    val cum = if (qualityBuckets <= 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang_guess"))
+        .orderBy(col("quality").desc, col(idCol))
+      base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    } else {
+      // clamped so quality exactly 1.0 (or any out-of-range input) still
+      // lands in a valid bucket; monotone in quality, so bucket-desc order
+      // refines the global quality-desc order
+      val qb = least(greatest(floor(col("quality") * qualityBuckets), lit(0)),
+        lit(qualityBuckets - 1)).cast("int")
+      val bucketed = base.withColumn("__qb", qb)
+      val wPrefix = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang_guess")).orderBy(col("__qb").desc)
+      // per-(lang, bucket) token totals pre-combine map-side; the prefix
+      // window runs over <= qualityBuckets rows per language
+      val prefixes = bucketed.groupBy(col("lang_guess"), col("__qb"))
+        .agg(sum(col("n_tokens")).as("__bucket_tokens"))
+        .withColumn("__prefix",
+          sum(col("__bucket_tokens")).over(wPrefix) - col("__bucket_tokens"))
+        .select(col("lang_guess"), col("__qb"), col("__prefix"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang_guess"), col("__qb"))
+        .orderBy(col("quality").desc, col(idCol))
+      bucketed
+        .join(broadcast(prefixes), Seq("lang_guess", "__qb"))
+        .withColumn("cum_tokens", col("__prefix") + sum(col("n_tokens")).over(wIn))
+    }
+    cum.filter(col("cum_tokens") - col("n_tokens") < budget)
       .select(col(idCol), col("lang_guess"), col("n_tokens"), col("cum_tokens"))
   }
 }

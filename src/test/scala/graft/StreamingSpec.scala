@@ -324,6 +324,42 @@ class StreamingSimhashDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(got(3L) === false, "expired fingerprint must not suppress")
     } finally q.stop()
   }
+
+  test("a doc arriving behind the watermark in a later batch is dropped entirely") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the vote stage emits same-batch with original event times, which the
+    // static chained-stateful-operator check cannot prove (see scaladoc)
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.StreamingBehavioral
+      .streamingSimhashDedup(docs, maxDist = 3, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("simdedup_late")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), "the first on-time document row"))
+      q.processAllAvailable()
+      // push the watermark to 01:50 (02:00 - 10 min)
+      input.addData((2L, ts("2024-01-01 02:00:00"), "watermark advancing filler text"))
+      q.processAllAvailable()
+      // doc 3 is event-timed 00:30 — far behind the 01:50 watermark: the
+      // standard streaming-lateness contract drops it before the stateful
+      // operators, so it must never surface in the output
+      input.addData((3L, ts("2024-01-01 00:30:00"), "a very late straggler document"))
+      q.processAllAvailable()
+      // flush append results
+      input.addData((9L, ts("2024-01-01 04:00:00"), "final flush row for emission"))
+      q.processAllAvailable()
+      val ids = spark.table("simdedup_late")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.contains(1L))
+      assert(ids.contains(2L))
+      assert(!ids.contains(3L), s"late doc must be dropped, got $ids")
+    } finally q.stop()
+  }
 }
 
 class StreamingSimhashDifferentialSpec extends org.scalatest.funsuite.AnyFunSuite {
