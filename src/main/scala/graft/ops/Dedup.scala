@@ -93,7 +93,7 @@ object Dedup {
     * all reuse the 8-byte hashes instead of re-hashing the strings (the
     * string pass used to run 3-4 times per join: index build + twice in
     * verification). */
-  private def shingleFrameHashed(docs: DataFrame, idCol: String,
+  private[graft] def shingleFrameHashed(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame =
     shingleFrame(docs, idCol, textCol, k).select(col("id"), col("sh"),
       array_sort(transform(col("sh"), s => xxhash64(s))).as("shh"),
@@ -241,6 +241,19 @@ object Dedup {
     // frames; persist so the shingle/window lineage runs once, not once
     // per branch (a self-join recomputes each side's whole subtree)
     val sh = materialize(shingleFrameHashed(docs, idCol, textCol, k))
+    // exact verification on candidates only (hashed pass + string re-verify)
+    verifyPairsExact(sh, jaccardCandidates(sh, threshold, maxShingleFreq), threshold)
+  }
+
+  /** Candidate-pair generation stage of the jaccard join (everything before
+    * exact verification), over a materialized `shingleFrameHashed` frame.
+    * `private[graft]` so tests can pin the FILTERING POWER of the AllPairs
+    * index-prefix and PPJoin positional bounds directly: weakening a bound
+    * only admits extra candidates that exact verification later rejects, so
+    * the final output cannot distinguish a correct bound from a uselessly
+    * loose one — only this stage can. */
+  private[graft] def jaccardCandidates(sh: DataFrame, threshold: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
     // The ENTIRE candidate-generation index runs on xxhash64(shingle):
     // 8-byte keys through the explode → df → rank → self-join shuffles
     // instead of multi-word strings. Exactness is unaffected: two distinct
@@ -344,8 +357,7 @@ object Dedup {
       .select(least(col("x.id"), col("y.id")).as("doc_a"),
         greatest(col("x.id"), col("y.id")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verification on candidates only (hashed pass + string re-verify)
-    verifyPairsExact(sh, cands, threshold)
+    cands
   }
 
   /** MinHash signature: array of `numHashes` minima of a seeded hash

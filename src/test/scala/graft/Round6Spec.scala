@@ -53,3 +53,150 @@ class TokenBudgetBucketedSpec extends AnyFunSuite {
     graft.ops.OpCaches.unpersistAll()
   }
 }
+
+/** Pins the FILTERING POWER of the jaccard join's AllPairs index-prefix
+  * bound — a property the final output cannot see (a weaker bound only
+  * admits candidates that exact verification rejects anyway), so it gets
+  * its own stage-level test against `jaccardCandidates`. */
+class JaccardCandidateStageSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def candidates(docs: org.apache.spark.sql.DataFrame, t: Double) = {
+    val sh = graft.ops.Dedup.shingleFrameHashed(docs, "doc_id", "text", 1)
+    graft.ops.Dedup.jaccardCandidates(sh, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("index prefix 2t/(1+t): a pair whose ONLY shared entries sit past the bound is never a candidate") {
+    // 6 distinct unigram shingles per doc; 3 shared. Shared shingles have
+    // df=2, unique df=1, so every unique shingle ranks BEFORE every shared
+    // one in the (df, hash) order: x's shared entries occupy positions
+    // 4..6. At t=0.5 the AllPairs index prefix is nx - ceil(2t/(1+t)·nx)
+    // + 1 = 3, so the earliest shared entry (x-pos 4) sits just past it —
+    // while the PPJoin prefix (pos <= 4) still indexes it, and the
+    // positional bound passes at (pa=4, pb=4): 3 + min(2,2) + 1 = 6 >=
+    // alpha = 4. Only the index-prefix bound excludes this pair; the
+    // classic `t/(1+t)` weakening (prefix 5) would admit it.
+    val docs = Seq(
+      (1L, "xu1 xu2 xu3 shareA shareB shareC"),
+      (2L, "yu1 yu2 yu3 shareA shareB shareC")
+    ).toDF("doc_id", "text")
+    assert(candidates(docs, 0.5) === Set.empty,
+      "J = 3/9 pair must be pruned by the index-prefix bound, not verification")
+  }
+
+  test("candidates stay a superset of true pairs (exactness side of the bound)") {
+    // J(1,2) = 4/(5+5-4) = 2/3 >= 0.5 — a true pair MUST be a candidate;
+    // doc 3 is unrelated
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d z"),
+      (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    assert(candidates(docs, 0.5) === Set((1L, 2L)))
+  }
+
+  test("no self-pairs: a doc sharing every shingle with itself never joins itself") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d z")
+    ).toDF("doc_id", "text")
+    val cands = candidates(docs, 0.5)
+    assert(cands.forall { case (a, b) => a != b }, cands)
+  }
+}
+
+/** Pins partial-probe IVF recall (nProbe < nCells) against the exact
+  * brute-force top-k — the one approximation regime the oracle net cannot
+  * hash-check (q29/q56 run full-probe, which is exact). The index init and
+  * Lloyd iterations are deterministic, so recall on this data is a fixed
+  * number: assert a floor under it rather than the exact value, so a
+  * legitimate kmeans tweak doesn't flap the test while a broken probe
+  * selection (wrong-direction argmin, off-by-one cell) still fails. */
+class IvfPartialProbeRecallSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("nProbe=2 of 8 cells keeps recall@10 >= 0.5; recall grows with nProbe") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val query = emb.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = corpus
+      .select(col("vec_id"), graft.ops.Similarity.cosine(col("v"),
+        array(query.map(lit): _*)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val (indexed, centroids) =
+      graft.ops.Similarity.ivfIndex(corpus, nCells = 8, iterations = 2)
+    def recallAt(nProbe: Int): Double = {
+      val got = graft.ops.Similarity
+        .ivfTopK(indexed, centroids, query, k = 10, nProbe = nProbe)
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r2 >= 0.5, s"recall@10 with nProbe=2 collapsed to $r2")
+    assert(r8 === 1.0, "full probe must be exact")
+    assert(r8 >= r2, "recall must be monotone in nProbe")
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
+
+/** ScoreTopK serialization + NaN defenses: partial-aggregate buffers
+  * round-trip through serialize/deserialize on every shuffle, so a broken
+  * re-heapify silently corrupts top-k results only under merge pressure. */
+class ScoreTopKRoundTripSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def topk(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    val agg = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ScoreTopK(
+        Seq(lit(k.toLong), col("score"), col("id"))
+          .map(org.apache.spark.sql.graftbridge.ColumnBridge.expression))
+        .toAggregateExpression())
+    scored.groupBy(col("g")).agg(agg.as("top"))
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.score"), col("e.id"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+  }
+
+  test("buffers serialized across many partitions re-heapify losslessly") {
+    // 200 rows spread over 16 partitions: every partial buffer (up to k
+    // entries each) crosses the exchange through serialize/deserialize;
+    // dropping or reordering any entry changes the exact top-5
+    val rows = (0 until 200).map(i => (1, (i * 37 % 200).toDouble, i.toLong))
+    val df = rows.toDF("g", "score", "id").repartition(16)
+    val got = topk(df, 5)
+    val expect = rows.sortBy { case (_, s, id) => (-s, id) }.take(5)
+      .map { case (g, s, id) => (g, s, id) }
+    assert(got === expect)
+  }
+
+  test("under-full heaps round-trip: k=5 with 2 entries per group keeps both") {
+    val df = Seq((1, 3.0, 10L), (1, 7.0, 20L)).toDF("g", "score", "id")
+      .repartition(8)
+    assert(topk(df, 5).toSet === Set((1, 7.0, 20L), (1, 3.0, 10L)))
+  }
+
+  test("k larger than any single partition's contribution still fills from merges") {
+    // 12 rows over 8 partitions: every partial buffer holds 1-2 entries,
+    // far under k=5 — the final heap must still assemble the true top-5
+    // from merged under-full buffers (kills serialize mutants that let a
+    // buffer's k collapse to its current size)
+    val rows = (0 until 12).map(i => (1, i.toDouble, i.toLong))
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val expect = rows.sortBy { case (_, s, id) => (-s, id) }.take(5)
+    assert(topk(df, 5) === expect)
+  }
+
+  test("NaN scores never occupy a top-k slot, even while the heap is under-full") {
+    val df = Seq((1, Double.NaN, 1L), (1, 0.5, 2L), (1, Double.NaN, 3L),
+      (1, 0.2, 4L)).toDF("g", "score", "id")
+    val got = topk(df, 3)
+    assert(got === Seq((1, 0.5, 2L), (1, 0.2, 4L)),
+      s"NaN must be skipped, not kept: $got")
+  }
+}

@@ -276,6 +276,42 @@ MUTANTS5 = [
 ]
 
 
+# batch 6: the AllPairs index-prefix bound (a filtering-POWER property the
+# final output cannot see — pinned at the candidate stage) + ScoreTopK's
+# serialize/deserialize round-trip. Run with `python3 tools/mutation.py 6`.
+TOPK = "src/main/scala/graft/functions/ScoreTopK.scala"
+
+SUITES6 = [
+    "graft.JaccardCandidateStageSpec", "graft.ScoreTopKRoundTripSpec",
+    "graft.BatchTopKSpec", "graft.PrefixTopKSpec",
+    "graft.Round5Spec", "graft.OpsSpec",
+]
+
+MUTANTS6 = [
+    ("DD61", DEDUP, "index prefix bound 2t/(1+t) -> t/(1+t) (classic weakening)",
+     "ceil(lit(2 * threshold / (1 + threshold)) * col(\"x.n_sh\")) + 1",
+     "ceil(lit(threshold / (1 + threshold)) * col(\"x.n_sh\")) + 1"),
+    ("DD62", DEDUP, "canonical tie-break < -> <= (admits self-pairs)",
+     "(col(\"x.n_sh\") === col(\"y.n_sh\") && col(\"x.id\") < col(\"y.id\"))",
+     "(col(\"x.n_sh\") === col(\"y.n_sh\") && col(\"x.id\") <= col(\"y.id\"))"),
+    ("DD63", DEDUP, "index prefix drops the +1 (bound too tight: loses pairs)",
+     "col(\"x.n_sh\") - ceil(lit(2 * threshold / (1 + threshold)) * col(\"x.n_sh\")) + 1",
+     "col(\"x.n_sh\") - ceil(lit(2 * threshold / (1 + threshold)) * col(\"x.n_sh\"))"),
+    ("TK61", TOPK, "deserialize drops the last serialized entry",
+     "    val n = bb.getInt\n    var i = 0\n    while (i < n) {",
+     "    val n = bb.getInt\n    var i = 0\n    while (i < n - 1) {"),
+    ("TK62", TOPK, "serialize writes size where k belongs (k collapses to size)",
+     "bb.putInt(buf.k).putInt(buf.size)",
+     "bb.putInt(buf.size).putInt(buf.size)"),
+    ("TK63", TOPK, "NaN guard removed (NaN can squat an under-full slot)",
+     "    if (java.lang.Double.isNaN(score)) return buf\n",
+     ""),
+    ("TK64", TOPK, "merge never adopts k from the incoming buffer",
+     "    if (buf.k == 0) buf.k = other.k\n",
+     ""),
+]
+
+
 def run(cmd, timeout=900):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
                           timeout=timeout)
@@ -286,10 +322,11 @@ def main():
     batch3 = batch == "3"
     batch4 = batch == "4"
     batch5 = batch == "5"
-    mutants = (MUTANTS5 if batch5 else
-               (MUTANTS4 if batch4 else (MUTANTS3 if batch3 else MUTANTS)))
-    suites = (SUITES5 if batch5 else
-              (SUITES4 if batch4 else (SUITES3 if batch3 else SUITES)))
+    batch6 = batch == "6"
+    mutants = (MUTANTS6 if batch6 else (MUTANTS5 if batch5 else
+               (MUTANTS4 if batch4 else (MUTANTS3 if batch3 else MUTANTS))))
+    suites = (SUITES6 if batch6 else (SUITES5 if batch5 else
+              (SUITES4 if batch4 else (SUITES3 if batch3 else SUITES))))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -317,6 +354,33 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch6:
+        marker = "\n## Batch 6 — jaccard candidate-stage bounds + ScoreTopK round-trip\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants at the AllPairs index-prefix bound — its",
+            "classic weakening (2t/(1+t) -> t/(1+t)) is EXACTNESS-PRESERVING,",
+            "so only the exposed candidate stage can kill it — the canonical",
+            "tie-break, and ScoreTopK's serialize/deserialize path (entry",
+            "loss, k collapse, NaN guard, merge k-adoption). Suites: the",
+            "candidate-stage + round-trip specs, batch top-k, prefix heap,",
+            "Round-5 boundary, and ops exactness.",
+            "",
+            f"**Batch-6 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-6 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch5:
         marker = "\n## Batch 5 — streaming operators\n"
         existing = Path("MUTATION.md").read_text()
