@@ -710,8 +710,70 @@ object SparkEntry {
         .agg(BehavioralFunctions.sequence_match("(?1)(?t!=2901)(?2)", col("ts"),
           col("event_type") === "view" && epochHourTs === 3,
           col("event_type") === "click" && epochHourTs === 4).as("matched"))
+    },
+
+    // ---- 2.8 time comparator (?t==N) -------------------------------------
+    // same N as q60: exactly one user's single adjacency has this gap, so
+    // == is true for precisely that user
+    "q61_seq_match_time_eq" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match("(?1)(?t==2901)(?2)", col("ts"),
+          col("event_type") === "view" && epochHourTs === 3,
+          col("event_type") === "click" && epochHourTs === 4).as("matched"))
+    },
+
+    // ---- 2.8 time comparator (?t<N) --------------------------------------
+    "q62_seq_match_time_lt" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match("(?1)(?t<500000)(?2)", col("ts"),
+          col("event_type") === "view" && epochHourTs === 3,
+          col("event_type") === "click" && epochHourTs === 4).as("matched"))
+    },
+
+    // ---- 2.8 time comparator (?t>=N) -------------------------------------
+    // N = 609075 is one user's exact gap: >= keeps that user, > would not,
+    // so the boundary itself is under the hash gate
+    "q63_seq_match_time_ge" -> { (s, dir) =>
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match("(?1)(?t>=609075)(?2)", col("ts"),
+          col("event_type") === "view" && epochHourTs === 3,
+          col("event_type") === "click" && epochHourTs === 4).as("matched"))
+    },
+
+    // ---- multimodal: frame sampling over the binary column ----------------
+    // self-contained (writes its own parquet — query-map iteration order is
+    // unspecified, so it cannot rely on q57 having run first); the oracle
+    // re-slices every stride-th 16-byte frame out of hex(bytes) in SQL
+    "q64_media_frames" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Multimodal.demoTable(s, 300).write.mode("overwrite")
+        .parquet(MediaFramesPath)
+      import s.implicits._
+      val media = s.read.parquet(MediaFramesPath).as[ops.Multimodal.MediaRow]
+      ops.Multimodal.sampleFrames(media, stride = 4).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          hex(col("frame_bytes")).as("frame_hex"))
+    },
+
+    // ---- LLM pipeline: cross-doc boilerplate spans ------------------------
+    // minDocs = 25 because the synthetic corpus shares a tight vocabulary:
+    // at df >= 2 nearly every fingerprint is "common" (frac ~1.0 for all
+    // docs); 25 spreads boilerplate_frac across 0.4..1.0 so the aggregate
+    // actually discriminates under the hash gate
+    "q65_boilerplate" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Dedup.boilerplateStats(Tables.load(s, dir, "documents"),
+          k = 8, w = 4, minDocs = 25)
+        .select(col("doc_id"), col("n_fp"), col("n_common"),
+          round(col("boilerplate_frac"), 6).as("boilerplate_frac"))
     }
   )
+
+  /** q64's own media parquet (distinct from q57's — see q64's comment). */
+  private val MediaFramesPath = "/tmp/graft_q64_media"
 
   /** Fixed absolute path (same JVM-default /tmp for Spark and the driver's
     * DuckDB) where q57 materializes the demo media table; the oracle SQL
@@ -1692,7 +1754,53 @@ object SparkEntry {
 
     "q59_seq_match_time_gt" -> seqMatchTimeOracle("> 500000"),
 
-    "q60_seq_match_time_ne" -> seqMatchTimeOracle("<> 2901")
+    "q60_seq_match_time_ne" -> seqMatchTimeOracle("<> 2901"),
+
+    "q61_seq_match_time_eq" -> seqMatchTimeOracle("= 2901"),
+
+    "q62_seq_match_time_lt" -> seqMatchTimeOracle("< 500000"),
+
+    "q63_seq_match_time_ge" -> seqMatchTimeOracle(">= 609075"),
+
+    // every stride-th 16-byte payload frame of each video, re-sliced from
+    // hex(bytes): frame f covers hex chars [9 + 32f, 9 + 32f + 31] (after
+    // the 8 magic chars), for f in 0, 4, 8, ... below (nb - 4) / 16
+    "q64_media_frames" ->
+      s"""WITH m AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS nb
+         |           FROM read_parquet('$MediaFramesPath/*.parquet')
+         |           WHERE kind = 'video'),
+         |f AS (SELECT media_id, h,
+         |        unnest(range(0, greatest((nb - 4) // 16, 0))) AS j
+         |      FROM m)
+         |SELECT media_id, CAST(j AS INTEGER) AS frame_idx,
+         |  substr(h, CAST(9 + 32 * j AS INTEGER), 32) AS frame_hex
+         |FROM f WHERE j % 4 = 0""".stripMargin,
+
+    // q23's winnow-fingerprint pipeline (k=8, w=4, md5 grams), extended
+    // with corpus doc-frequency: fingerprints are distinct per doc, so
+    // count(*) per fingerprint IS the doc frequency
+    "q65_boilerplate" ->
+      """WITH g AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |h AS (SELECT doc_id, L,
+        |        list_transform(range(1, L - 8 + 2),
+        |          i -> md5(substr(text, CAST(i AS INTEGER), 8))) AS hs
+        |      FROM g),
+        |f AS (SELECT doc_id,
+        |        CASE WHEN L >= 11 THEN
+        |          list_distinct(list_transform(range(1, L - 8 + 2 - 3),
+        |            j -> list_aggregate(hs[j:j+3], 'min')))
+        |        ELSE [] END AS fps
+        |      FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |d AS (SELECT fp, count(*) AS df FROM e GROUP BY fp),
+        |p AS (SELECT e.doc_id, count(*) AS n_fp,
+        |        sum(CASE WHEN d.df >= 25 THEN 1 ELSE 0 END) AS n_common
+        |      FROM e JOIN d USING (fp) GROUP BY e.doc_id)
+        |SELECT f.doc_id, CAST(coalesce(p.n_fp, 0) AS BIGINT) AS n_fp,
+        |  CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(round(coalesce(CAST(p.n_common AS DOUBLE) / p.n_fp, 0), 6) AS DOUBLE)
+        |    AS boilerplate_frac
+        |FROM f LEFT JOIN p USING (doc_id)""".stripMargin
   )
 
   /** q16's lead/lag adjacency oracle, specialized to the hour-thinned

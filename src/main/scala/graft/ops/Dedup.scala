@@ -193,6 +193,45 @@ object Dedup {
         (col("shared_chunks").cast("double") / col("n_chunks")).as("shared_frac"))
   }
 
+  /** Cross-document BOILERPLATE detection by winnowing fingerprints: the
+    * fraction of each document's winnow fingerprints (char k-grams,
+    * window w — the same sketch as `TextAnalysis.winnowFingerprintsFused`
+    * / q23) that appear in at least `minDocs` documents. A high
+    * `boilerplate_frac` marks documents dominated by SPANS shared across
+    * the corpus (headers, footers, license blocks, templates) — the
+    * span-level complement of whole-document (`dedupExact`) and
+    * token-window (`chunkDupStats`) duplication.
+    *
+    * Output: (idCol, n_fp, n_common, boilerplate_frac).
+    *
+    * Scale shape: fingerprints are distinct within a doc, so doc
+    * frequency is a map-side-combinable `count` over the exploded frame —
+    * no count-distinct; the exploded frame persists once and feeds both
+    * the df aggregate and the join probe (the chunkDupStats recompute
+    * fix); docs too short to fingerprint (under k + w - 1 chars) surface
+    * with n_fp = 0 through the restore join against the pruned id scan.
+    * At corpus scale swap the md5-string fingerprints for xxhash64
+    * (8-byte shuffle keys) — kept as strings here for oracle fidelity,
+    * like chunkDupStats. */
+  def boilerplateStats(docs: DataFrame, k: Int = 8, w: Int = 4,
+      minDocs: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val fps = materialize(docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.winnowFingerprintsFused(col(textCol), k, w)).as("f")))
+    val docFreq = fps.groupBy(col("f")).agg(count(lit(1)).as("df"))
+    val perDoc = fps.join(docFreq, "f")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"),
+        count(when(col("df") >= minDocs, lit(1))).as("n_common"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_common").cast("double") / col("n_fp"), lit(0.0))
+          .as("boilerplate_frac"))
+  }
+
   /** Exact n-gram Jaccard self-join via inverted index.
     * Returns (doc_a, doc_b, jaccard) for all pairs with J >= threshold.
     *

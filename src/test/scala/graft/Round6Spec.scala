@@ -107,6 +107,45 @@ class JaccardCandidateStageSpec extends AnyFunSuite {
   }
 }
 
+/** boilerplateStats: span-level shared-content detection (q65's operator). */
+class BoilerplateStatsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("planted shared span raises boilerplate_frac; short docs surface with n_fp = 0") {
+    val legal = "Copyright 2024 Example Corp. All rights reserved worldwide."
+    val docs = Seq(
+      (1L, s"totally original article body text one. $legal"),
+      (2L, s"different unique second document here!! $legal"),
+      (3L, s"third doc again some other words appear. $legal"),
+      (4L, "entirely novel content sharing no span with anything qqq zzz"),
+      (5L, "tiny") // under k + w - 1 = 11 chars: no fingerprints at all
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.boilerplateStats(docs, k = 8, w = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    val (nFp5, nCommon5, frac5) = got(5L)
+    assert(nFp5 === 0L && nCommon5 === 0L && frac5 === 0.0)
+    // the legal line's fingerprints appear in docs 1-3 -> each has shared
+    // spans; doc 4 shares nothing
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (nFp, nCommon, frac) = got(id)
+      assert(nCommon > 0 && frac > 0.0 && nCommon <= nFp, s"doc $id: $nFp/$nCommon/$frac")
+    }
+    val (nFp4, nCommon4, frac4) = got(4L)
+    assert(nCommon4 === 0L && frac4 === 0.0, s"doc 4 must share nothing: $nFp4/$nCommon4")
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("minDocs = 1 marks every fingerprint common (frac 1.0 for any doc with spans)") {
+    val docs = Seq((1L, "some sufficiently long unique document text")).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.boilerplateStats(docs, minDocs = 1).collect()(0)
+    assert(r.getLong(1) > 0 && r.getDouble(3) === 1.0)
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
+
 /** Pins partial-probe IVF recall (nProbe < nCells) against the exact
   * brute-force top-k — the one approximation regime the oracle net cannot
   * hash-check (q29/q56 run full-probe, which is exact). The index init and
