@@ -758,6 +758,20 @@ object SparkEntry {
           hex(col("frame_bytes")).as("frame_hex"))
     },
 
+    // ---- multimodal: nearest-neighbor resize over the binary column -------
+    // the oracle recomputes the downsample pixel-by-pixel from hex(bytes):
+    // out(y, x) reads payload[(((y*h div 16) * w) + (x*w div 16)) mod plen]
+    "q66_media_resize" -> { (s, dir) =>
+      prep(s, dir)
+      ops.Multimodal.demoTable(s, 300).write.mode("overwrite")
+        .parquet(MediaResizePath)
+      import s.implicits._
+      val media = s.read.parquet(MediaResizePath).as[ops.Multimodal.MediaRow]
+      ops.Multimodal.resize(media, 16, 16).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          hex(col("bytes")).as("bytes_hex"))
+    },
+
     // ---- LLM pipeline: cross-doc boilerplate spans ------------------------
     // minDocs = 25 because the synthetic corpus shares a tight vocabulary:
     // at df >= 2 nearly every fingerprint is "common" (frac ~1.0 for all
@@ -774,6 +788,9 @@ object SparkEntry {
 
   /** q64's own media parquet (distinct from q57's — see q64's comment). */
   private val MediaFramesPath = "/tmp/graft_q64_media"
+
+  /** q66's own media parquet (same isolation reasoning as q64). */
+  private val MediaResizePath = "/tmp/graft_q66_media"
 
   /** Fixed absolute path (same JVM-default /tmp for Spark and the driver's
     * DuckDB) where q57 materializes the demo media table; the oracle SQL
@@ -1775,6 +1792,29 @@ object SparkEntry {
          |SELECT media_id, CAST(j AS INTEGER) AS frame_idx,
          |  substr(h, CAST(9 + 32 * j AS INTEGER), 32) AS frame_hex
          |FROM f WHERE j % 4 = 0""".stripMargin,
+
+    // nearest-neighbor 16x16 downsample recomputed pixel-by-pixel: pixel
+    // p (row-major) samples source byte ((p//16 * height // 16) * width +
+    // (p%16 * width // 16)) mod plen of the payload; non-images pass
+    // through untouched
+    "q66_media_resize" ->
+      s"""WITH m AS (SELECT media_id, kind, width, height, hex(bytes) AS h,
+         |             octet_length(bytes) AS nb
+         |           FROM read_parquet('$MediaResizePath/*.parquet')),
+         |px AS (SELECT media_id, width, height, h, nb,
+         |         unnest(range(0, 256)) AS p
+         |       FROM m WHERE kind = 'image' AND width > 0 AND height > 0),
+         |rs AS (SELECT media_id,
+         |         '47465430' || string_agg(
+         |           substr(h, CAST(9 + 2 * ((((p // 16) * height // 16) * width
+         |                                    + ((p % 16) * width // 16)) % (nb - 4))
+         |                  AS INTEGER), 2), '' ORDER BY p) AS rh
+         |       FROM px GROUP BY media_id)
+         |SELECT m.media_id, m.kind,
+         |  CASE WHEN rs.media_id IS NOT NULL THEN 16 ELSE m.width END AS width,
+         |  CASE WHEN rs.media_id IS NOT NULL THEN 16 ELSE m.height END AS height,
+         |  CASE WHEN rs.media_id IS NOT NULL THEN rs.rh ELSE m.h END AS bytes_hex
+         |FROM m LEFT JOIN rs USING (media_id)""".stripMargin,
 
     // q23's winnow-fingerprint pipeline (k=8, w=4, md5 grams), extended
     // with corpus doc-frequency: fingerprints are distinct per doc, so
