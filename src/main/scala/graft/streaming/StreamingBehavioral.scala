@@ -236,4 +236,67 @@ object StreamingBehavioral {
           }
       }
   }
+
+  /** One input event for streaming retention: condition bitmask packed
+    * like the batch RetentionAgg buffer (bit i = condition i). */
+  case class RetentionEvent(user_id: Long, ts: java.sql.Timestamp, conds: Int)
+
+  /** Streaming retention output: the user's anchor-gated flags, one per
+    * condition — identical semantics to the batch `retention` aggregate
+    * (flag 0 = anchor seen; flag i = anchor seen AND condition i seen). */
+  case class RetentionUpdate(user_id: Long, flags: Seq[Boolean])
+
+  /** Per-user retention state: the OR of all condition bitmasks seen plus
+    * the max event time (for expiry). O(1) — retention is the ideal
+    * streaming aggregate: the state is a single Int however many events
+    * arrive. */
+  case class RetentionState(mask: Int, maxTsUs: Long)
+
+  /** Streaming `retention` over an unbounded keyed stream: per-user
+    * bitmask-OR state updated per micro-batch, anchor gating applied at
+    * emission exactly like the batch aggregate's finalize. Unlike the
+    * funnel there is nothing to prune — the mask is O(1) — so the
+    * watermark's only job is state EXPIRY: a user idle past `horizon`
+    * (event-time) is dropped, bounding state cardinality by
+    * users-active-within-horizon. Late events behind the watermark are
+    * dropped by the standard lateness contract. Emits in Update mode:
+    * each micro-batch re-emits the users it touched. */
+  def streamingRetention(events: Dataset[RetentionEvent], numConds: Int,
+      watermark: String = "1 hour",
+      horizonMicros: Long = 30L * 86400 * 1000000): Dataset[RetentionUpdate] = {
+    require(numConds >= 1 && numConds <= 32,
+      s"retention supports 1..32 conditions, got $numConds")
+    require(horizonMicros > 0, s"horizonMicros must be positive, got $horizonMicros")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[RetentionEvent], state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var mask = 0
+            var maxTsUs = Long.MinValue
+            state.getOption.foreach { s => mask = s.mask; maxTsUs = s.maxTsUs }
+            batch.foreach { e =>
+              if (e.ts != null) {
+                mask |= e.conds
+                val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+                if (us > maxTsUs) maxTsUs = us
+              }
+            }
+            state.update(RetentionState(mask, maxTsUs))
+            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            // anchor gating at emission, same as the batch finalize:
+            // flag 0 = anchor bit; flag i = anchor AND bit i
+            val anchor = (mask & 1) != 0
+            val flags = (0 until numConds).map(i =>
+              if (i == 0) anchor else anchor && ((mask >> i) & 1) != 0)
+            Iterator.single(RetentionUpdate(userId, flags))
+          }
+      }
+  }
 }

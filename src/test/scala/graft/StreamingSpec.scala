@@ -186,6 +186,88 @@ class StreamingBatchDifferentialSpec extends AnyFunSuite {
   }
 }
 
+class StreamingRetentionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("random events across micro-batches: final flags == batch retention aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val numConds = 4
+    val rnd = new scala.util.Random(61)
+    // 30 users × ~20 events with random condition bitmasks over 4 conds;
+    // monotone-ish timestamps so nothing is late
+    val events = (0 until 600).map { i =>
+      StreamingBehavioral.RetentionEvent(
+        rnd.nextInt(30).toLong,
+        ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+        rnd.nextInt(1 << numConds))
+    }
+    val input = MemoryStream[StreamingBehavioral.RetentionEvent]
+    val q = StreamingBehavioral
+      .streamingRetention(input.toDS(), numConds, watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("ret_out")
+      .outputMode("update").start()
+    try {
+      events.grouped(97).foreach { b => input.addData(b); q.processAllAvailable() }
+      // flags are monotone (the mask only grows), so the per-user OR of
+      // every update emission equals the final state
+      val aggCols = (0 until numConds).map(i =>
+        max(element_at(col("flags"), i + 1).cast("int")).as(s"f$i"))
+      val got = spark.table("ret_out")
+        .groupBy(col("user_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> (0 until numConds).map(i => r.getInt(i + 1) == 1))
+        .toMap
+      val batch = events.toDF()
+        .groupBy(col("user_id"))
+        .agg(graft.behavioral.BehavioralFunctions.retention(
+          (0 until numConds).map(i =>
+            (col("conds").bitwiseAND(lit(1 << i))) =!= 0): _*).as("r"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Boolean](1).toIndexedSeq)
+        .toMap
+      assert(got.keySet === batch.keySet)
+      for ((u, flags) <- batch)
+        assert(got(u) === flags, s"user $u: streaming ${got(u)} vs batch $flags")
+    } finally q.stop()
+  }
+
+  test("state expires past the horizon: an idle user's mask restarts from zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingBehavioral.RetentionEvent]
+    // horizon = 1 hour: user 1's anchor (bit 0) expires before cond 1 arrives
+    val q = StreamingBehavioral
+      .streamingRetention(input.toDS(), numConds = 2,
+        watermark = "1 minute", horizonMicros = 3600L * 1000000)
+      .toDF().writeStream.format("memory").queryName("ret_expiry")
+      .outputMode("update").start()
+    try {
+      input.addData(StreamingBehavioral.RetentionEvent(1L, ts("2024-01-01 00:00:00"), 1))
+      q.processAllAvailable()
+      // advance the watermark far past 00:00 + 1h so user 1's state times out
+      input.addData(StreamingBehavioral.RetentionEvent(2L, ts("2024-01-01 06:00:00"), 1))
+      q.processAllAvailable()
+      // user 1 returns with ONLY condition 1: anchor is gone, so both
+      // flags gate to false (the horizon is the retention product's
+      // cohort window — forgetting is the contract, like the dedup ops)
+      input.addData(StreamingBehavioral.RetentionEvent(1L, ts("2024-01-01 06:05:00"), 2))
+      q.processAllAvailable()
+      val rows = spark.table("ret_expiry")
+        .collect().map(r => (r.getLong(0), r.getSeq[Boolean](1).toIndexedSeq))
+      val user1Last = rows.filter(_._1 == 1L).last._2
+      assert(user1Last === IndexedSeq(false, false),
+        s"expired anchor must not gate new flags: $rows")
+    } finally q.stop()
+  }
+}
+
 class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = GraftSpark.spark
 
