@@ -772,6 +772,21 @@ object SparkEntry {
           hex(col("bytes")).as("bytes_hex"))
     },
 
+    // ---- LLM pipeline: int8 embedding quantization ------------------------
+    // scale binds to an attribute between the two selects so array_max
+    // runs once per row; q casts to array<int> purely for oracle schema
+    // parity (the operator stores bytes)
+    "q67_quantize" -> { (s, dir) =>
+      prep(s, dir)
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("v"),
+          ops.Similarity.quantScale(col("v")).as("__scale"))
+        .select(col("vec_id"), round(col("__scale"), 9).as("scale"),
+          ops.Similarity.quantizeInt8(col("v"), col("__scale"))
+            .cast("array<int>").as("q"))
+    },
+
     // ---- LLM pipeline: cross-doc boilerplate spans ------------------------
     // minDocs = 25 because the synthetic corpus shares a tight vocabulary:
     // at df >= 2 nearly every fingerprint is "common" (frac ~1.0 for all
@@ -1815,6 +1830,18 @@ object SparkEntry {
          |  CASE WHEN rs.media_id IS NOT NULL THEN 16 ELSE m.height END AS height,
          |  CASE WHEN rs.media_id IS NOT NULL THEN rs.rh ELSE m.h END AS bytes_hex
          |FROM m LEFT JOIN rs USING (media_id)""".stripMargin,
+
+    // symmetric int8 quantization recomputed per element; the zero-scale
+    // branch mirrors the operator's divide-by-zero guard
+    "q67_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |      FROM e)
+        |SELECT vec_id, CAST(round(scale, 9) AS DOUBLE) AS scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS q
+        |FROM s""".stripMargin,
 
     // q23's winnow-fingerprint pipeline (k=8, w=4, md5 grams), extended
     // with corpus doc-frequency: fingerprints are distinct per doc, so

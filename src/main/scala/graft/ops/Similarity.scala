@@ -368,4 +368,28 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  // ---- int8 embedding quantization (storage compression) -----------------
+
+  /** Per-vector symmetric-quantization scale: max|x| / 127. Bind the
+    * result to an attribute (a two-step select) before passing it to
+    * `quantizeInt8` — inlining the expression would re-evaluate the
+    * array_max once per element (the shinglesOfTokens hazard). */
+  def quantScale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / 127.0
+
+  /** Symmetric int8 quantization of an embedding against a BOUND scale
+    * column: q_i = round(x_i / scale) in [-127, 127]. 4× (float) to 8×
+    * (double) smaller at rest — at 100 TB the difference between an
+    * embedding corpus that fits the cluster and one that doesn't. The
+    * all-zero vector (scale 0) quantizes to zeros rather than dividing
+    * by zero. Dequantize with `dequantizeInt8`; cosine degrades by well
+    * under 1% at d=64 (QuantizeSpec pins the bound). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0).cast("byte")))
+      .otherwise(transform(v, x => round(x / scale).cast("byte")))
+
+  /** Inverse of `quantizeInt8`: x_i ≈ q_i × scale. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

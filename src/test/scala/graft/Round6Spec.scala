@@ -107,6 +107,37 @@ class JaccardCandidateStageSpec extends AnyFunSuite {
   }
 }
 
+/** int8 quantization: round-trip fidelity and edge cases (q67's operator). */
+class QuantizeSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("dequantized vectors keep cosine > 0.999 to the originals at d=64") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        graft.ops.Similarity.quantScale(col("v")).as("s"))
+      .select(col("vec_id"), col("v"),
+        graft.ops.Similarity.dequantizeInt8(
+          graft.ops.Similarity.quantizeInt8(col("v"), col("s")), col("s")).as("dq"))
+      .select(graft.ops.Similarity.cosine(col("v"), col("dq")).as("fidelity"))
+      .agg(min(col("fidelity"))).collect()(0).getDouble(0)
+    assert(emb > 0.999, s"min round-trip cosine $emb")
+  }
+
+  test("zero vector quantizes to zeros (no division by zero); values stay in [-127, 127]") {
+    val df = Seq((1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(-3.0, 1.5, 3.0)))
+      .toDF("id", "v")
+      .select(col("id"), col("v"),
+        graft.ops.Similarity.quantScale(col("v")).as("s"))
+      .select(col("id"),
+        graft.ops.Similarity.quantizeInt8(col("v"), col("s")).as("q"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(got(1L) === Seq[Byte](0, 0, 0))
+    assert(got(2L) === Seq[Byte](-127, 64, 127))
+  }
+}
+
 /** boilerplateStats: span-level shared-content detection (q65's operator). */
 class BoilerplateStatsSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
