@@ -60,6 +60,10 @@ object DedupStress {
         val r = graft.ops.Dedup.dupComponents(pairs).count()
         graft.ops.OpCaches.unpersistAll(); r
       }
+      t(s"boilerplateStats minDocs=25") {
+        val r = graft.ops.Dedup.boilerplateStats(docs, minDocs = 25).count()
+        graft.ops.OpCaches.unpersistAll(); r
+      }
       docs.unpersist()
     }
     spark.stop()
