@@ -787,6 +787,18 @@ object SparkEntry {
             .cast("array<int>").as("q"))
     },
 
+    // ---- LLM pipeline: SemDeDup semantic dedup (nCells=1: exact regime) --
+    // nCells = 1 makes the within-cell pairing compare EVERY pair, so the
+    // oracle is the exact lower-id-neighbor rule with no k-means dependence;
+    // SemanticDedupSpec pins nCells > 1 against this on separated clusters
+    "q68_semantic_dedup" -> { (s, dir) =>
+      prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      ops.Similarity.semanticDedup(emb, threshold = 0.4, nCells = 1)
+        .select(col("id").as("vec_id"), col("is_dup"), col("dup_of"))
+    },
+
     // ---- LLM pipeline: cross-doc boilerplate spans ------------------------
     // minDocs = 25 because the synthetic corpus shares a tight vocabulary:
     // at df >= 2 nearly every fingerprint is "common" (frac ~1.0 for all
@@ -1842,6 +1854,18 @@ object SparkEntry {
         |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
         |       ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS q
         |FROM s""".stripMargin,
+
+    // the nCells=1 regime compares every pair, so the oracle is q20's
+    // cosine join folded into the greedy lower-id marker rule
+    "q68_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT b.vec_id AS id, min(a.vec_id) AS dup_of
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |      GROUP BY b.vec_id)
+        |SELECT e.vec_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+        |FROM e LEFT JOIN d ON e.vec_id = d.id""".stripMargin,
 
     // q23's winnow-fingerprint pipeline (k=8, w=4, md5 grams), extended
     // with corpus doc-frequency: fingerprints are distinct per doc, so

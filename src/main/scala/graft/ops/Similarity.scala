@@ -369,6 +369,57 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embeddings with the same Lloyd
+    * k-means as `ivfIndex`, then WITHIN each cell mark every vector that
+    * has a lower-id neighbor at cosine >= threshold as a duplicate.
+    * Output: (id, cell, is_dup, dup_of) — `dup_of` is the SMALLEST
+    * lower-id in-cell neighbor (deterministic; NULL when not a dup).
+    *
+    * The marker rule is "any lower-id neighbor above threshold", the same
+    * greedy-by-id rule as the exact and MinHash dedups here — NOT
+    * transitive closure (that is `Dedup.dupComponents` over the pair
+    * list). Near-dup pairs that k-means separates into different cells
+    * are never compared; that is the SemDeDup trade — the n² is bounded
+    * by the largest cell, not the corpus. With nCells = 1 the result is
+    * exact (every pair compared) and oracle-expressible, which is how the
+    * contract query pins it; SemanticDedupSpec pins nCells > 1 against
+    * the exact result on cluster-separated data where within-cell recall
+    * is provably 1.
+    *
+    * Scale shape: the within-cell pairing is keyed by (cell, block-pair)
+    * — `blocks` spreads even one skew-heavy cell over B(B+1)/2 equi-join
+    * groups, exactly like `blockedSelfJoinPairs` — and the join sides
+    * carry (id, vector, norm) only; the dup markers group-by 8-byte ids.
+    * Centroid training is the documented bounded driver state
+    * (nCells × dim doubles), shared with ivfIndex. */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int,
+      iterations: Int = 3, blocks: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    require(nCells >= 1 && blocks >= 1,
+      s"nCells and blocks must be >= 1, got nCells=$nCells blocks=$blocks")
+    val (assigned, _) = ivfIndex(corpus, nCells, iterations, idCol, vecCol)
+    val normed = materialize(assigned.select(col("id"), col("v"), col("cell"),
+      sqrt(dot(col("v"), col("v"))).as("nrm"),
+      pmod(hash(col("id")), lit(blocks)).as("blk")))
+    val left = normed.select(col("id"), col("v"), col("nrm"), col("cell"),
+      col("blk").as("bi"), explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val right = normed.select(col("id").as("rid"), col("v").as("rv"),
+      col("nrm").as("rnrm"), col("cell"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    val dups = left.join(right, Seq("cell", "bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("id") < col("rid"))
+      .select(least(col("id"), col("rid")).as("a"),
+        greatest(col("id"), col("rid")).as("b"),
+        (dot(col("v"), col("rv")) / (col("nrm") * col("rnrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("b").as("id")).agg(min(col("a")).as("dup_of"))
+    normed.select(col("id"), col("cell"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   // ---- int8 embedding quantization (storage compression) -----------------
 
   /** Per-vector symmetric-quantization scale: max|x| / 127. Bind the
