@@ -363,4 +363,17 @@ class ResizeSpec extends org.scalatest.funsuite.AnyFunSuite {
       .map(r => r.media_id -> r.bytes.toSeq).toMap
     assert(resized.view.mapValues(_.bytes.toSeq).toMap === again)
   }
+
+  test("resize picks source pixels by nearest-neighbor index arithmetic") {
+    import spark.implicits._
+    // 4x4 raster whose byte value IS its index: downsampling to 2x2 must
+    // read sources (sx, sy) = (x*4/2, y*4/2) -> bytes 0, 2, 8, 10; any
+    // inverted/transposed mapping reads different indices
+    val magic = "GFT0".getBytes("US-ASCII")
+    val payload = Array.tabulate(16)(_.toByte)
+    val row = graft.ops.Multimodal.MediaRow(1L, "image", magic ++ payload,
+      width = 4, height = 4, sample_rate = 0, duration_ms = 0)
+    val out = graft.ops.Multimodal.resize(Seq(row).toDS(), 2, 2).collect()(0)
+    assert(out.bytes.drop(4).toSeq === Seq[Byte](0, 2, 8, 10))
+  }
 }

@@ -16,8 +16,9 @@ class SemanticDedupSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def run(df: org.apache.spark.sql.DataFrame, t: Double, cells: Int,
-      blocks: Int = 4) = {
-    val out = graft.ops.Similarity.semanticDedup(df, t, cells, blocks = blocks)
+      blocks: Int = 4, iterations: Int = 3) = {
+    val out = graft.ops.Similarity
+      .semanticDedup(df, t, cells, iterations = iterations, blocks = blocks)
       .select("id", "is_dup", "dup_of")
       .collect()
       .map(r => r.getLong(0) -> ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
@@ -56,6 +57,18 @@ class SemanticDedupSpec extends AnyFunSuite {
     val docs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8))).toDF("vec_id", "v")
     assert(run(docs, 0.6, cells = 1) === Map(1L -> (false, -1L), 2L -> (true, 1L)))
     assert(run(docs, math.nextUp(0.6), cells = 1) ===
+      Map(1L -> (false, -1L), 2L -> (false, -1L)))
+  }
+
+  test("cross-cell near-dups are NOT compared (the SemDeDup trade)") {
+    // iterations = 0 pins the centroids to the first two vectors by id, so
+    // each is its own cell despite cos(v1, v2) ≈ 0.954 >= t: the celled
+    // regime must NOT mark the pair (the within-cell join is keyed by cell),
+    // while the exact nCells=1 regime must
+    val docs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.95, 0.3))).toDF("vec_id", "v")
+    assert(run(docs, 0.9, cells = 1, iterations = 0) ===
+      Map(1L -> (false, -1L), 2L -> (true, 1L)))
+    assert(run(docs, 0.9, cells = 2, iterations = 0) ===
       Map(1L -> (false, -1L), 2L -> (false, -1L)))
   }
 

@@ -311,6 +311,65 @@ MUTANTS6 = [
      ""),
 ]
 
+# batch 7: round-6 operators — semantic dedup (cell key, orientation,
+# min-neighbor), int8 quantization (rounding, scale denominator),
+# boilerplate stats (df boundary, short-doc left join), multimodal stubs
+# (frame stride origin, resize pixel mapping), and streaming retention
+# (anchor gate, mask OR). The SD73/MM72 killer tests were written BEFORE
+# this run (cell-key drops are invisible on cluster-separated fixtures;
+# ResizeSpec only pinned shape/determinism). Run with
+# `python3 tools/mutation.py 7`.
+SIM = "src/main/scala/graft/ops/Similarity.scala"
+MM = "src/main/scala/graft/ops/Multimodal.scala"
+
+SUITES7 = [
+    "graft.SemanticDedupSpec", "graft.QuantizeSpec",
+    "graft.BoilerplateStatsSpec", "graft.ResizeSpec",
+    # MultimodalSpec, not "OpsSpec" — OpsSpec.scala holds several suites
+    # and no class is literally named OpsSpec; the first batch-7 run listed
+    # it, ran nothing for the frame test, and MM71 "survived" on a harness
+    # no-op rather than a coverage gap
+    "graft.MultimodalSpec", "graft.StreamingRetentionSpec",
+]
+
+MUTANTS7 = [
+    ("SD71", SIM, "semantic dedup pair orientation < -> <= (admits self-pairs)",
+     'val dups = left.join(right, Seq("cell", "bi", "bj"))\n'
+     '      .filter(col("bi") =!= col("bj") || col("id") < col("rid"))',
+     'val dups = left.join(right, Seq("cell", "bi", "bj"))\n'
+     '      .filter(col("bi") =!= col("bj") || col("id") <= col("rid"))'),
+    ("SD72", SIM, "dup_of takes the max lower-id neighbor, not the min",
+     '.groupBy(col("b").as("id")).agg(min(col("a")).as("dup_of"))',
+     '.groupBy(col("b").as("id")).agg(max(col("a")).as("dup_of"))'),
+    ("SD73", SIM, "within-cell pairing drops the cell key (compares across cells)",
+     'left.join(right, Seq("cell", "bi", "bj"))',
+     'left.join(right, Seq("bi", "bj"))'),
+    ("QZ71", SIM, "quantize round -> truncate",
+     '.otherwise(transform(v, x => round(x / scale).cast("byte")))',
+     '.otherwise(transform(v, x => (x / scale).cast("byte")))'),
+    ("QZ72", SIM, "quant scale denominator 127 -> 128 (overflow wraps the byte)",
+     'array_max(transform(v, x => abs(x))) / 127.0',
+     'array_max(transform(v, x => abs(x))) / 128.0'),
+    ("BP71", DEDUP, "boilerplate df boundary >= minDocs -> >",
+     'count(when(col("df") >= minDocs, lit(1))).as("n_common")',
+     'count(when(col("df") > minDocs, lit(1))).as("n_common")'),
+    ("BP72", DEDUP, "fingerprint-less docs dropped (left join -> inner)",
+     'docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")',
+     'docs.select(col(idCol).as("id")).join(perDoc, Seq("id"))'),
+    ("MM71", MM, "frame sampling starts at frame 1, not 0",
+     '(0 until nFrames by stride).iterator',
+     '(1 until nFrames by stride).iterator'),
+    ("MM72", MM, "resize source-x mapping inverted (x*newW/width)",
+     'val sx = x * r.width / newW',
+     'val sx = x * newW / r.width'),
+    ("SR71", STREAM, "streaming retention drops the anchor gate on flags 1..n",
+     'if (i == 0) anchor else anchor && ((mask >> i) & 1) != 0',
+     'if (i == 0) anchor else ((mask >> i) & 1) != 0'),
+    ("SR72", STREAM, "retention mask overwrites instead of ORing",
+     'mask |= e.conds',
+     'mask = e.conds'),
+]
+
 
 def run(cmd, timeout=900):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
@@ -323,10 +382,11 @@ def main():
     batch4 = batch == "4"
     batch5 = batch == "5"
     batch6 = batch == "6"
-    mutants = (MUTANTS6 if batch6 else (MUTANTS5 if batch5 else
-               (MUTANTS4 if batch4 else (MUTANTS3 if batch3 else MUTANTS))))
-    suites = (SUITES6 if batch6 else (SUITES5 if batch5 else
-              (SUITES4 if batch4 else (SUITES3 if batch3 else SUITES))))
+    batch7 = batch == "7"
+    mutants = (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else (MUTANTS5 if batch5 else
+               (MUTANTS4 if batch4 else (MUTANTS3 if batch3 else MUTANTS)))))
+    suites = (SUITES7 if batch7 else (SUITES6 if batch6 else (SUITES5 if batch5 else
+              (SUITES4 if batch4 else (SUITES3 if batch3 else SUITES)))))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -354,6 +414,34 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch7:
+        marker = "\n## Batch 7 — round-6 operators\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants in the round-6 operators: semantic dedup",
+            "(cell key, pair orientation, min-neighbor), int8 quantization",
+            "(rounding, scale denominator), boilerplate stats (df boundary,",
+            "short-doc left join), the multimodal stubs (frame stride",
+            "origin, resize pixel mapping), and streaming retention (anchor",
+            "gate, mask OR). The SD73/MM72 killer tests were written BEFORE",
+            "the run: a cell-key drop is invisible on cluster-separated",
+            "fixtures and ResizeSpec only pinned shape/determinism.",
+            "",
+            f"**Batch-7 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-7 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch6:
         marker = "\n## Batch 6 — jaccard candidate-stage bounds + ScoreTopK round-trip\n"
         existing = Path("MUTATION.md").read_text()
