@@ -429,3 +429,87 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `argmin_cell(<centroid matrix>, array<double>) -> int`.
+  *
+  * Nearest-centroid assignment as ONE plan node: the centroid matrix rides
+  * the expression (plan-serialized once, a reference object in codegen)
+  * instead of expanding to nCells × dim literal nodes + a per-row
+  * `array_sort` over nCells structs. Arithmetic is exactly the literal
+  * formulation it replaces (`Similarity.assignCells`): per cell,
+  * d = dot(v, c) * -2.0 + |c|² with a sequential left-to-right dot
+  * (`DotProduct`'s order), argmin with ties to the SMALLEST cell id
+  * (strict `<` keeps the earlier cell, matching ascending struct sort on
+  * (d, cell)) — so assignments, and therefore every IVF/semantic-dedup
+  * result built on them, are bit-identical to the literal path
+  * (ArgminCellSpec pins this, ties and NaN included). Beyond removing the
+  * per-row sort/alloc, this is what keeps large cell counts viable: the
+  * plan no longer grows with nCells, only the broadcast-style reference
+  * object does.
+  */
+case class ArgminCell(matrix: Array[Array[Double]], child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(matrix.nonEmpty, "argmin_cell needs at least one centroid")
+
+  private lazy val sumsq: Array[Double] =
+    matrix.map(row => row.foldLeft(0.0)((s, x) => s + x * x))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "argmin_cell"
+  override def toString: String = s"argmin_cell(${matrix.length} cells, $child)"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var best = Double.PositiveInfinity
+    var bestC = 0
+    var c = 0
+    while (c < matrix.length) {
+      val row = matrix(c)
+      val n = math.min(v.numElements(), row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * row(i); i += 1 }
+      val d = s * -2.0 + sumsq(c)
+      if (d < best) { best = d; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("centroids", matrix, "double[][]")
+      val sq = ctx.addReferenceObj("sumsq", sumsq, "double[]")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |double $best = Double.POSITIVE_INFINITY;
+         |int $bestC = 0;
+         |for (int $c = 0; $c < $m.length; $c++) {
+         |  double[] $row = $m[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $row.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $row[$i];
+         |  }
+         |  double $d = $s * -2.0 + $sq[$c];
+         |  if ($d < $best) { $best = $d; $bestC = $c; }
+         |}
+         |${ev.value} = $bestC;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

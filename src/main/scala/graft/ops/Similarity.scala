@@ -234,18 +234,18 @@ object Similarity {
     (assignCells(base, centroids), centroids)
   }
 
-  /** argmin-distance cell id per vector, against broadcast centroid
-    * literals (codegen'd; no UDF). */
-  private def assignCells(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    // squared L2 distance to each centroid: |v|² - 2 v·c + |c|²; |v|² is
-    // common to all cells, so argmin needs only (-2 v·c + |c|²)
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      val cArr = array(c.map(lit): _*)
-      struct((dot(col("v"), cArr) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
-        lit(i).as("cell"))
-    }
-    base.withColumn("cell", element_at(array_sort(array(scores: _*)), 1)("cell"))
-  }
+  /** argmin-distance cell id per vector via the `argmin_cell` native
+    * kernel: the centroid matrix is ONE plan-level reference object, not
+    * nCells × dim literal nodes, and the per-row work is a tight primitive
+    * loop instead of building + sorting an nCells struct array. Squared L2
+    * distance to each centroid is |v|² - 2 v·c + |c|²; |v|² is common to
+    * all cells, so argmin needs only (-2 v·c + |c|²) — the kernel computes
+    * exactly that, bit-identically to the literal formulation it replaced
+    * (ArgminCellSpec pins equality, ties and NaN included). */
+  private def assignCells(base: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    base.withColumn("cell", org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ArgminCell(centroids,
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")))))
 
   /** Exact top-k within the `nProbe` cells nearest to the query vector. */
   def ivfTopK(indexed: DataFrame, centroids: Array[Array[Double]],
