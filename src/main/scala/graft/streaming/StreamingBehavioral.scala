@@ -299,4 +299,114 @@ object StreamingBehavioral {
           }
       }
   }
+
+  /** One input event for streaming sequence_match: condition bitmask
+    * packed like the batch `EventBuf` (bit i = condition i+1 of the
+    * pattern, i.e. `(?1)` tests bit 0). */
+  case class SeqEvent(user_id: Long, ts: java.sql.Timestamp, conds: Int)
+
+  /** Streaming sequence_match output: whether the user's buffered event
+    * history matches the pattern (monotone — once true it stays true for
+    * the lifetime of the user's state), plus the buffered-event count
+    * (0 once matched: the buffer is dropped on latch). */
+  case class SeqMatchUpdate(user_id: Long, matched: Boolean, n_buffered: Int)
+
+  /** Per-user state: packed event buffer + max event time + the latch. */
+  case class SeqMatchState(ts: Array[Long], conds: Array[Int],
+      maxTsUs: Long, matched: Boolean)
+
+  /** Streaming `sequence_match` over an unbounded keyed stream: the batch
+    * pattern engine (`PatternExecutor` — same fast paths, same NFA, same
+    * 10k-state guard) re-evaluated per micro-batch over a per-user packed
+    * event buffer.
+    *
+    * Match latching: a match can never be un-matched by later events, so
+    * the first successful evaluation LATCHES `matched` and drops the
+    * buffer — matched users cost O(1) state from then on, and evaluation
+    * stops for them.
+    *
+    * State bounding is the `horizonMicros` contract (same forgetting
+    * contract as streaming retention / the dedup ops): events older than
+    * watermark − horizon are pruned from unmatched buffers, so a match
+    * whose WHOLE SPAN would exceed the horizon can be missed — size the
+    * horizon to the longest chain the product cares about. A user idle
+    * past the horizon expires entirely (latched or not) and restarts
+    * from scratch if they return. Late events behind the watermark are
+    * dropped by the standard lateness contract.
+    *
+    * Only condition-bearing events enter the buffer (conds != 0), exactly
+    * like the batch aggregate — `.`/`.*` see condition-bearing events
+    * only (SURVEY.md §1.4). */
+  def streamingSequenceMatch(events: Dataset[SeqEvent], pattern: String,
+      watermark: String = "1 hour",
+      horizonMicros: Long = 30L * 86400 * 1000000): Dataset[SeqMatchUpdate] = {
+    val steps = graft.behavioral.pattern.PatternParser.parse(pattern) match {
+      case Right(s) => s
+      case Left(e) => throw new IllegalArgumentException(
+        s"sequence_match pattern error: $e")
+    }
+    require(horizonMicros > 0, s"horizonMicros must be positive, got $horizonMicros")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqMatchState, SeqMatchUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SeqEvent], state: GroupState[SeqMatchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var maxTsUs = Long.MinValue
+            var matched = false
+            val buf = EventBuf.empty()
+            state.getOption.foreach { s =>
+              matched = s.matched
+              maxTsUs = s.maxTsUs
+              if (!matched) {
+                var i = 0
+                while (i < s.ts.length) { buf.append(s.ts(i), s.conds(i)); i += 1 }
+              }
+            }
+            batch.foreach { e =>
+              if (e.ts != null) {
+                val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+                if (us > maxTsUs) maxTsUs = us
+                if (!matched && e.conds != 0) buf.append(us, e.conds)
+              }
+            }
+            if (!matched) {
+              // prune events the horizon has passed: they may no longer
+              // combine with future events (the forgetting contract)
+              val horizonUs = state.getCurrentWatermarkMs() * 1000 - horizonMicros
+              val pruned = EventBuf.empty()
+              buf.sortByTs()
+              var i = 0
+              while (i < buf.n) {
+                if (buf.ts(i) >= horizonUs) pruned.append(buf.ts(i), buf.conds(i))
+                i += 1
+              }
+              val kept = if (pruned.n < buf.n) pruned else buf
+              matched = graft.behavioral.pattern.PatternExecutor
+                .execute(steps, kept, countAll = false) > 0
+              if (matched) {
+                // latch: drop the buffer, O(1) state from here on
+                state.update(SeqMatchState(Array.emptyLongArray,
+                  Array.emptyIntArray, maxTsUs, matched = true))
+              } else {
+                state.update(SeqMatchState(
+                  java.util.Arrays.copyOf(kept.ts, kept.n),
+                  java.util.Arrays.copyOf(kept.conds, kept.n),
+                  maxTsUs, matched = false))
+              }
+            } else {
+              state.update(SeqMatchState(Array.emptyLongArray,
+                Array.emptyIntArray, maxTsUs, matched = true))
+            }
+            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            val nBuf = state.get.ts.length
+            Iterator.single(SeqMatchUpdate(userId, matched, nBuf))
+          }
+      }
+  }
 }
