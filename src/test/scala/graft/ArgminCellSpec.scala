@@ -26,29 +26,49 @@ class ArgminCellSpec extends AnyFunSuite {
     element_at(array_sort(array(scores: _*)), 1)("cell")
   }
 
+  /** Runs `body` once on the genuinely CODEGEN'D path and once on the
+    * genuinely INTERPRETED path. Two traps make the naive conf toggle a
+    * no-op: ConvertToLocalRelation folds a Project over a local Seq.toDF
+    * into driver-side interpreted evaluation at OPTIMIZATION time (no
+    * codegen ever runs, whatever the conf says), so the input must be
+    * repartitioned to keep a real executed Project; and the eval path
+    * needs whole-stage codegen off, not just the projection factory. */
+  private def bothPaths(f: (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
+    for ((ws, factory) <- Seq(("true", "CODEGEN_ONLY"), ("false", "NO_CODEGEN"))) {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", factory)
+      try f(df => df.repartition(2), s"wholeStage=$ws/$factory")
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+  }
+
   test("kernel == literal argmin on random vectors, both codegen and interpreted") {
     val rnd = new scala.util.Random(7)
     val cs = Array.fill(17)(Array.fill(8)(rnd.nextGaussian()))
     val df = (0 until 500).map(i =>
       (i.toLong, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "v")
-    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
-      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
-      try {
-        val got = df.select(col("id"), kernel(cs).as("k"), literal(cs).as("l"))
-          .collect()
-        got.foreach(r => assert(r.getInt(1) === r.getInt(2),
-          s"id ${r.getLong(0)} [$codegen]: kernel ${r.getInt(1)} vs literal ${r.getInt(2)}"))
-      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    bothPaths { (prep, mode) =>
+      val got = prep(df).select(col("id"), kernel(cs).as("k"), literal(cs).as("l"))
+        .collect()
+      got.foreach(r => assert(r.getInt(1) === r.getInt(2),
+        s"id ${r.getLong(0)} [$mode]: kernel ${r.getInt(1)} vs literal ${r.getInt(2)}"))
     }
   }
 
   test("distance ties resolve to the smallest cell id, like the ascending struct sort") {
-    // duplicate centroids: every vector is equidistant to cells 0 and 1
+    // duplicate centroids: every vector is equidistant to cells 0 and 1;
+    // pinned in BOTH paths so neither the eval nor the codegen tie rule
+    // can drift alone
     val cs = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.2, 0.8))).toDF("id", "v")
-    val got = df.select(col("id"), kernel(cs).as("k"), literal(cs).as("l")).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
-    assert(got.toSeq === Seq((1L, 0, 0), (2L, 2, 2)))
+    bothPaths { (prep, mode) =>
+      val got = prep(df).select(col("id"), kernel(cs).as("k"), literal(cs).as("l")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+      assert(got.toSeq === Seq((1L, 0, 0), (2L, 2, 2)), s"[$mode]")
+    }
   }
 
   test("NaN components: kernel matches the literal path (all-NaN distances -> cell 0)") {

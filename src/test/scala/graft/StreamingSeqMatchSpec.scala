@@ -69,14 +69,31 @@ class StreamingSeqMatchSpec extends AnyFunSuite {
   }
 
   test("match latches, drops the buffer, and survives later non-matching events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
     val events = Seq(
       SeqEvent(1L, ts("2024-01-01 00:00:00"), 1),
       SeqEvent(1L, ts("2024-01-01 00:01:00"), 2), // (?1)(?2) completes here
       SeqEvent(1L, ts("2024-01-01 00:02:00"), 4),
       SeqEvent(1L, ts("2024-01-01 00:03:00"), 4)
     )
-    val got = runStream(events, "(?1)(?2)", batchSize = 2, name = "seq_latch")
-    assert(got(1L) === ((true, 0)), s"latched with dropped buffer, got $got")
+    val input = MemoryStream[SeqEvent]
+    val q = StreamingBehavioral
+      .streamingSequenceMatch(input.toDS(), "(?1)(?2)", "10 minutes")
+      .toDF().writeStream.format("memory").queryName("seq_latch")
+      .outputMode("update").start()
+    try {
+      events.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+      val rows = spark.table("seq_latch").collect()
+        .map(r => (r.getBoolean(1), r.getInt(2)))
+      // the buffer drops AT match time, not a batch later: every matched
+      // emission (including the first) carries n_buffered == 0
+      assert(rows.count(_._1) >= 2, s"expected >= 2 matched emissions: ${rows.toSeq}")
+      rows.filter(_._1).foreach { case (_, n) =>
+        assert(n === 0, s"matched emission must have an empty buffer: ${rows.toSeq}")
+      }
+    } finally q.stop()
   }
 
   test("a late event behind the watermark cannot complete the match") {
@@ -89,6 +106,20 @@ class StreamingSeqMatchSpec extends AnyFunSuite {
     )
     val got = runStream(events, "(?1)(?2)", batchSize = 1, name = "seq_late")
     assert(got(1L)._1 === false, s"late completion must be dropped, got $got")
+  }
+
+  test("the event exactly at the horizon boundary is kept") {
+    // watermark delay 1 minute; u2 at 04:00 advances the watermark to
+    // 03:59, so the horizon (1h) cut sits at exactly 02:59:00 — where the
+    // (?1) sits. It must survive the prune and complete with the 04:00 (?2).
+    val events = Seq(
+      SeqEvent(1L, ts("2024-01-01 02:59:00"), 1),
+      SeqEvent(2L, ts("2024-01-01 04:00:00"), 1),
+      SeqEvent(1L, ts("2024-01-01 04:00:00"), 2)
+    )
+    val got = runStream(events, "(?1).*(?2)", watermark = "1 minute",
+      horizonMicros = 3600L * 1000000, batchSize = 1, name = "seq_boundary")
+    assert(got(1L)._1 === true, s"at-horizon event must be kept, got $got")
   }
 
   test("a chain spanning longer than the horizon is missed (forgetting contract)") {

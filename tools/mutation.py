@@ -371,6 +371,53 @@ MUTANTS7 = [
 ]
 
 
+# batch 8: streaming sequence_match (latch buffer drop, horizon prune
+# boundary, condition-bearing filter) + the argmin_cell kernel (tie rule in
+# BOTH the eval and codegen paths, distance arithmetic). The boundary and
+# per-path tie killer tests were written before this run. Run with
+# `python3 tools/mutation.py 8`.
+SUITES8 = [
+    "graft.StreamingSeqMatchSpec", "graft.ArgminCellSpec",
+    "graft.SimilaritySpec", "graft.IvfPartialProbeRecallSpec",
+]
+
+MUTANTS8 = [
+    ("SQ81", STREAM, "match latch keeps the event buffer (state no longer O(1))",
+     '''              if (matched) {
+                // latch: drop the buffer, O(1) state from here on
+                state.update(SeqMatchState(Array.emptyLongArray,
+                  Array.emptyIntArray, maxTsUs, matched = true))
+              } else {''',
+     '''              if (matched) {
+                state.update(SeqMatchState(
+                  java.util.Arrays.copyOf(kept.ts, kept.n),
+                  java.util.Arrays.copyOf(kept.conds, kept.n),
+                  maxTsUs, matched = true))
+              } else {'''),
+    ("SQ82", STREAM, "horizon prune boundary >= -> > (drops the at-horizon event)",
+     '''              buf.sortByTs()
+              var i = 0
+              while (i < buf.n) {
+                if (buf.ts(i) >= horizonUs) pruned.append(buf.ts(i), buf.conds(i))''',
+     '''              buf.sortByTs()
+              var i = 0
+              while (i < buf.n) {
+                if (buf.ts(i) > horizonUs) pruned.append(buf.ts(i), buf.conds(i))'''),
+    ("SQ83", STREAM, "zero-mask events enter the buffer (breaks adjacency semantics)",
+     "if (!matched && e.conds != 0) buf.append(us, e.conds)",
+     "if (!matched) buf.append(us, e.conds)"),
+    ("AC81", VEC, "argmin_cell codegen tie < -> <= (ties to the largest cell)",
+     "|  if ($d < $best) { $best = $d; $bestC = $c; }",
+     "|  if ($d <= $best) { $best = $d; $bestC = $c; }"),
+    ("AC82", VEC, "argmin_cell eval tie < -> <= (interpreted path drifts alone)",
+     "      if (d < best) { best = d; bestC = c }",
+     "      if (d <= best) { best = d; bestC = c }"),
+    ("AC83", VEC, "argmin_cell distance factor -2 -> -1",
+     "|  double $d = $s * -2.0 + $sq[$c];",
+     "|  double $d = $s * -1.0 + $sq[$c];"),
+]
+
+
 def run(cmd, timeout=900):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
                           timeout=timeout)
@@ -383,10 +430,13 @@ def main():
     batch5 = batch == "5"
     batch6 = batch == "6"
     batch7 = batch == "7"
-    mutants = (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else (MUTANTS5 if batch5 else
-               (MUTANTS4 if batch4 else (MUTANTS3 if batch3 else MUTANTS)))))
-    suites = (SUITES7 if batch7 else (SUITES6 if batch6 else (SUITES5 if batch5 else
-              (SUITES4 if batch4 else (SUITES3 if batch3 else SUITES)))))
+    batch8 = batch == "8"
+    mutants = (MUTANTS8 if batch8 else (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else
+               (MUTANTS5 if batch5 else (MUTANTS4 if batch4 else
+               (MUTANTS3 if batch3 else MUTANTS))))))
+    suites = (SUITES8 if batch8 else (SUITES7 if batch7 else (SUITES6 if batch6 else
+              (SUITES5 if batch5 else (SUITES4 if batch4 else
+              (SUITES3 if batch3 else SUITES))))))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -414,6 +464,32 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch8:
+        marker = "\n## Batch 8 — streaming sequence_match + argmin_cell\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants in streaming sequence_match (latch buffer",
+            "drop, horizon-prune boundary, condition-bearing filter) and",
+            "the argmin_cell kernel — tie rule mutated SEPARATELY in the",
+            "eval and codegen paths so neither can drift alone, plus the",
+            "distance arithmetic. The boundary and per-path tie killer",
+            "tests were written before the run.",
+            "",
+            f"**Batch-8 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-8 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch7:
         marker = "\n## Batch 7 — round-6 operators\n"
         existing = Path("MUTATION.md").read_text()
