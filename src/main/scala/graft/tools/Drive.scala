@@ -126,6 +126,17 @@ object Drive {
       emb.filter(col("vec_id") > 1),
       emb.filter(col("vec_id") <= 1).select(col("vec_id").as("qid"), col("v").as("qv")),
       k = 3).orderBy("qid", "rank").show(false)
+    println("-- semantic dedup (SemDeDup cluster-then-prune, 4 cells, t>=0.4):")
+    graft.ops.Similarity.semanticDedup(emb, threshold = 0.4, nCells = 4)
+      .orderBy(col("id")).show(5, false)
+    println("-- int8 quantization round-trip fidelity (first 3 vectors):")
+    emb.select(col("vec_id"), col("v"),
+        graft.ops.Similarity.quantScale(col("v")).as("s"))
+      .select(col("vec_id"), round(graft.ops.Similarity.cosine(col("v"),
+        graft.ops.Similarity.dequantizeInt8(
+          graft.ops.Similarity.quantizeInt8(col("v"), col("s")), col("s"))), 6)
+        .as("fidelity"))
+      .orderBy("vec_id").show(3, false)
     println("-- benchmark decontamination (every 20th doc is the benchmark):")
     graft.ops.Pipeline.decontaminate(
         docs.filter(col("doc_id") % 20 =!= 0),
