@@ -409,4 +409,123 @@ object StreamingBehavioral {
           }
       }
   }
+
+  /** Streaming sequence_count output: cumulative non-overlapping match
+    * count (monotone) plus the events still buffered (those not yet
+    * consumed by a counted match and inside the horizon). */
+  case class SeqCountUpdate(user_id: Long, n_matches: Long, n_buffered: Int)
+
+  /** Per-user state: completed-match count + the unconsumed event suffix. */
+  case class SeqCountState(count: Long, ts: Array[Long], conds: Array[Int],
+      maxTsUs: Long)
+
+  /** Streaming `sequence_count` (non-overlapping, resume at match end + 1)
+    * over an unbounded keyed stream — the counting sibling of
+    * `streamingSequenceMatch`, sharing the batch pattern engine unchanged.
+    *
+    * The per-batch step counts matches in (state suffix ++ new events) and
+    * then DROPS the consumed prefix: in non-overlapping semantics the
+    * search resumes at match end + 1, so nothing at or before the last
+    * counted match's end can ever participate again. The consumed boundary
+    * is recovered WITHOUT modifying the executor: the non-overlapping count
+    * over a sorted prefix is monotone in its length, so the smallest prefix
+    * whose count equals the total is found by binary search — O(log n)
+    * executor passes per touched user per micro-batch.
+    *
+    * Same horizon contract as `streamingSequenceMatch`: unconsumed events
+    * older than watermark − horizon are pruned (a match spanning wider than
+    * the horizon may be missed), idle users expire, late events drop. The
+    * emitted count is cumulative and monotone within a state lifetime.
+    *
+    * Counted matches are FINAL: an event that arrives later (above the
+    * watermark, so not "late" by the lateness contract) but whose
+    * timestamp sorts before an already-counted match joins only the
+    * unconsumed suffix — it cannot retroactively re-partition matches the
+    * operator already emitted, where the batch aggregate re-sorting full
+    * history might. Emitted counts never need correction; that finality
+    * is the streaming contract. */
+  def streamingSequenceCount(events: Dataset[SeqEvent], pattern: String,
+      watermark: String = "1 hour",
+      horizonMicros: Long = 30L * 86400 * 1000000): Dataset[SeqCountUpdate] = {
+    val steps = graft.behavioral.pattern.PatternParser.parse(pattern) match {
+      case Right(s) => s
+      case Left(e) => throw new IllegalArgumentException(
+        s"sequence_count pattern error: $e")
+    }
+    require(horizonMicros > 0, s"horizonMicros must be positive, got $horizonMicros")
+    import events.sparkSession.implicits._
+
+    // smallest prefix length whose non-overlapping count equals `total`
+    // (= last counted match's end + 1): count(prefix) is monotone, so
+    // binary search over executor passes recovers the consumed boundary
+    def consumedEnd(buf: EventBuf, total: Long): Int = {
+      var lo = 0
+      var hi = buf.n
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        val prefix = EventBuf.empty()
+        var i = 0
+        while (i < mid) { prefix.append(buf.ts(i), buf.conds(i)); i += 1 }
+        if (graft.behavioral.pattern.PatternExecutor
+          .execute(steps, prefix, countAll = true) >= total) hi = mid
+        else lo = mid + 1
+      }
+      lo
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqCountState, SeqCountUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SeqEvent], state: GroupState[SeqCountState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var count = 0L
+            var maxTsUs = Long.MinValue
+            val buf = EventBuf.empty()
+            state.getOption.foreach { s =>
+              count = s.count
+              maxTsUs = s.maxTsUs
+              var i = 0
+              while (i < s.ts.length) { buf.append(s.ts(i), s.conds(i)); i += 1 }
+            }
+            batch.foreach { e =>
+              if (e.ts != null) {
+                val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+                if (us > maxTsUs) maxTsUs = us
+                if (e.conds != 0) buf.append(us, e.conds)
+              }
+            }
+            // prune unconsumed events the horizon has passed (forgetting
+            // contract — consumed events are already gone)
+            val horizonUs = state.getCurrentWatermarkMs() * 1000 - horizonMicros
+            buf.sortByTs()
+            val pruned = EventBuf.empty()
+            var i = 0
+            while (i < buf.n) {
+              if (buf.ts(i) >= horizonUs) pruned.append(buf.ts(i), buf.conds(i))
+              i += 1
+            }
+            val kept = if (pruned.n < buf.n) pruned else buf
+            val newMatches = graft.behavioral.pattern.PatternExecutor
+              .execute(steps, kept, countAll = true)
+            count += newMatches
+            val from = if (newMatches > 0) consumedEnd(kept, newMatches) else 0
+            val restN = kept.n - from
+            val restTs = new Array[Long](restN)
+            val restConds = new Array[Int](restN)
+            i = 0
+            while (i < restN) {
+              restTs(i) = kept.ts(from + i); restConds(i) = kept.conds(from + i)
+              i += 1
+            }
+            state.update(SeqCountState(count, restTs, restConds, maxTsUs))
+            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            Iterator.single(SeqCountUpdate(userId, count, restN))
+          }
+      }
+  }
 }
