@@ -418,6 +418,24 @@ MUTANTS8 = [
 ]
 
 
+# batch 9: streaming sequence_count's consumed-prefix logic — the
+# binary-search boundary, the prefix drop itself, and count accumulation.
+# Run with `python3 tools/mutation.py 9`.
+SUITES9 = ["graft.StreamingSeqCountSpec", "graft.StreamingSeqMatchSpec"]
+
+MUTANTS9 = [
+    ("SC91", STREAM, "consumed-boundary search >= total -> > total (consumes skipped suffix)",
+     "          .execute(steps, prefix, countAll = true) >= total) hi = mid",
+     "          .execute(steps, prefix, countAll = true) > total) hi = mid"),
+    ("SC92", STREAM, "consumed prefix never dropped (double counting across batches)",
+     "val from = if (newMatches > 0) consumedEnd(kept, newMatches) else 0",
+     "val from = 0"),
+    ("SC93", STREAM, "count overwrites instead of accumulating",
+     "count += newMatches",
+     "count = newMatches"),
+]
+
+
 def run(cmd, timeout=900):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
                           timeout=timeout)
@@ -431,12 +449,15 @@ def main():
     batch6 = batch == "6"
     batch7 = batch == "7"
     batch8 = batch == "8"
-    mutants = (MUTANTS8 if batch8 else (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else
+    batch9 = batch == "9"
+    mutants = (MUTANTS9 if batch9 else (MUTANTS8 if batch8 else
+               (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else
                (MUTANTS5 if batch5 else (MUTANTS4 if batch4 else
-               (MUTANTS3 if batch3 else MUTANTS))))))
-    suites = (SUITES8 if batch8 else (SUITES7 if batch7 else (SUITES6 if batch6 else
+               (MUTANTS3 if batch3 else MUTANTS)))))))
+    suites = (SUITES9 if batch9 else (SUITES8 if batch8 else
+              (SUITES7 if batch7 else (SUITES6 if batch6 else
               (SUITES5 if batch5 else (SUITES4 if batch4 else
-              (SUITES3 if batch3 else SUITES))))))
+              (SUITES3 if batch3 else SUITES)))))))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -464,6 +485,31 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch9:
+        marker = "\n## Batch 9 — streaming sequence_count consumed-prefix logic\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants at the consumed-prefix machinery that keeps",
+            "streaming sequence_count state bounded and counts final: the",
+            "binary-search boundary (>= total), the prefix drop itself,",
+            "and count accumulation. Suites: both streaming sequence",
+            "specs.",
+            "",
+            f"**Batch-9 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-9 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch8:
         marker = "\n## Batch 8 — streaming sequence_match + argmin_cell\n"
         existing = Path("MUTATION.md").read_text()
