@@ -774,8 +774,9 @@ object SparkEntry {
 
     // ---- LLM pipeline: int8 embedding quantization ------------------------
     // scale binds to an attribute between the two selects so array_max
-    // runs once per row; q casts to array<int> purely for oracle schema
-    // parity (the operator stores bytes)
+    // runs once per row; q is serialized to a comma-joined string because
+    // the harness sort-hashes columns and a raw array<int> is unhashable
+    // on the pandas side (the operator itself stores bytes)
     "q67_quantize" -> { (s, dir) =>
       prep(s, dir)
       Tables.load(s, dir, "embeddings")
@@ -783,8 +784,8 @@ object SparkEntry {
         .select(col("vec_id"), col("v"),
           ops.Similarity.quantScale(col("v")).as("__scale"))
         .select(col("vec_id"), round(col("__scale"), 9).as("scale"),
-          ops.Similarity.quantizeInt8(col("v"), col("__scale"))
-            .cast("array<int>").as("q"))
+          array_join(ops.Similarity.quantizeInt8(col("v"), col("__scale"))
+            .cast("array<int>"), ",").as("q"))
     },
 
     // ---- LLM pipeline: SemDeDup semantic dedup (nCells=1: exact regime) --
@@ -1844,15 +1845,18 @@ object SparkEntry {
          |FROM m LEFT JOIN rs USING (media_id)""".stripMargin,
 
     // symmetric int8 quantization recomputed per element; the zero-scale
-    // branch mirrors the operator's divide-by-zero guard
+    // branch mirrors the operator's divide-by-zero guard; q is joined to a
+    // comma string to match the Spark side (arrays break the harness hash)
     "q67_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
         |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
         |      FROM e)
         |SELECT vec_id, CAST(round(scale, 9) AS DOUBLE) AS scale,
-        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-        |       ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS q
+        |  array_to_string(
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END,
+        |    ',') AS q
         |FROM s""".stripMargin,
 
     // the nCells=1 regime compares every pair, so the oracle is q20's
