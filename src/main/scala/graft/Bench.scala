@@ -35,50 +35,80 @@ object Bench {
       only.forall(_.exists(name.contains))
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = selected.map { case (name, fn) =>
-      // best of N runs = steady-state cost (first run pays codegen + input
-      // listing); noop sink forces full evaluation of every output column —
-      // count() would let Catalyst prune the very expressions being measured
-      val sec = (0 until runs).map { _ =>
-        // full cold start per run: memoized pair lists and operator-internal
-        // sketch caches (OpCaches) must not leak across runs or queries, or
-        // best-of-N measures a cache hit instead of the operator
-        graft.ops.OpCaches.unpersistAll()
-        val t0 = System.nanoTime()
-        // a failing query must NOT bench as ~0 s with a plausible total:
-        // record the error and poison the query's time so the artifact is
-        // visibly broken, and exit non-zero at the end
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(300)
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+    // one timed run; noop sink forces full evaluation of every output
+    // column — count() would let Catalyst prune the very expressions being
+    // measured. Returns NaN on failure so a failing query can never
+    // contribute a plausible ~0 s entry (poisoned, excluded from total).
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // full cold start per run: memoized pair lists and operator-internal
+      // sketch caches (OpCaches) must not leak across runs or queries, or
+      // best-of-N measures a cache hit instead of the operator
       graft.ops.OpCaches.unpersistAll()
-      System.err.println(f"[bench] $name $sec%.2f s" +
-        errors.get(name).map(m => s" ERROR: $m").getOrElse(""))
-      name -> sec
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(300)
+          Double.NaN
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-run min/max + bounded auto-rerun: three consecutive driver rounds
+    // produced contention artifacts (a co-running process inflating a
+    // contiguous alphabetical block 15-35x on unchanged code). A burst that
+    // hits some runs but not others shows up as max/min spread; re-measuring
+    // once after the burst usually lands a clean min. Queries whose spread
+    // stays >3x after the rerun are flagged in the JSON ("unstable") so the
+    // artifact is visibly suspect instead of silently wrong.
+    val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "3.0").toDouble
+    val results = selected.map { case (name, fn) =>
+      var times = (0 until runs).map(_ => timedRun(name, fn)).filterNot(_.isNaN)
+      def spread = if (times.size < 2) 1.0 else times.max / math.max(times.min, 1e-9)
+      val rerun = !errors.contains(name) && times.nonEmpty && spread > spreadLimit
+      if (rerun) times = times ++ (0 until runs).map(_ => timedRun(name, fn)).filterNot(_.isNaN)
+      graft.ops.OpCaches.unpersistAll()
+      val sec = if (errors.contains(name) || times.isEmpty) Double.NaN else times.min
+      val mn = if (times.isEmpty) Double.NaN else times.min
+      val mx = if (times.isEmpty) Double.NaN else times.max
+      // the final instability verdict drops the single largest sample: the
+      // first run always pays codegen/listing, so including it would flag
+      // nearly every fast query; a genuine sustained burst inflates several
+      // samples and still exceeds the limit after trimming
+      val trimmed = if (times.size >= 3) times.sorted.dropRight(1) else times
+      val unstable = trimmed.size >= 2 &&
+        trimmed.max / math.max(trimmed.min, 1e-9) > spreadLimit
+      System.err.println(f"[bench] $name $sec%.2f s (min $mn%.2f / max $mx%.2f" +
+        (if (rerun) ", rerun" else "") + (if (unstable) ", UNSTABLE" else "") + ")" +
+        errors.get(name).map(m => s" ERROR: $m").getOrElse(""))
+      (name, sec, mn, mx, unstable)
+    }
+    def num(v: Double): String = if (v.isNaN) "-1" else v.toString
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val runsJson = results.map { case (k, _, mn, mx, unstable) =>
+      s"\"" + k + "\":{\"min\":" + num(mn) + ",\"max\":" + num(mx) +
+        (if (unstable) ",\"unstable\":true" else "") + "}"
+    }.mkString(",\"runs\":{", ",", "}")
+    val good = results.collect { case (_, v, _, _, _) if !v.isNaN => v }
+    val total = good.sum
     // contention self-diagnosis: q12_text_stats is a pure no-shuffle
     // codegen'd scan — its time is the host's per-query floor. Each query's
     // floor-ratio is scale-invariant across hosts, so a run where EVERY
     // ratio looks normal but the floor itself is 4x is contended, and a run
     // where one query's ratio exploded is a code regression.
-    val floor = results.collectFirst { case ("q12_text_stats", s) if s > 0 => s }
+    val floor = results.collectFirst { case ("q12_text_stats", s, _, _, _) if s > 0 => s }
     val ratios = floor.map { f =>
-      results.map { case (k, v) => s"\"" + k + "\":" + f"${v / f}%.2f" }
-        .mkString(",\"floor_sec\":" + f"$f%.4f" + ",\"floor_ratios\":{", ",", "}")
+      results.map { case (k, v, _, _, _) =>
+        s"\"" + k + "\":" + (if (v.isNaN) "-1" else f"${v / f}%.2f")
+      }.mkString(",\"floor_sec\":" + f"$f%.4f" + ",\"floor_ratios\":{", ",", "}")
     }.getOrElse("")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$ratios$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$ratios$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
