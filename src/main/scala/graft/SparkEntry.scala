@@ -800,6 +800,28 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("is_dup"), col("dup_of"))
     },
 
+    // ---- LLM pipeline: SemDeDup CLUSTERED regime (nCells=4) ---------------
+    // the fixture is generated arithmetically (IEEE division of small ints
+    // is exactly rounded, so Spark and DuckDB produce bit-identical
+    // doubles): 4 orthogonal clusters in 8-d, id i belongs to cluster
+    // i % 4, jitter_j(i) = (((i*31 + j*17) % 7) - 3) / 200. Ids 0..3 are
+    // one per cluster, so ivfIndex's first-nCells-by-id init places one
+    // centroid in each cluster and Lloyd provably keeps them there
+    // (within-cluster cos >= 0.93, cross-cluster <= 0.04) — within-cell
+    // recall is 1 and the exact all-pairs lower-id-neighbor oracle matches
+    // the celled result, pinning argmin_cell + within-cell blocking
+    // end-to-end (q68 only covers the nCells=1 exact regime)
+    "q69_semdedup_cells" -> { (s, _) =>
+      val dim = 8
+      val fixture = s.range(200).select(col("id").as("vec_id"),
+        array((0 until dim).map { j =>
+          when(pmod(col("id"), lit(4)) === j, lit(1.0)).otherwise(lit(0.0)) +
+            ((col("id") * 31 + lit(j * 17)) % 7 - 3).cast("double") / 200.0
+        }: _*).as("v"))
+      ops.Similarity.semanticDedup(fixture, threshold = 0.9, nCells = 4)
+        .select(col("id").as("vec_id"), col("is_dup"), col("dup_of"))
+    },
+
     // ---- LLM pipeline: cross-doc boilerplate spans ------------------------
     // minDocs = 25 because the synthetic corpus shares a tight vocabulary:
     // at df >= 2 nearly every fingerprint is "common" (frac ~1.0 for all
@@ -1867,6 +1889,25 @@ object SparkEntry {
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id
         |      WHERE list_dot_product(a.v, b.v)
         |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |      GROUP BY b.vec_id)
+        |SELECT e.vec_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+        |FROM e LEFT JOIN d ON e.vec_id = d.id""".stripMargin,
+
+    // the celled fixture regenerated arithmetically (same exactly-rounded
+    // IEEE divisions as the Spark side), judged by the exact all-pairs
+    // lower-id-neighbor rule — valid because the clusters are separated
+    // (no cross-cell pair can reach the threshold) and cluster-to-cell
+    // assignment is 1:1 by construction
+    "q69_semdedup_cells" ->
+      """WITH e AS (SELECT i AS vec_id,
+        |        list_transform(range(0, 8), j ->
+        |          CAST(CASE WHEN i % 4 = j THEN 1 ELSE 0 END AS DOUBLE)
+        |          + CAST(((i*31 + j*17) % 7) - 3 AS DOUBLE) / 200.0) AS v
+        |      FROM range(0, 200) t(i)),
+        |d AS (SELECT b.vec_id AS id, min(a.vec_id) AS dup_of
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
         |      GROUP BY b.vec_id)
         |SELECT e.vec_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
         |FROM e LEFT JOIN d ON e.vec_id = d.id""".stripMargin,
