@@ -800,6 +800,29 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("is_dup"), col("dup_of"))
     },
 
+    // ---- LLM pipeline: batched top-k served from the int8 corpus ----------
+    // the corpus side exists ONLY in quantized form (scale + int8 codes);
+    // scoring dequantizes in-expression, so the oracle recomputes the same
+    // rounding arithmetic (q67's) and the same cosine — results are
+    // bit-identical, not merely close
+    "q70_quantized_topk" -> { (s, dir) =>
+      prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val quant = emb
+        .select(col("vec_id"), col("v"),
+          ops.Similarity.quantScale(col("v")).as("__scale"))
+        .select(col("vec_id"), col("__scale").as("scale"),
+          ops.Similarity.quantizeInt8(col("v"), col("__scale")).as("q"))
+      ops.Similarity.quantizedBatchTopK(
+        quant.filter(col("vec_id") % 100 =!= 0),
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv")),
+        k = 5)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+    },
+
     // ---- LLM pipeline: SemDeDup CLUSTERED regime (nCells=4) ---------------
     // the fixture is generated arithmetically (IEEE division of small ints
     // is exactly rounded, so Spark and DuckDB produce bit-identical
@@ -836,16 +859,23 @@ object SparkEntry {
     }
   )
 
+  /** Per-process suffix for the media fixture paths: the oracle SQL is
+    * generated in the same JVM that writes the fixtures, so Verify's dump
+    * and its oracle_sql.json always agree — but a CONCURRENT harness run
+    * (e.g. the driver's bench racing its correctness pass) is a different
+    * JVM and gets its own files instead of overwriting these mid-read. */
+  private val MediaPathSuffix = ProcessHandle.current().pid().toString
+
   /** q64's own media parquet (distinct from q57's — see q64's comment). */
-  private val MediaFramesPath = "/tmp/graft_q64_media"
+  private val MediaFramesPath = s"/tmp/graft_q64_media_$MediaPathSuffix"
 
   /** q66's own media parquet (same isolation reasoning as q64). */
-  private val MediaResizePath = "/tmp/graft_q66_media"
+  private val MediaResizePath = s"/tmp/graft_q66_media_$MediaPathSuffix"
 
-  /** Fixed absolute path (same JVM-default /tmp for Spark and the driver's
+  /** Absolute path (same JVM-default /tmp for Spark and the driver's
     * DuckDB) where q57 materializes the demo media table; the oracle SQL
     * reads the same files back. */
-  private val MediaParquetPath = "/tmp/graft_q57_media"
+  private val MediaParquetPath = s"/tmp/graft_q57_media_$MediaPathSuffix"
 
   /** UTC hour-of-day of the `ts` column as pure integer arithmetic on epoch
     * microseconds — identical on any engine regardless of session timezone
@@ -1892,6 +1922,33 @@ object SparkEntry {
         |      GROUP BY b.vec_id)
         |SELECT e.vec_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
         |FROM e LEFT JOIN d ON e.vec_id = d.id""".stripMargin,
+
+    // q53's brute-force batch oracle over the DEQUANTIZED corpus: the
+    // int8 codes and scale are recomputed with q67's arithmetic, then
+    // x -> round(x/scale)*scale replaces the raw corpus value before the
+    // identical cosine/rank pipeline (queries stay exact doubles)
+    "q70_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |       FROM e WHERE vec_id % 100 <> 0),
+        |c AS (SELECT vec_id,
+        |        CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |             ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER) * scale)
+        |        END AS v
+        |      FROM sc),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.qid, c.vec_id,
+        |        list_dot_product(v, qv)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |      FROM c CROSS JOIN q),
+        |r AS (SELECT qid, vec_id, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        |  CAST(round(sim, 6) AS DOUBLE) AS sim
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // the celled fixture regenerated arithmetically (same exactly-rounded
     // IEEE divisions as the Spark side), judged by the exact all-pairs

@@ -443,4 +443,30 @@ object Similarity {
   /** Inverse of `quantizeInt8`: x_i ≈ q_i × scale. */
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  /** Exact batched top-k SERVED FROM THE INT8 CORPUS: `corpus` holds the
+    * quantized representation (idCol, scaleCol, qCol: array<byte>) as
+    * written by `quantizeInt8`, and queries score against the dequantized
+    * vectors without the double corpus ever existing at rest — the point
+    * of int8 storage at 100 TB is that the 8×-smaller table IS the thing
+    * you scan. The dequantize runs inside the same codegen'd projection
+    * as the dot product (one multiply per element), and everything
+    * downstream is `batchTopK`'s shape: no join node, map-side bounded
+    * heaps, one Q × k × partitions shuffle.
+    *
+    * Accuracy: cosine is scale-invariant, so scoring dequantized vectors
+    * equals scoring the raw int codes; the only error vs exact double
+    * scoring is the per-element rounding |x_i - q_i·scale| <= scale/2 =
+    * max|x|/254. For unit-norm d-dim vectors that perturbs a cosine by
+    * O(sqrt(d)/254 / ||x||) — well under 1% at d = 64 (QuantizeSpec pins
+    * the sim-error bound; the recall test pins top-k overlap vs the
+    * double path). Neighbors whose exact sims differ by more than that
+    * bound can never swap, so recall loss is confined to near-ties. */
+  def quantizedBatchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", qCol: String = "q", scaleCol: String = "scale",
+      qidCol: String = "qid", qvecCol: String = "qv"): DataFrame =
+    batchTopK(
+      corpus.select(col(idCol),
+        dequantizeInt8(col(qCol), col(scaleCol)).as("__dq")),
+      queries, k, idCol, "__dq", qidCol, qvecCol)
 }

@@ -136,6 +136,38 @@ class QuantizeSpec extends AnyFunSuite {
     assert(got(1L) === Seq[Byte](0, 0, 0))
     assert(got(2L) === Seq[Byte](-127, 64, 127))
   }
+
+  test("quantizedBatchTopK: high top-5 overlap and tiny sim error vs exact double scoring") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val quant = corpus
+      .select(col("vec_id"), col("v"),
+        graft.ops.Similarity.quantScale(col("v")).as("s"))
+      .select(col("vec_id"), col("s").as("scale"),
+        graft.ops.Similarity.quantizeInt8(col("v"), col("s")).as("q"))
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val exact = sets(graft.ops.Similarity.batchTopK(corpus, queries, k = 5))
+    val quantized = sets(graft.ops.Similarity.quantizedBatchTopK(quant, queries, k = 5))
+    assert(exact.keySet === quantized.keySet)
+    // int8 rounding perturbs a d=64 cosine by well under 0.01, so (a) any
+    // neighbor the paths disagree on must be a near-tie, and (b) overall
+    // top-5 overlap stays high on real embeddings
+    val overlaps = exact.keys.toSeq.map { qid =>
+      (exact(qid).keySet intersect quantized(qid).keySet).size
+    }
+    assert(overlaps.sum.toDouble / (overlaps.size * 5) >= 0.9,
+      s"mean top-5 overlap ${overlaps.sum.toDouble / (overlaps.size * 5)}")
+    for {
+      qid <- exact.keys
+      (id, qsim) <- quantized(qid)
+      esim <- exact(qid).get(id)
+    } assert(math.abs(qsim - esim) < 0.01, s"qid $qid id $id: $qsim vs $esim")
+  }
 }
 
 /** boilerplateStats: span-level shared-content detection (q65's operator). */
