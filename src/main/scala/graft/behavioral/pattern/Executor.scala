@@ -24,8 +24,25 @@ object PatternExecutor {
 
   /** `sequence_match` / `sequence_count`: returns the number of
     * non-overlapping matches (for match semantics, stops at the first). */
-  def execute(steps: Array[PStep], buf: EventBuf, countAll: Boolean): Long = {
-    if (buf.n == 0 || steps.isEmpty) return 0L
+  def execute(steps: Array[PStep], buf: EventBuf, countAll: Boolean): Long =
+    executeWithConsumed(steps, buf, countAll)._1
+
+  /** Non-overlapping count PLUS the resume position of the pass that
+    * produced it: the index just past the last event the final counted
+    * match consumed (0 when count is 0). Streaming `sequence_count` drops
+    * this prefix between micro-batches.
+    *
+    * The boundary comes from the SAME pass as the count, so the two agree
+    * by construction — including under the `MaxNfaStates` abort guard,
+    * where a start position's outcome depends on how much buffer follows
+    * it. That dependency makes the count NON-monotone in prefix length
+    * (a longer buffer can abort a start that matched in a shorter one),
+    * so recovering the boundary by re-running the executor on prefixes
+    * (the previous binary search) could disagree with the counting pass
+    * and silently re-expose consumed events or drop unconsumed ones. */
+  def executeWithConsumed(steps: Array[PStep], buf: EventBuf,
+      countAll: Boolean = true): (Long, Int) = {
+    if (buf.n == 0 || steps.isEmpty) return (0L, 0)
     classify(steps) match {
       case Adjacent(conds) => fastAdjacent(buf, conds, countAll)
       case Wildcard(conds) => fastWildcard(buf, conds, countAll)
@@ -78,10 +95,11 @@ object PatternExecutor {
   /** Sliding-window scan for `(?1)(?2)...(?k)`: consecutive events must match
     * all conditions in order. Non-overlapping counting advances past the
     * match. O(n) time, O(1) space. */
-  private def fastAdjacent(buf: EventBuf, conds: Array[Int], countAll: Boolean): Long = {
+  private def fastAdjacent(buf: EventBuf, conds: Array[Int], countAll: Boolean): (Long, Int) = {
     val k = conds.length
-    if (buf.n < k) return 0L
+    if (buf.n < k) return (0L, 0)
     var total = 0L
+    var lastEnd = 0
     var i = 0
     while (i + k <= buf.n) {
       var matched = true
@@ -92,19 +110,21 @@ object PatternExecutor {
       }
       if (matched) {
         total += 1
-        if (!countAll) return 1L
         i += k // non-overlapping
+        lastEnd = i
+        if (!countAll) return (1L, lastEnd)
       }
     }
-    total
+    (total, lastEnd)
   }
 
   /** Single-pass subsequence scan for wildcard-separated conditions: a step
     * counter advances on each matching event; completing resets for the next
     * non-overlapping match. O(n) time, O(1) space. */
-  private def fastWildcard(buf: EventBuf, conds: Array[Int], countAll: Boolean): Long = {
+  private def fastWildcard(buf: EventBuf, conds: Array[Int], countAll: Boolean): (Long, Int) = {
     val k = conds.length
     var total = 0L
+    var lastEnd = 0
     var step = 0
     var i = 0
     while (i < buf.n) {
@@ -112,13 +132,14 @@ object PatternExecutor {
         step += 1
         if (step >= k) {
           total += 1
-          if (!countAll) return 1L
+          lastEnd = i + 1
+          if (!countAll) return (1L, lastEnd)
           step = 0
         }
       }
       i += 1
     }
-    total
+    (total, lastEnd)
   }
 
   // ---- NFA -------------------------------------------------------------
@@ -149,26 +170,28 @@ object PatternExecutor {
     }
   }
 
-  private def nfaExecute(steps: Array[PStep], buf: EventBuf, countAll: Boolean): Long = {
+  private def nfaExecute(steps: Array[PStep], buf: EventBuf, countAll: Boolean): (Long, Int) = {
     var total = 0L
+    var lastEnd = 0
     var searchStart = 0
     val stack = new StateStack
     while (searchStart < buf.n) {
       val matchEnd = tryMatchFrom(steps, buf, searchStart, stack)
       if (matchEnd >= 0) {
         total += 1
-        if (!countAll) return 1L
         // Non-overlapping: resume after the match. A zero-consumption match
         // (pattern of only zero-width steps, e.g. '.*') reports
         // matchEnd = searchStart - 1; advance monotonically so counting
         // terminates instead of looping forever. (The reference has the same
         // unguarded resume and hangs on this input — deliberate deviation.)
         searchStart = math.max(matchEnd + 1, searchStart + 1)
+        lastEnd = searchStart
+        if (!countAll) return (1L, lastEnd)
       } else {
         searchStart += 1
       }
     }
-    total
+    (total, lastEnd)
   }
 
   /** Tries a full match from `start`. Returns the index of the last matched

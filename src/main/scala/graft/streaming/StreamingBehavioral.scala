@@ -427,10 +427,14 @@ object StreamingBehavioral {
     * then DROPS the consumed prefix: in non-overlapping semantics the
     * search resumes at match end + 1, so nothing at or before the last
     * counted match's end can ever participate again. The consumed boundary
-    * is recovered WITHOUT modifying the executor: the non-overlapping count
-    * over a sorted prefix is monotone in its length, so the smallest prefix
-    * whose count equals the total is found by binary search — O(log n)
-    * executor passes per touched user per micro-batch.
+    * is reported by the counting pass itself
+    * (`PatternExecutor.executeWithConsumed`), so count and boundary agree
+    * by construction — in particular under the `MaxNfaStates` abort guard,
+    * where a start position's outcome depends on how much buffer follows
+    * it and the count is therefore NOT monotone in prefix length (the
+    * prefix-rerun binary search this replaces could disagree with the
+    * counting pass near the guard and silently re-expose or over-drop
+    * events; StreamingSeqCountSpec pins a guard-straddling pattern).
     *
     * Same horizon contract as `streamingSequenceMatch`: unconsumed events
     * older than watermark − horizon are pruned (a match spanning wider than
@@ -454,24 +458,6 @@ object StreamingBehavioral {
     }
     require(horizonMicros > 0, s"horizonMicros must be positive, got $horizonMicros")
     import events.sparkSession.implicits._
-
-    // smallest prefix length whose non-overlapping count equals `total`
-    // (= last counted match's end + 1): count(prefix) is monotone, so
-    // binary search over executor passes recovers the consumed boundary
-    def consumedEnd(buf: EventBuf, total: Long): Int = {
-      var lo = 0
-      var hi = buf.n
-      while (lo < hi) {
-        val mid = lo + (hi - lo) / 2
-        val prefix = EventBuf.empty()
-        var i = 0
-        while (i < mid) { prefix.append(buf.ts(i), buf.conds(i)); i += 1 }
-        if (graft.behavioral.pattern.PatternExecutor
-          .execute(steps, prefix, countAll = true) >= total) hi = mid
-        else lo = mid + 1
-      }
-      lo
-    }
 
     events
       .withWatermark("ts", watermark)
@@ -510,10 +496,9 @@ object StreamingBehavioral {
               i += 1
             }
             val kept = if (pruned.n < buf.n) pruned else buf
-            val newMatches = graft.behavioral.pattern.PatternExecutor
-              .execute(steps, kept, countAll = true)
+            val (newMatches, from) = graft.behavioral.pattern.PatternExecutor
+              .executeWithConsumed(steps, kept)
             count += newMatches
-            val from = if (newMatches > 0) consumedEnd(kept, newMatches) else 0
             val restN = kept.n - from
             val restTs = new Array[Long](restN)
             val restConds = new Array[Int](restN)
