@@ -165,6 +165,25 @@ class PlanSpec extends AnyFunSuite {
   }
 }
 
+class MultimodalPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("metadata-only media query prunes the bytes column at the parquet scan") {
+    // the whole point of "opaque binary + typed metadata" at 100 TB: a
+    // metadata aggregate must not read the payload bytes. ReadSchema (the
+    // columns the scan decodes) has to carry only the metadata fields.
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_prune").toString
+    graft.ops.Multimodal.demoTable(spark, 50).write.mode("overwrite").parquet(dir)
+    val stats = graft.ops.Multimodal.metadataStats(spark.read.parquet(dir))
+    val plan = stats.queryExecution.executedPlan.toString
+    val readSchema = plan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1")
+    assert(plan.contains("ReadSchema"), plan)
+    assert(readSchema.contains("kind") && readSchema.contains("width"), readSchema)
+    assert(!readSchema.contains("bytes"), s"scan decodes the payload: $readSchema")
+    assert(stats.collect().nonEmpty)
+  }
+}
+
 class IvfPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = GraftSpark.spark
 
