@@ -285,116 +285,10 @@ case class SequenceNextNodeAgg(
     buf
   }
 
-  @inline private def baseCond(buf: NNBuf, i: Int): Boolean = ((buf.flags(i) >>> 32) & 1L) != 0
-  @inline private def stepCond(buf: NNBuf, i: Int, step: Int): Boolean =
-    ((buf.flags(i) >>> step) & 1L) != 0
-
   override def eval(buf: NNBuf): Any = {
     if (buf.n == 0 || numSteps == 0) return null
     buf.sortByTs()
-    if (forward) matchForward(buf, base) else matchBackward(buf, base)
-  }
-
-  private def matchForward(buf: NNBuf, b: Int): Any = {
-    val n = buf.n
-    b match {
-      case 0 => // head: first row with base_cond
-        var s = 0
-        while (s < n && !baseCond(buf, s)) s += 1
-        if (s == n) null else tryForwardFrom(buf, s)
-      case 1 => // tail: last row with base_cond
-        var s = n - 1
-        while (s >= 0 && !baseCond(buf, s)) s -= 1
-        if (s < 0) null else tryForwardFrom(buf, s)
-      case 2 => // first_match
-        var s = 0
-        while (s < n) {
-          if (baseCond(buf, s)) {
-            val v = tryForwardFrom(buf, s)
-            if (v != null) return v
-          }
-          s += 1
-        }
-        null
-      case _ => // last_match
-        var result: Any = null
-        var s = 0
-        while (s < n) {
-          if (baseCond(buf, s)) {
-            val v = tryForwardFrom(buf, s)
-            if (v != null) result = v
-          }
-          s += 1
-        }
-        result
-    }
-  }
-
-  /** Matches ev1 at `start`, then ev2.. at later events; returns the value of
-    * the event immediately after the last matched one (NULL value → NULL —
-    * the reference's `null`-valued next node is a NULL result). */
-  private def tryForwardFrom(buf: NNBuf, start: Int): Any = {
-    if (!stepCond(buf, start, 0)) return null
-    var lastMatched = start
-    var step = 1
-    var pos = start + 1
-    while (pos < buf.n && step < numSteps) {
-      if (stepCond(buf, pos, step)) { lastMatched = pos; step += 1 }
-      pos += 1
-    }
-    if (step != numSteps) return null
-    val nextIdx = lastMatched + 1
-    if (nextIdx >= buf.n) null else buf.valueAt(nextIdx)
-  }
-
-  private def matchBackward(buf: NNBuf, b: Int): Any = {
-    val n = buf.n
-    b match {
-      case 1 => // tail
-        var s = n - 1
-        while (s >= 0 && !baseCond(buf, s)) s -= 1
-        if (s < 0) null else tryBackwardFrom(buf, s)
-      case 0 => // head
-        var s = 0
-        while (s < n && !baseCond(buf, s)) s += 1
-        if (s == n) null else tryBackwardFrom(buf, s)
-      case 2 => // first_match scans right-to-left (reference :352-363)
-        var s = n - 1
-        while (s >= 0) {
-          if (baseCond(buf, s)) {
-            val v = tryBackwardFrom(buf, s)
-            if (v != null) return v
-          }
-          s -= 1
-        }
-        null
-      case _ => // last_match: last complete match in right-to-left scan order
-        var result: Any = null
-        var s = n - 1
-        while (s >= 0) {
-          if (baseCond(buf, s)) {
-            val v = tryBackwardFrom(buf, s)
-            if (v != null) result = v
-          }
-          s -= 1
-        }
-        result
-    }
-  }
-
-  /** Matches ev1 at `start`, ev2.. at progressively earlier events; returns
-    * the value immediately before the earliest matched event. */
-  private def tryBackwardFrom(buf: NNBuf, start: Int): Any = {
-    if (!stepCond(buf, start, 0)) return null
-    var earliest = start
-    var step = 1
-    var pos = start - 1
-    while (pos >= 0 && step < numSteps) {
-      if (stepCond(buf, pos, step)) { earliest = pos; step += 1 }
-      pos -= 1
-    }
-    if (step != numSteps) return null
-    if (earliest == 0) null else buf.valueAt(earliest - 1)
+    NextNodeScan.scan(buf, forward, base, numSteps)
   }
 
   override def serialize(buf: NNBuf): Array[Byte] = buf.serialize()
@@ -410,4 +304,122 @@ case class SequenceNextNodeAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** The direction × base scan over a ts-sorted `NNBuf`, shared by the batch
+  * aggregate and `StreamingBehavioral.streamingSequenceNextNode` so the two
+  * surfaces cannot drift (reference `src/sequence_next_node.rs:300-420`). */
+object NextNodeScan {
+
+  @inline private def baseCond(buf: NNBuf, i: Int): Boolean = ((buf.flags(i) >>> 32) & 1L) != 0
+  @inline private def stepCond(buf: NNBuf, i: Int, step: Int): Boolean =
+    ((buf.flags(i) >>> step) & 1L) != 0
+
+  /** `base`: 0=head, 1=tail, 2=first_match, 3=last_match. Returns the
+    * adjacent value as `UTF8String`, or null. `buf` must be ts-sorted. */
+  def scan(buf: NNBuf, forward: Boolean, base: Int, numSteps: Int): Any =
+    if (forward) matchForward(buf, base, numSteps)
+    else matchBackward(buf, base, numSteps)
+
+  private def matchForward(buf: NNBuf, b: Int, numSteps: Int): Any = {
+    val n = buf.n
+    b match {
+      case 0 => // head: first row with base_cond
+        var s = 0
+        while (s < n && !baseCond(buf, s)) s += 1
+        if (s == n) null else tryForwardFrom(buf, s, numSteps)
+      case 1 => // tail: last row with base_cond
+        var s = n - 1
+        while (s >= 0 && !baseCond(buf, s)) s -= 1
+        if (s < 0) null else tryForwardFrom(buf, s, numSteps)
+      case 2 => // first_match
+        var s = 0
+        while (s < n) {
+          if (baseCond(buf, s)) {
+            val v = tryForwardFrom(buf, s, numSteps)
+            if (v != null) return v
+          }
+          s += 1
+        }
+        null
+      case _ => // last_match
+        var result: Any = null
+        var s = 0
+        while (s < n) {
+          if (baseCond(buf, s)) {
+            val v = tryForwardFrom(buf, s, numSteps)
+            if (v != null) result = v
+          }
+          s += 1
+        }
+        result
+    }
+  }
+
+  /** Matches ev1 at `start`, then ev2.. at later events; returns the value of
+    * the event immediately after the last matched one (NULL value → NULL —
+    * the reference's `null`-valued next node is a NULL result). */
+  private def tryForwardFrom(buf: NNBuf, start: Int, numSteps: Int): Any = {
+    if (!stepCond(buf, start, 0)) return null
+    var lastMatched = start
+    var step = 1
+    var pos = start + 1
+    while (pos < buf.n && step < numSteps) {
+      if (stepCond(buf, pos, step)) { lastMatched = pos; step += 1 }
+      pos += 1
+    }
+    if (step != numSteps) return null
+    val nextIdx = lastMatched + 1
+    if (nextIdx >= buf.n) null else buf.valueAt(nextIdx)
+  }
+
+  private def matchBackward(buf: NNBuf, b: Int, numSteps: Int): Any = {
+    val n = buf.n
+    b match {
+      case 1 => // tail
+        var s = n - 1
+        while (s >= 0 && !baseCond(buf, s)) s -= 1
+        if (s < 0) null else tryBackwardFrom(buf, s, numSteps)
+      case 0 => // head
+        var s = 0
+        while (s < n && !baseCond(buf, s)) s += 1
+        if (s == n) null else tryBackwardFrom(buf, s, numSteps)
+      case 2 => // first_match scans right-to-left (reference :352-363)
+        var s = n - 1
+        while (s >= 0) {
+          if (baseCond(buf, s)) {
+            val v = tryBackwardFrom(buf, s, numSteps)
+            if (v != null) return v
+          }
+          s -= 1
+        }
+        null
+      case _ => // last_match: last complete match in right-to-left scan order
+        var result: Any = null
+        var s = n - 1
+        while (s >= 0) {
+          if (baseCond(buf, s)) {
+            val v = tryBackwardFrom(buf, s, numSteps)
+            if (v != null) result = v
+          }
+          s -= 1
+        }
+        result
+    }
+  }
+
+  /** Matches ev1 at `start`, ev2.. at progressively earlier events; returns
+    * the value immediately before the earliest matched event. */
+  private def tryBackwardFrom(buf: NNBuf, start: Int, numSteps: Int): Any = {
+    if (!stepCond(buf, start, 0)) return null
+    var earliest = start
+    var step = 1
+    var pos = start - 1
+    while (pos >= 0 && step < numSteps) {
+      if (stepCond(buf, pos, step)) { earliest = pos; step += 1 }
+      pos -= 1
+    }
+    if (step != numSteps) return null
+    if (earliest == 0) null else buf.valueAt(earliest - 1)
+  }
 }

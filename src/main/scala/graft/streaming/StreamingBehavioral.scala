@@ -513,4 +513,224 @@ object StreamingBehavioral {
           }
       }
   }
+
+  /** Streaming sequence_match_events output: `matched_ts` holds the epoch-µs
+    * timestamps the first match's `(?N)` steps consumed (empty until matched
+    * — the batch aggregate's no-match result is the empty array too). */
+  case class SeqMatchEventsUpdate(user_id: Long, matched: Boolean,
+      matched_ts: Array[Long], n_buffered: Int)
+
+  /** Per-user state: packed buffer + the latched step timestamps. */
+  case class SeqMatchEventsState(ts: Array[Long], conds: Array[Int],
+      maxTsUs: Long, matched: Boolean, matchedTs: Array[Long])
+
+  /** Streaming `sequence_match_events`: like `streamingSequenceMatch`, but
+    * the latch captures the `(?N)` step timestamps of the match that fired
+    * (`PatternExecutor.executeCollect` — the batch engine unchanged).
+    *
+    * Finality: the FIRST match found over the buffered in-horizon history
+    * latches and the buffer drops (O(1) state from then on). An event
+    * arriving later — above the watermark but with an earlier timestamp —
+    * might have enabled an earlier-starting match in full-history batch
+    * semantics; the streamed result never retracts (the same finality
+    * contract as `streamingSequenceCount`'s counted matches). With events
+    * in timestamp order the latched match IS the batch first match over
+    * the history seen so far.
+    *
+    * Same horizon/lateness contracts as `streamingSequenceMatch`. */
+  def streamingSequenceMatchEvents(events: Dataset[SeqEvent], pattern: String,
+      watermark: String = "1 hour",
+      horizonMicros: Long = 30L * 86400 * 1000000): Dataset[SeqMatchEventsUpdate] = {
+    val steps = graft.behavioral.pattern.PatternParser.parse(pattern) match {
+      case Right(s) => s
+      case Left(e) => throw new IllegalArgumentException(
+        s"sequence_match_events pattern error: $e")
+    }
+    require(horizonMicros > 0, s"horizonMicros must be positive, got $horizonMicros")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqMatchEventsState, SeqMatchEventsUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SeqEvent], state: GroupState[SeqMatchEventsState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var maxTsUs = Long.MinValue
+            var matched = false
+            var matchedTs: Array[Long] = Array.emptyLongArray
+            val buf = EventBuf.empty()
+            state.getOption.foreach { s =>
+              matched = s.matched
+              matchedTs = s.matchedTs
+              maxTsUs = s.maxTsUs
+              if (!matched) {
+                var i = 0
+                while (i < s.ts.length) { buf.append(s.ts(i), s.conds(i)); i += 1 }
+              }
+            }
+            batch.foreach { e =>
+              if (e.ts != null) {
+                val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+                if (us > maxTsUs) maxTsUs = us
+                if (!matched && e.conds != 0) buf.append(us, e.conds)
+              }
+            }
+            if (!matched) {
+              val horizonUs = state.getCurrentWatermarkMs() * 1000 - horizonMicros
+              val pruned = EventBuf.empty()
+              buf.sortByTs()
+              var i = 0
+              while (i < buf.n) {
+                if (buf.ts(i) >= horizonUs) pruned.append(buf.ts(i), buf.conds(i))
+                i += 1
+              }
+              val kept = if (pruned.n < buf.n) pruned else buf
+              val got = graft.behavioral.pattern.PatternExecutor
+                .executeCollect(steps, kept)
+              if (got != null) {
+                matched = true
+                matchedTs = got
+                state.update(SeqMatchEventsState(Array.emptyLongArray,
+                  Array.emptyIntArray, maxTsUs, matched = true, got))
+              } else {
+                state.update(SeqMatchEventsState(
+                  java.util.Arrays.copyOf(kept.ts, kept.n),
+                  java.util.Arrays.copyOf(kept.conds, kept.n),
+                  maxTsUs, matched = false, Array.emptyLongArray))
+              }
+            } else {
+              state.update(SeqMatchEventsState(Array.emptyLongArray,
+                Array.emptyIntArray, maxTsUs, matched = true, matchedTs))
+            }
+            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            val nBuf = state.get.ts.length
+            Iterator.single(SeqMatchEventsUpdate(userId, matched, matchedTs, nBuf))
+          }
+      }
+  }
+
+  /** One input row for streaming sequence_next_node: `conds` packs the step
+    * conditions (bit i = step i+1), `base_cond` is the base-condition flag.
+    * Rows with conds == 0 and base_cond == false STILL enter the buffer —
+    * any event can be the adjacent "next node" answer (the batch aggregate
+    * buffers all rows for the same reason; reference
+    * `src/sequence_next_node.rs:186-192`). */
+  case class NNEvent(user_id: Long, ts: java.sql.Timestamp, value: String,
+      base_cond: Boolean, conds: Int)
+
+  /** Streaming sequence_next_node output: the CURRENT adjacent-value answer
+    * over the in-horizon history (update semantics — later events can
+    * change it, e.g. a tail base re-anchors, or the answer event itself
+    * arrives after the matched chain). */
+  case class NextNodeUpdate(user_id: Long, next_node: String, n_buffered: Int)
+
+  /** Per-user state: the full in-horizon row buffer (ts, packed flags,
+    * value strings — `flags` bit 32 is the base condition, bits 0..31 the
+    * steps, the batch `NNBuf` layout). */
+  case class NextNodeState(ts: Array[Long], flags: Array[Long],
+      values: Array[String], maxTsUs: Long)
+
+  /** Streaming `sequence_next_node` (2 directions × 4 bases, the batch
+    * aggregate's scan shared verbatim via `NextNodeScan`): per micro-batch
+    * the user's in-horizon buffer is re-scanned and the CURRENT answer
+    * emitted in Update mode.
+    *
+    * Unlike match/count there is no latch or consumed prefix — the answer
+    * is not monotone (a `tail`/`last_match` base re-anchors on new events,
+    * and even a `head` match's adjacent event can arrive later), so the
+    * state must hold every in-horizon row, values included. That is the
+    * same O(group-size) state the batch aggregate buffers (all rows, no
+    * condition pre-filter); the horizon is the bound, so size it to the
+    * chain span the product cares about. Within the horizon the emitted
+    * answer ALWAYS equals the batch aggregate over the same rows — there
+    * is no divergence contract to document beyond lateness (events behind
+    * the watermark drop) and forgetting (rows older than watermark −
+    * horizon prune, exactly like the other streaming operators). */
+  def streamingSequenceNextNode(events: Dataset[NNEvent], direction: String,
+      base: String, numSteps: Int, watermark: String = "1 hour",
+      horizonMicros: Long = 30L * 86400 * 1000000): Dataset[NextNodeUpdate] = {
+    require(numSteps >= 1 && numSteps <= 32,
+      s"numSteps must be in 1..32 (the batch aggregate's step-condition arity), got $numSteps")
+    val forward = direction.trim.toLowerCase match {
+      case "forward" => true
+      case "backward" => false
+      case other => throw new IllegalArgumentException(
+        s"sequence_next_node direction must be forward|backward, got '$other'")
+    }
+    val baseId = base.trim.toLowerCase match {
+      case "head" => 0
+      case "tail" => 1
+      case "first_match" => 2
+      case "last_match" => 3
+      case other => throw new IllegalArgumentException(
+        s"sequence_next_node base must be head|tail|first_match|last_match, got '$other'")
+    }
+    require(horizonMicros > 0, s"horizonMicros must be positive, got $horizonMicros")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[NextNodeState, NextNodeUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[NNEvent], state: GroupState[NextNodeState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            import graft.behavioral.{NNBuf, NextNodeScan}
+            import org.apache.spark.unsafe.types.UTF8String
+            var maxTsUs = Long.MinValue
+            val buf = new NNBuf(16)
+            state.getOption.foreach { s =>
+              maxTsUs = s.maxTsUs
+              var i = 0
+              while (i < s.ts.length) {
+                val v = if (s.values(i) == null) null
+                  else UTF8String.fromString(s.values(i))
+                buf.append(s.ts(i), s.flags(i), buf.intern(v))
+                i += 1
+              }
+            }
+            batch.foreach { e =>
+              if (e.ts != null) {
+                val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+                if (us > maxTsUs) maxTsUs = us
+                var f = e.conds.toLong & 0xFFFFFFFFL
+                if (e.base_cond) f |= 1L << 32
+                val v = if (e.value == null) null else UTF8String.fromString(e.value)
+                buf.append(us, f, buf.intern(v))
+              }
+            }
+            val horizonUs = state.getCurrentWatermarkMs() * 1000 - horizonMicros
+            buf.sortByTs()
+            val kept = new NNBuf(math.max(buf.n, 16))
+            var i = 0
+            while (i < buf.n) {
+              if (buf.ts(i) >= horizonUs)
+                kept.append(buf.ts(i), buf.flags(i), kept.intern(buf.valueAt(i)))
+              i += 1
+            }
+            val answer = NextNodeScan.scan(kept, forward, baseId, numSteps) match {
+              case null => null
+              case v => v.toString
+            }
+            val ts2 = new Array[Long](kept.n)
+            val fl2 = new Array[Long](kept.n)
+            val vs2 = new Array[String](kept.n)
+            i = 0
+            while (i < kept.n) {
+              ts2(i) = kept.ts(i); fl2(i) = kept.flags(i)
+              val v = kept.valueAt(i)
+              vs2(i) = if (v == null) null else v.toString
+              i += 1
+            }
+            state.update(NextNodeState(ts2, fl2, vs2, maxTsUs))
+            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            Iterator.single(NextNodeUpdate(userId, answer, kept.n))
+          }
+      }
+  }
 }
