@@ -40,6 +40,22 @@ class TokenBudgetBucketedSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("budget boundary is strict: a doc starting exactly AT the budget is excluded") {
+    // 4 identical 5-token docs, budget 10: docs 1 and 2 start at cum 0 and
+    // 5 (< 10, kept); doc 3 starts exactly at 10 (NOT < 10, excluded) —
+    // the boundary-crossing-doc-stays rule admits a doc that STRADDLES the
+    // budget, never one that starts at it
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "a b c d e"), (4L, "a b c d e")).toDF("doc_id", "text")
+    for (buckets <- Seq(0, 4)) {
+      val kept = graft.ops.Pipeline
+        .sampleByTokenBudget(docs, budget = 10L, qualityBuckets = buckets)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === Seq(1L, 2L), s"buckets=$buckets kept $kept")
+    }
+    graft.ops.OpCaches.unpersistAll()
+  }
+
   test("bucketed plan: per-bucket totals pre-combine and broadcast back; doc window partitions by (lang, bucket)") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val plan = graft.ops.Pipeline.sampleByTokenBudget(docs, 1000L, qualityBuckets = 8)

@@ -436,6 +436,50 @@ MUTANTS9 = [
 ]
 
 
+# batch 10: round-8 seams — bucketed token-budget arithmetic, the strict
+# budget boundary, int8 quantize rounding, lshSelfJoin's per-table seed
+# offset, executeWithConsumed's boundary tracking in all three executor
+# tiers, streaming next-node's no-pre-filter contract, and the
+# match-events latch state. Run with `python3 tools/mutation.py 10`.
+SIM = "src/main/scala/graft/ops/Similarity.scala"
+SUITES10 = [
+    "graft.TokenBudgetBucketedSpec", "graft.LeakageSplitSpec",
+    "graft.QuantizeSpec", "graft.LshRecallSpec",
+    "graft.StreamingSeqCountSpec", "graft.StreamingSeqMatchEventsSpec",
+    "graft.StreamingNextNodeSpec",
+]
+
+MUTANTS10 = [
+    ("TB101", PIPE, "bucket prefix includes its own bucket (double-counts the first bucket)",
+     '          sum(col("__bucket_tokens")).over(wPrefix) - col("__bucket_tokens"))',
+     '          sum(col("__bucket_tokens")).over(wPrefix))'),
+    ("TB102", PIPE, "budget boundary < -> <= (admits the doc starting exactly at budget)",
+     'cum.filter(col("cum_tokens") - col("n_tokens") < budget)',
+     'cum.filter(col("cum_tokens") - col("n_tokens") <= budget)'),
+    ("QZ101", SIM, "int8 quantize round -> floor (x.5 codes drop one level)",
+     ".otherwise(transform(v, x => round(x / scale).cast(\"byte\")))",
+     ".otherwise(transform(v, x => floor(x / scale).cast(\"byte\")))"),
+    ("LS101", SIM, "lshSelfJoin per-table seed offset dropped (24 identical tables)",
+     "lshBucket(col(\"v\"), dim, nPlanes, seed = 1000L + t)): _*)))",
+     "lshBucket(col(\"v\"), dim, nPlanes, seed = 1000L)): _*)))"),
+    ("EW101", EXEC, "wildcard consumed boundary i+1 -> i (completing event re-exposed)",
+     "          total += 1\n          lastEnd = i + 1",
+     "          total += 1\n          lastEnd = i"),
+    ("EA101", EXEC, "adjacent consumed boundary tracks match START (whole chain re-exposed)",
+     "        total += 1\n        i += k // non-overlapping\n        lastEnd = i",
+     "        total += 1\n        lastEnd = i\n        i += k // non-overlapping"),
+    ("NF101", EXEC, "NFA consumed boundary off by one (last consumed event re-exposed)",
+     "        searchStart = math.max(matchEnd + 1, searchStart + 1)\n        lastEnd = searchStart",
+     "        searchStart = math.max(matchEnd + 1, searchStart + 1)\n        lastEnd = searchStart - 1"),
+    ("SN101", STREAM, "streaming next-node pre-filters zero-condition rows",
+     "                buf.append(us, f, buf.intern(v))",
+     "                if (f != 0L) buf.append(us, f, buf.intern(v))"),
+    ("SM101", STREAM, "match-events latch state drops the captured timestamps",
+     "                  Array.emptyIntArray, maxTsUs, matched = true, got))",
+     "                  Array.emptyIntArray, maxTsUs, matched = true, Array.emptyLongArray))"),
+]
+
+
 def run(cmd, timeout=900):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
                           timeout=timeout)
@@ -450,14 +494,15 @@ def main():
     batch7 = batch == "7"
     batch8 = batch == "8"
     batch9 = batch == "9"
-    mutants = (MUTANTS9 if batch9 else (MUTANTS8 if batch8 else
+    batch10 = batch == "10"
+    mutants = (MUTANTS10 if batch10 else (MUTANTS9 if batch9 else (MUTANTS8 if batch8 else
                (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else
                (MUTANTS5 if batch5 else (MUTANTS4 if batch4 else
-               (MUTANTS3 if batch3 else MUTANTS)))))))
-    suites = (SUITES9 if batch9 else (SUITES8 if batch8 else
+               (MUTANTS3 if batch3 else MUTANTS))))))))
+    suites = (SUITES10 if batch10 else (SUITES9 if batch9 else (SUITES8 if batch8 else
               (SUITES7 if batch7 else (SUITES6 if batch6 else
               (SUITES5 if batch5 else (SUITES4 if batch4 else
-              (SUITES3 if batch3 else SUITES)))))))
+              (SUITES3 if batch3 else SUITES))))))))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -485,6 +530,33 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch10:
+        marker = "\n## Batch 10 — round-8 seams\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants at the round-8 seams: bucketed token-budget",
+            "prefix arithmetic and the strict budget boundary (killer test",
+            "written before the run — the boundary is invisible without a",
+            "cum==budget fixture), int8 quantize rounding, lshSelfJoin's",
+            "per-table seed offset, executeWithConsumed's boundary tracking",
+            "in all three executor tiers, streaming next-node's",
+            "no-pre-filter contract, and the match-events latch state.",
+            "",
+            f"**Batch-10 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-10 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch9:
         marker = "\n## Batch 9 — streaming sequence_count consumed-prefix logic\n"
         existing = Path("MUTATION.md").read_text()
