@@ -800,6 +800,84 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("is_dup"), col("dup_of"))
     },
 
+    // ---- streaming contract rows: the streaming operators vs the same ----
+    // DuckDB oracles the batch aggregates use. The events table streams
+    // through MemoryStream in two time-ordered micro-batches (state carry,
+    // watermark advance, and the consumed-prefix drop all exercised), and
+    // the final per-user emission must hash-match the batch oracle. The
+    // collect feeding MemoryStream is harness-bounded driver state (the
+    // production path reads a real source); the horizon is set wide so the
+    // forgetting contract is not in play — these rows pin EQUALITY with
+    // batch semantics, the lateness/horizon contracts are unit-tested.
+    "q71_stream_seq_count" -> { (s, dir) =>
+      val ev = events(s, dir)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val rows = ev.select(col("user_id").cast("long").as("user_id"), col("ts"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("conds"))
+        .as[streaming.StreamingBehavioral.SeqEvent]
+        .collect().sortBy(e => (e.ts.getTime, e.user_id))
+      val name = "graft_q71_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val input = MemoryStream[streaming.StreamingBehavioral.SeqEvent]
+      val q = streaming.StreamingBehavioral
+        .streamingSequenceCount(input.toDS(), "(?1)", watermark = "10 minutes",
+          horizonMicros = 3650L * 86400 * 1000000)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        // n_matches is cumulative and monotone: max = the final count
+        val out = s.table(name).groupBy(col("user_id"))
+          .agg(max(col("n_matches")).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        out.toDF("user_id", "n")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    },
+    "q72_stream_next_node" -> { (s, dir) =>
+      val ev = events(s, dir)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val rows = ev.select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("event_type").as("value"),
+          (col("event_type") === "signup").as("base_cond"),
+          when(col("event_type") === "signup", 1).otherwise(0).as("conds"))
+        .as[streaming.StreamingBehavioral.NNEvent]
+        .collect().sortBy(e => (e.ts.getTime, e.user_id))
+      val name = "graft_q72_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val input = MemoryStream[streaming.StreamingBehavioral.NNEvent]
+      val q = streaming.StreamingBehavioral
+        .streamingSequenceNextNode(input.toDS(), "forward", "head", numSteps = 1,
+          watermark = "10 minutes", horizonMicros = 3650L * 86400 * 1000000)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        // the buffer only grows (wide horizon), so a user's final emission
+        // is the one with the largest n_buffered — strictly larger when any
+        // batch-2 event arrived, single emission otherwise
+        val out = s.table(name)
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+              .orderBy(col("n_buffered").desc)))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("next_node"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        out.toDF("user_id", "next_node")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    },
+
     // ---- LLM pipeline: batched top-k served from the int8 corpus ----------
     // the corpus side exists ONLY in quantized form (scale + int8 codes);
     // scoring dequantizes in-expression, so the oracle recomputes the same
@@ -1922,6 +2000,25 @@ object SparkEntry {
         |      GROUP BY b.vec_id)
         |SELECT e.vec_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
         |FROM e LEFT JOIN d ON e.vec_id = d.id""".stripMargin,
+
+    // the streaming rows answer the same questions as q06/q08, so their
+    // oracles are the same SQL — the point is that the STREAMING execution
+    // path (MemoryStream, state carry across two micro-batches, consumed
+    // prefix, update-mode emissions) lands on the identical hash
+    "q71_stream_seq_count" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q72_stream_next_node" ->
+      """WITH o AS (SELECT user_id, ts,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        |           FROM events),
+        |a AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT u.user_id, o.nxt AS next_node
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN a ON a.user_id = u.user_id
+        |LEFT JOIN o ON o.user_id = u.user_id AND o.ts = a.t0""".stripMargin,
 
     // q53's brute-force batch oracle over the DEQUANTIZED corpus: the
     // int8 codes and scale are recomputed with q67's arithmetic, then
