@@ -10,9 +10,11 @@ import graft.sources.Tables
   *
   * Each entry in `queries` has a DuckDB-runnable ANSI SQL twin in `oracleSql`
   * computing the same result with the SAME column names and (cast-normalized)
-  * types. Timestamps are compared as epoch microseconds (BIGINT) because the
-  * testdata events parquet is TIMESTAMP_NANOS: both Spark (via Tables.events)
-  * and DuckDB truncate ns→µs, so the µs longs agree exactly. Floating-point
+  * types. Timestamps are compared as epoch microseconds (BIGINT): the events
+  * parquet's `ts` has shipped as TIMESTAMP(NANOS), timestamp[us], and raw
+  * int64 micros across testdata generations, and Tables.events normalizes all
+  * of them to a µs-precision TimestampType under the UTC session timezone —
+  * the same value DuckDB sees — so the µs longs agree exactly. Floating-point
   * aggregates are rounded to keep sum-order noise out of the hash compare.
   */
 object SparkEntry {

@@ -2,15 +2,28 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
-  * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it
-  * under `spark.sql.legacy.parquet.nanosAsLong=true` (nanos surface as a
-  * LongType column) and truncate to microseconds — the same truncation DuckDB
-  * applies when it narrows TIMESTAMP_NS to its native µs TIMESTAMP, so Spark
-  * results and the DuckDB oracle agree on timestamp values.
+  * The `events` table's `ts` column has shipped in different parquet physical
+  * types across testdata generations (TIMESTAMP(NANOS), plain timestamp[us],
+  * raw int64 micros), so the loader is schema-adaptive: it reads under
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (a no-op for non-nanos files;
+  * for TIMESTAMP(NANOS) files it surfaces the column as LongType instead of
+  * failing analysis with [PARQUET_TYPE_ILLEGAL]) and then normalizes on the
+  * observed dtype:
+  *
+  *   - LongType           → footer-sniffed: TIMESTAMP(NANOS) annotation →
+  *                          `timestamp_micros(ts div 1000)` (the same ns→µs
+  *                          truncation DuckDB applies when it narrows
+  *                          TIMESTAMP_NS to its native µs TIMESTAMP);
+  *                          un-annotated int64 → treated as epoch micros.
+  *   - TimestampNTZType   → `cast(timestamp)` — value-preserving under the
+  *                          UTC session timezone every entry point sets, and
+  *                          DuckDB reads the same column as naive µs, so
+  *                          `unix_micros` comparisons agree exactly.
+  *   - TimestampType      → already µs-instant; pass through.
   */
 object Tables {
 
@@ -24,12 +37,52 @@ object Tables {
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case LongType if tsIsNanosAnnotated(spark, path) =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case LongType         => raw.withColumn("ts", timestamp_micros(col("ts")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => raw
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported parquet-read dtype $other (expected LongType, TimestampNTZType, or TimestampType)")
+      }
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
       case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }
+  }
+
+  /** A LongType `ts` is ambiguous: TIMESTAMP(NANOS) surfaced via nanosAsLong,
+    * or a raw un-annotated int64 of epoch micros. One driver-side footer read
+    * settles it — check the parquet logical annotation on the first data file.
+    */
+  private def tsIsNanosAnnotated(spark: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var first: org.apache.hadoop.fs.Path = null
+    while (first == null && it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        first = f.getPath
+    }
+    if (first == null) return false
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(first, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) return false
+      schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      }
+    } finally reader.close()
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -342,6 +342,111 @@ class SourcesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(fromParquet === fromOrc)
     assert(fromParquet.nonEmpty)
   }
+
+  // Format matrix for Tables.events: the driver's testdata generator has
+  // shipped `ts` as TIMESTAMP(NANOS), plain timestamp[us] (NTZ), UTC-adjusted
+  // TIMESTAMP(MICROS), and could plausibly ship raw int64 micros. The loader
+  // must yield byte-identical rows for all of them — the round-8 outage was
+  // exactly this class of break (271 tests green while the product couldn't
+  // read its own input table).
+  test("Tables.events loads µs-NTZ, µs-UTC, TIMESTAMP_NANOS, and long-micros parquet identically") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evt_formats").toString
+    // Base truth in epoch micros; nanos fixtures add sub-µs residue that the
+    // ns→µs truncation must drop.
+    val base: Seq[(Long, Long, String)] = Seq(
+      (1L, 1704067200000000L, "view"),
+      (1L, 1704067201500000L, "click"),
+      (2L, 1704070800000123L, "view"),
+      (2L, 1704070800000123L, "purchase"),
+      (3L, 1704153599999999L, "view"))
+
+    // (a) µs NTZ: Spark writes TimestampNTZType as TIMESTAMP(MICROS, adjusted=false)
+    spark.createDataFrame(spark.sparkContext.parallelize(base.map { case (u, us, e) =>
+        org.apache.spark.sql.Row(u, java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC), e)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ntz")
+
+    // (b) µs instant: TimestampType → TIMESTAMP(MICROS, adjusted=true)
+    spark.createDataFrame(spark.sparkContext.parallelize(base.map { case (u, us, e) =>
+        org.apache.spark.sql.Row(u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          us / 1000000L, (us % 1000000L) * 1000L)), e)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/utc")
+
+    // (c) TIMESTAMP(NANOS): Spark can't write it — use parquet-java directly,
+    // with sub-µs residue to exercise the truncation.
+    writeNanosFixture(s"$dir/nanos/part-0.parquet",
+      base.zipWithIndex.map { case ((u, us, e), i) => (u, us * 1000L + (i * 211L % 1000L), e) })
+
+    // (d) raw int64 micros (no logical annotation) → LongType arm
+    writeLongMicrosFixture(s"$dir/longus/part-0.parquet", base)
+
+    def rowsOf(sub: String): Seq[(Long, Long, String)] =
+      graft.sources.Tables.events(spark, s"$dir/$sub-AS-events")
+        .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+
+    // Tables.events expects $sfDir/events.parquet — symlink each fixture dir.
+    for (sub <- Seq("ntz", "utc", "nanos", "longus")) {
+      val d = java.nio.file.Paths.get(s"$dir/$sub-AS-events")
+      java.nio.file.Files.createDirectory(d)
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/$sub"))
+    }
+    val expected = base.sorted
+    for (sub <- Seq("ntz", "utc", "nanos", "longus")) {
+      val got = rowsOf(sub)
+      assert(got === expected, s"format=$sub")
+      assert(graft.sources.Tables.events(spark, s"$dir/$sub-AS-events")
+        .schema("ts").dataType === org.apache.spark.sql.types.TimestampType, s"format=$sub dtype")
+    }
+  }
+
+  private def writeNanosFixture(path: String, rows: Seq[(Long, Long, String)]): Unit =
+    writeRawParquet(path, rows,
+      org.apache.parquet.schema.LogicalTypeAnnotation.timestampType(
+        false, org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS))
+
+  private def writeLongMicrosFixture(path: String, rows: Seq[(Long, Long, String)]): Unit =
+    writeRawParquet(path, rows, null)
+
+  /** Write (user_id:int64, ts:int64[+annotation], event_type:utf8) with parquet-java. */
+  private def writeRawParquet(path: String, rows: Seq[(Long, Long, String)],
+      tsAnnotation: org.apache.parquet.schema.LogicalTypeAnnotation): Unit = {
+    import org.apache.parquet.schema.{Types, PrimitiveType, LogicalTypeAnnotation}
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val tsField = {
+      val b = Types.required(PrimitiveType.PrimitiveTypeName.INT64)
+      (if (tsAnnotation != null) b.as(tsAnnotation) else b).named("ts")
+    }
+    val schema = Types.buildMessage()
+      .required(PrimitiveType.PrimitiveTypeName.INT64).named("user_id")
+      .addField(tsField)
+      .required(PrimitiveType.PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    try rows.foreach { case (u, ts, e) =>
+      writer.write(f.newGroup().append("user_id", u).append("ts", ts).append("event_type", e))
+    } finally writer.close()
+  }
 }
 
 class ResizeSpec extends org.scalatest.funsuite.AnyFunSuite {
