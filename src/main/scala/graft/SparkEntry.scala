@@ -50,6 +50,35 @@ object SparkEntry {
   private val GapUs = 30L * 60 * 1000000
   private val HourUs = 3600L * 1000000
 
+  /** Hard cap on rows the streaming contract rows (q71/q72) may `.collect()`
+    * onto the driver to feed MemoryStream. sf0.1 is ~60k events; anything
+    * near this bound means the harness is being pointed at a scale it was
+    * never meant for — fail loudly instead of OOMing the driver. The
+    * streamed OPERATORS are state-bounded; only this test-harness feed
+    * collects. */
+  private val MaxStreamHarnessRows = 2000000L
+
+  private def boundedForStreamHarness(ev: DataFrame, name: String): DataFrame = {
+    val n = ev.count()
+    require(n <= MaxStreamHarnessRows,
+      s"$name streaming-harness feed would collect $n rows (> $MaxStreamHarnessRows) onto the driver; " +
+      "point the contract run at a smaller SF or feed a real streaming source")
+    ev
+  }
+
+  /** `lead(...) OVER (ORDER BY ts)` in the DuckDB oracle and the operator's
+    * internal event ordering are both nondeterministic when two events share
+    * a (user_id, ts) — SURVEY §7.4's same-ts trap. The driver-generated
+    * events tables are tie-free; assert that loudly so a regenerated fixture
+    * with ties fails with a clear message instead of a flaky hash mismatch. */
+  private def assertTieFreePerUserTs(ev: DataFrame, name: String): DataFrame = {
+    val ties = ev.groupBy(col("user_id"), col("ts")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(ties.isEmpty,
+      s"$name oracle assumes tie-free (user_id, ts); found duplicate at ${ties.headOption}")
+    ev
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- 2.1 sessionize ------------------------------------------------
@@ -124,7 +153,7 @@ object SparkEntry {
 
     // ---- 2.7 sequence_next_node ----------------------------------------
     "q08_seq_next_node" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = assertTieFreePerUserTs(events(s, dir), "q08_seq_next_node")
       ev.groupBy(col("user_id"))
         .agg(BehavioralFunctions.sequence_next_node("forward", "head", col("ts"),
           col("event_type"),
@@ -812,7 +841,7 @@ object SparkEntry {
     // forgetting contract is not in play — these rows pin EQUALITY with
     // batch semantics, the lateness/horizon contracts are unit-tested.
     "q71_stream_seq_count" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = boundedForStreamHarness(events(s, dir), "q71_stream_seq_count")
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = s.sqlContext
@@ -842,7 +871,9 @@ object SparkEntry {
       }
     },
     "q72_stream_next_node" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = boundedForStreamHarness(
+        assertTieFreePerUserTs(events(s, dir), "q72_stream_next_node"),
+        "q72_stream_next_node")
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = s.sqlContext

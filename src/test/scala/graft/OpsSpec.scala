@@ -412,6 +412,22 @@ class SourcesSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("q08/q72 tie-free guard fires loudly on a fixture with duplicate (user_id, ts)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evt_ties").toString
+    writeLongMicrosFixture(s"$dir/d/part-0.parquet", Seq(
+      (1L, 1704067200000000L, "signup"),
+      (1L, 1704067200000000L, "view"), // same (user_id, ts) — the §7.4 trap
+      (1L, 1704067201000000L, "click")))
+    val d = java.nio.file.Paths.get(s"$dir/evt")
+    java.nio.file.Files.createDirectory(d)
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/d"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.SparkEntry.queries("q08_seq_next_node")(spark, s"$dir/evt").collect()
+    }
+    assert(ex.getMessage.contains("tie-free"))
+  }
+
   private def writeNanosFixture(path: String, rows: Seq[(Long, Long, String)]): Unit =
     writeRawParquet(path, rows,
       org.apache.parquet.schema.LogicalTypeAnnotation.timestampType(
