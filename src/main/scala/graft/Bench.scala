@@ -65,6 +65,14 @@ object Bench {
     val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "3.0").toDouble
     val results = selected.map { case (name, fn) =>
       var times = (0 until runs).map(_ => timedRun(name, fn)).filterNot(_.isNaN)
+      // heavy queries get one extra sample: a contention burst that spans
+      // both of two samples inflates the min SILENTLY (spread stays under
+      // the rerun limit even though both numbers are wrong — observed
+      // round 8/9: q18 min-of-2 5.2 s vs min-of-4 2.3 s on unchanged
+      // code). One more run costs ~the query itself only where the query
+      // is already expensive, and usually lands outside the burst.
+      if (!errors.contains(name) && times.nonEmpty && times.min > 1.0 && times.size < 3)
+        times = times ++ Seq(timedRun(name, fn)).filterNot(_.isNaN)
       def spread = if (times.size < 2) 1.0 else times.max / math.max(times.min, 1e-9)
       val rerun = !errors.contains(name) && times.nonEmpty && spread > spreadLimit
       if (rerun) times = times ++ (0 until runs).map(_ => timedRun(name, fn)).filterNot(_.isNaN)
