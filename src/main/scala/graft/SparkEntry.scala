@@ -911,6 +911,20 @@ object SparkEntry {
       }
     },
 
+    // ---- LLM pipeline: Bloom-prefiltered decontamination ------------------
+    // same question and SAME ORACLE as q51: the Bloom filter over
+    // xxhash64(gram) prunes the corpus gram stream (codegen'd might_contain,
+    // no join node) and only survivors reach an exact string-equality
+    // verification join — sketch FPs affect cost, never the answer, so the
+    // hash must match the exact broadcast formulation bit-for-bit
+    "q73_decontaminate_bloom" -> { (s, dir) =>
+      prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      ops.Pipeline.decontaminateBloom(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), n = 5)
+    },
+
     // ---- LLM pipeline: batched top-k served from the int8 corpus ----------
     // the corpus side exists ONLY in quantized form (scale + int8 codes);
     // scoring dequantizes in-expression, so the oracle recomputes the same
@@ -1529,6 +1543,21 @@ object SparkEntry {
     // distinct 5-grams per corpus doc, left-joined against the distinct
     // benchmark gram set (benchmark = doc_id % 20 == 0)
     "q51_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+        |      FROM t WHERE len(toks) >= 5),
+        |cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+        |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(bg.gram) AS BIGINT) AS matched_grams,
+        |  count(bg.gram) > 0 AS contaminated
+        |FROM cg LEFT JOIN bg ON cg.gram = bg.gram
+        |GROUP BY cg.doc_id""".stripMargin,
+
+    // q73 is the bloom-prefiltered path to the exact same answer as q51 —
+    // one oracle text, two physical strategies under test
+    "q73_decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram

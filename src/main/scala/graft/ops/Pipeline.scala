@@ -161,6 +161,64 @@ object Pipeline {
         (col("matched_grams") > 0).as("contaminated"))
   }
 
+  /** `decontaminate` with a Bloom-filter pre-filter in place of the
+    * benchmark-set broadcast — the shape for a LARGE benchmark suite.
+    *
+    * `decontaminate(broadcastBench = true)` ships the full distinct gram
+    * set to every executor (GBs once the combined eval suites reach ~10⁸
+    * grams); `broadcastBench = false` shuffles the ENTIRE corpus gram
+    * stream by gram. This variant does neither: a Bloom filter over
+    * xxhash64(gram) (~1.2 GB bits at 10⁹ grams / 1% fpp, built with one
+    * distributed pass and shipped once per executor as a plan literal)
+    * prunes the corpus gram stream to probable hits inside the scan
+    * projection — codegen'd `might_contain`, no join node — and only the
+    * survivors (true matches + ~fpp of the stream) shuffle into an EXACT
+    * string-equality verification join. Bloom false positives and
+    * xxhash64 collisions both die in that join, so the output is
+    * bit-identical to `decontaminate` for every (expectedGrams, fpp) —
+    * the sketch affects cost only, never the answer
+    * (DecontamBloomSpec pins this at fpp = 0.5).
+    *
+    * The corpus is tokenized twice (once for per-doc gram counts, once
+    * for the probe stream) — two map-only passes instead of persisting a
+    * corpus-sized gram set, the right trade at 100 TB. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text", expectedGrams: Long = 4L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    def distinctGrams(tc: org.apache.spark.sql.Column) =
+      array_distinct(TextAnalysis.ngramsOfTokens(TextAnalysis.tokensWs(tc), n))
+    val benchGrams = OpCaches.track(benchmark
+      .select(explode(distinctGrams(col(benchTextCol))).as("__gram"))
+      .distinct().persist())
+    val bloom = benchGrams.select(xxhash64(col("__gram")).as("__h"))
+      .stat.bloomFilter("__h", math.max(expectedGrams, 1L), fpp)
+    val bloomBits = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    val mightContain = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(bloomBits)),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          xxhash64(col("__gram")))))
+    val matched = corpus
+      .select(col(idCol).as("__id"), explode(distinctGrams(col(textCol))).as("__gram"))
+      .filter(mightContain)
+      .join(benchGrams, Seq("__gram"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__matched"))
+    corpus
+      .select(col(idCol).as("__id"), size(distinctGrams(col(textCol))).as("__n"))
+      .filter(col("__n") > 0)
+      .join(matched, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__n").cast("long").as("n_grams"),
+        coalesce(col("__matched"), lit(0L)).as("matched_grams"),
+        (coalesce(col("__matched"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Deterministic sequence packing (the concatenate-and-chop training
     * layout): documents are concatenated in a deterministic order and
     * chopped into fixed `seqLen`-token training sequences; each doc's row
