@@ -143,10 +143,7 @@ object Pipeline {
       broadcastBench: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     def grams(df: DataFrame, tc: String, id: Option[String]) =
-      df.select(id.map(c => col(c).as("__id")).toSeq :+
-          TextAnalysis.tokensWs(col(tc)).as("__toks"): _*)
-        .select(id.map(_ => col("__id")).toSeq :+ explode(array_distinct(
-          TextAnalysis.ngramsOfTokens(col("__toks"), n))).as("__gram"): _*)
+      explodedGrams(df, tc, id, n)
     val key = if (hashGrams) xxhash64(col("__gram")) else col("__gram")
     val docGrams = grams(corpus, textCol, Some(idCol))
       .select(col("__id"), key.as("__g"))
@@ -160,6 +157,27 @@ object Pipeline {
       .select(col("__id").as(idCol), col("n_grams"), col("matched_grams"),
         (col("matched_grams") > 0).as("contaminated"))
   }
+
+  /** Per-doc distinct word n-grams as an exploded (\_\_id?, \_\_gram) stream.
+    *
+    * The projection discipline here is deliberate and measured, not style:
+    * tokens materialize in their own projection (ngramsOfTokens references
+    * the token array n+1 times — nesting tokensWs inline re-runs the regex
+    * split per reference), and the gram expression stays INSIDE the explode
+    * rather than in a projection of its own. An attribute-child explode
+    * trips `InferFiltersFromGenerate`, whose inferred `size(...) > 0`
+    * predicate then gets pushed below the projections with the full gram
+    * expression substituted in — and a pushed HOF lambda re-evaluates the
+    * substituted split() per element: measured 24 s vs 0.7 s at sf0.1 on
+    * this exact pipeline. For the same reason, callers must not filter on
+    * a derived gram-count column; derive counts from this exploded stream.
+    */
+  private def explodedGrams(df: DataFrame, tc: String, id: Option[String],
+      n: Int): DataFrame =
+    df.select(id.map(c => col(c).as("__id")).toSeq :+
+        TextAnalysis.tokensWs(col(tc)).as("__toks"): _*)
+      .select(id.map(_ => col("__id")).toSeq :+ explode(array_distinct(
+        TextAnalysis.ngramsOfTokens(col("__toks"), n))).as("__gram"): _*)
 
   /** `decontaminate` with a Bloom-filter pre-filter in place of the
     * benchmark-set broadcast — the shape for a LARGE benchmark suite.
@@ -188,10 +206,7 @@ object Pipeline {
       fpp: Double = 0.01): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    def distinctGrams(tc: org.apache.spark.sql.Column) =
-      array_distinct(TextAnalysis.ngramsOfTokens(TextAnalysis.tokensWs(tc), n))
-    val benchGrams = OpCaches.track(benchmark
-      .select(explode(distinctGrams(col(benchTextCol))).as("__gram"))
+    val benchGrams = OpCaches.track(explodedGrams(benchmark, benchTextCol, None, n)
       .distinct().persist())
     val bloom = benchGrams.select(xxhash64(col("__gram")).as("__h"))
       .stat.bloomFilter("__h", math.max(expectedGrams, 1L), fpp)
@@ -205,16 +220,19 @@ object Pipeline {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(bloomBits)),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(
           xxhash64(col("__gram")))))
-    val matched = corpus
-      .select(col(idCol).as("__id"), explode(distinctGrams(col(textCol))).as("__gram"))
+    // corpus grams stream twice (match counting + total counting) — two
+    // map-only passes instead of persisting a corpus-sized gram set, the
+    // right trade at 100 TB. Total counts shuffle only (id, partial-count)
+    // pairs; gram STRINGS shuffle only for bloom survivors.
+    val corpusGrams = explodedGrams(corpus, textCol, Some(idCol), n)
+    val matched = corpusGrams
       .filter(mightContain)
       .join(benchGrams, Seq("__gram"))
       .groupBy(col("__id")).agg(count(lit(1)).as("__matched"))
-    corpus
-      .select(col(idCol).as("__id"), size(distinctGrams(col(textCol))).as("__n"))
-      .filter(col("__n") > 0)
+    corpusGrams
+      .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
       .join(matched, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("__n").cast("long").as("n_grams"),
+      .select(col("__id").as(idCol), col("__n").as("n_grams"),
         coalesce(col("__matched"), lit(0L)).as("matched_grams"),
         (coalesce(col("__matched"), lit(0L)) > 0).as("contaminated"))
   }
