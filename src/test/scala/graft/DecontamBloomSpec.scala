@@ -46,4 +46,21 @@ class DecontamBloomSpec extends AnyFunSuite {
     assert(plan.contains("might_contain"), plan)
     graft.ops.OpCaches.unpersistAll()
   }
+
+  test("tokenization never lands in a pushed predicate (InferFiltersFromGenerate hazard)") {
+    // an attribute-child explode or a filter on a derived gram-count column
+    // lets the optimizer push a predicate containing the FULL gram
+    // expression below the projections; the substituted split() inside the
+    // HOF lambda then re-evaluates per element — a measured 30x regression.
+    // Pin the discipline: no Filter in the plan may contain the tokenizer.
+    val (corpus, bench) = split()
+    val plan = graft.ops.Pipeline.decontaminateBloom(corpus, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    val offending = plan.linesIterator.filter(l =>
+      l.trim.replaceAll("^[+:\\-\\s]*", "").startsWith("Filter") &&
+      l.contains("split(")).toSeq
+    assert(offending.isEmpty,
+      s"tokenizer pushed into a predicate:\n${offending.mkString("\n")}")
+    graft.ops.OpCaches.unpersistAll()
+  }
 }
