@@ -925,6 +925,25 @@ object SparkEntry {
         d.filter(col("doc_id") % 20 === 0), n = 5)
     },
 
+    // ---- LLM pipeline: incremental dedup against a stored sketch index ----
+    // the daily-ingest shape: the accumulated corpus (doc_id % 10 != 0) is
+    // sketched ONCE into a minhashIndex; the incoming batch (doc_id % 10
+    // == 0) sketches only itself and probes the stored band keys. Exact
+    // verification makes the result equal to the exact cross-split jaccard
+    // join up to the q19 banding recall bound, so the oracle is exact SQL.
+    "q74_incremental_dedup" -> { (s, dir) =>
+      prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      // the probe scans the index three times (banding + two verify
+      // stages); a STORED index re-scans cheap column-pruned parquet, so a
+      // live-built one must be persisted to stand in for it (14 s -> ~2 s)
+      val idx = ops.OpCaches.track(
+        ops.Dedup.minhashIndex(d.filter(col("doc_id") % 10 =!= 0)).persist())
+      ops.Dedup.minhashLshJoinAgainst(
+        d.filter(col("doc_id") % 10 === 0), idx, threshold = 0.8)
+        .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
     // ---- LLM pipeline: batched top-k served from the int8 corpus ----------
     // the corpus side exists ONLY in quantized form (scale + int8 codes);
     // scoring dequantizes in-expression, so the oracle recomputes the same
@@ -1554,6 +1573,22 @@ object SparkEntry {
         |  count(bg.gram) > 0 AS contaminated
         |FROM cg LEFT JOIN bg ON cg.gram = bg.gram
         |GROUP BY cg.doc_id""".stripMargin,
+
+    // q74: exact cross-split jaccard join — the incremental probe and the
+    // q19 monolithic join share the banding recall bound, so both oracle
+    // against exact SQL at threshold 0.8
+    "q74_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS new_id, b.doc_id AS idx_id,
+        |  CAST(round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS DOUBLE) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
 
     // q73 is the bloom-prefiltered path to the exact same answer as q51 —
     // one oracle text, two physical strategies under test

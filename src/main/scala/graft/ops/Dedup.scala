@@ -125,19 +125,30 @@ object Dedup {
     * shingles, and `n_sh` always counts the string arrays.
     */
   private def verifyPairsExact(sh: DataFrame, cands: DataFrame,
-      threshold: Double): DataFrame = {
-    val byHash = sh.select(col("id"), col("shh"), col("n_sh"))
+      threshold: Double): DataFrame =
+    verifyPairsExactTwoSided(sh, sh, cands, threshold)
+
+  /** Two-frame variant of the exact pair verification: `doc_a` ids resolve
+    * against `shA`, `doc_b` ids against `shB` (both in `shingleFrameHashed`
+    * layout). The self-join case passes the same frame twice; the
+    * incremental case resolves the index side against its PERSISTED
+    * shingle columns. */
+  private def verifyPairsExactTwoSided(shA: DataFrame, shB: DataFrame,
+      cands: DataFrame, threshold: Double): DataFrame = {
+    val aHash = shA.select(col("id").as("doc_a"), col("shh").as("ha"), col("n_sh").as("na"))
+    val bHash = shB.select(col("id").as("doc_b"), col("shh").as("hb"), col("n_sh").as("nb"))
     val passed = cands
-      .join(byHash.select(col("id").as("doc_a"), col("shh").as("ha"), col("n_sh").as("na")), "doc_a")
-      .join(byHash.select(col("id").as("doc_b"), col("shh").as("hb"), col("n_sh").as("nb")), "doc_b")
+      .join(aHash, "doc_a")
+      .join(bHash, "doc_b")
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
         sortedIntersectCountLong(col("ha"), col("hb")).cast("double").as("common"))
       .filter(col("common") / (col("na") + col("nb") - col("common")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    val bySh = sh.select(col("id"), col("sh"), col("n_sh"))
+    val aSh = shA.select(col("id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na"))
+    val bSh = shB.select(col("id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb"))
     passed
-      .join(bySh.select(col("id").as("doc_a"), col("sh").as("sha"), col("n_sh").as("na")), "doc_a")
-      .join(bySh.select(col("id").as("doc_b"), col("sh").as("shb"), col("n_sh").as("nb")), "doc_b")
+      .join(aSh, "doc_a")
+      .join(bSh, "doc_b")
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
         sortedIntersectCount(col("sha"), col("shb")).cast("double").as("common"))
       .select(col("doc_a"), col("doc_b"),
@@ -466,6 +477,76 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     // exact verification on the deduped candidate pairs only
     verifyPairsExact(sh, cands, threshold)
+  }
+
+  /** Persistent MinHash+LSH sketch index of a corpus — build once, write
+    * to parquet, probe with `minhashLshJoinAgainst` as new batches arrive.
+    * The daily-ingest shape: the accumulated corpus is sketched exactly
+    * once; each incoming batch sketches only itself (per-row kernels, no
+    * shuffle) and equi-joins the stored band keys, so ingest cost is
+    * O(batch), never O(corpus).
+    *
+    * One row per doc with >= 1 shingle:
+    * (id, n_sh, sh, shh, band_hashes: array<long>[bands]).
+    * The layout is column-pruning-friendly on purpose: candidate
+    * generation reads only (id, band_hashes) from the stored parquet
+    * (IncrementalLshSpec pins the ReadSchema); the shingle columns are
+    * read only for the candidate ids that reach exact verification.
+    * SKETCH FORMAT v2 (see `minhashSignature`) — `k`/`numHashes`/`bands`
+    * must match between index build and probe. */
+  def minhashIndex(docs: DataFrame, k: Int = 3, numHashes: Int = 96,
+      bands: Int = 24, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    shingleFrameHashed(docs, idCol, textCol, k)
+      .select(col("id"), col("sh"), col("shh"), col("n_sh"),
+        ColumnBridge.column(graft.functions.MinhashSignature(
+          ColumnBridge.expression(col("shh")), numHashes)).as("__sig"))
+      // NO row filter here, by design: a `__sig IS NOT NULL` filter gets
+      // pushed below every projection with the WHOLE sketch pipeline
+      // substituted into it (tokenizer inside HOF lambdas re-evaluates per
+      // element — the q73 hazard; measured 4x on this builder). Shingle-less
+      // docs instead carry a NULL band_hashes, which the probe's posexplode
+      // drops — they can never generate candidates.
+      .select(col("id"), col("sh"), col("shh"), col("n_sh"),
+        when(col("__sig").isNotNull, array((0 until bands).map(b =>
+          xxhash64((b * r until (b + 1) * r).map(s =>
+            element_at(col("__sig"), s + 1)): _*)): _*)).as("band_hashes"))
+  }
+
+  /** Near-dup pairs between a NEW batch and an EXISTING `minhashIndex`
+    * frame (typically `spark.read.parquet` of a stored index). Returns
+    * (new_id, idx_id, jaccard) with exact J >= threshold among LSH
+    * candidates — the same banding recall bound as `minhashLshJoin`
+    * (build and probe use the same hash family, so a new doc's band key
+    * equals a stored doc's whenever their signatures agree on the band).
+    * Rows whose ids appear on BOTH sides are excluded (a re-ingested doc
+    * is not its own duplicate); cross pairs between such ids still
+    * surface.
+    *
+    * Scale shape: the batch side sketches per-row (no shuffle); the
+    * candidate equi-join shuffles (id, band, band_hash) triples — 24
+    * bytes/row — against a column-pruned scan of the stored index; only
+    * surviving candidate ids read the stored shingle columns for exact
+    * two-stage verification. */
+  def minhashLshJoinAgainst(newDocs: DataFrame, index: DataFrame,
+      threshold: Double, k: Int = 3, numHashes: Int = 96, bands: Int = 24,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newIdx = materialize(minhashIndex(newDocs, k, numHashes, bands, idCol, textCol))
+    def banded(df: DataFrame) = df
+      .select(col("id"), posexplode(col("band_hashes")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val cands = banded(newIdx).as("x")
+      .join(banded(index).as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairsExactTwoSided(newIdx, index, cands, threshold)
+      .withColumnsRenamed(Map("doc_a" -> "new_id", "doc_b" -> "idx_id"))
   }
 
   /** Connected components over a near-duplicate pair list: assigns every

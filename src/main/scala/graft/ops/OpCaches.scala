@@ -12,7 +12,7 @@ object OpCaches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private val memos = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[ops] def track(df: DataFrame): DataFrame = { tracked.add(df); df }
+  private[graft] def track(df: DataFrame): DataFrame = { tracked.add(df); df }
 
   /** Memoize an expensive operator result within a session; later calls
     * with the same key reuse the cached frame. Keys must identify the input

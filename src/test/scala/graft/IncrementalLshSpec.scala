@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental (batch-vs-stored-index) MinHash LSH must agree with the
+  * monolithic self-join restricted to cross-split pairs, survive a parquet
+  * round trip unchanged, and keep candidate generation column-pruned on the
+  * stored index.
+  */
+class IncrementalLshSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = graft.sources.Tables.load(spark, sfDir, "documents")
+  private def newBatch = docs.filter(col("doc_id") % 10 === 0)
+  private def existing = docs.filter(col("doc_id") % 10 =!= 0)
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select(col(df.columns(0)), col(df.columns(1)),
+        round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental probe equals the monolithic self-join restricted to cross-split pairs") {
+    val idx = graft.ops.Dedup.minhashIndex(existing)
+    val incremental = pairsOf(graft.ops.Dedup.minhashLshJoinAgainst(newBatch, idx, threshold = 0.8))
+    // monolithic pairs are (min, max)-oriented; reorient to (new, old)
+    val monolithic = graft.ops.Dedup.minhashLshJoin(docs, threshold = 0.8)
+      .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+      .select(
+        when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b")).as("new_id"),
+        when(col("doc_a") % 10 === 0, col("doc_b")).otherwise(col("doc_a")).as("idx_id"),
+        col("jaccard"))
+    assert(incremental === pairsOf(monolithic))
+    assert(incremental.nonEmpty, "no cross-split near-dup pairs — test is vacuous")
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("index round-trips through parquet; probe of the stored index is identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    graft.ops.Dedup.minhashIndex(existing).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val fromStored = pairsOf(graft.ops.Dedup.minhashLshJoinAgainst(newBatch, stored, threshold = 0.8))
+    val fromLive = pairsOf(graft.ops.Dedup.minhashLshJoinAgainst(
+      newBatch, graft.ops.Dedup.minhashIndex(existing), threshold = 0.8))
+    assert(fromStored === fromLive)
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("candidate generation prunes the stored index scan to (id, band_hashes)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx2").toString
+    graft.ops.Dedup.minhashIndex(existing).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val plan = graft.ops.Dedup.minhashLshJoinAgainst(newBatch, stored, threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: ([^\\n]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty, plan)
+    // at least one index scan must carry only the band keys (candidate
+    // side); no scan may read the heavy string shingles together with
+    // band_hashes (that would mean verification dragged sh through the
+    // candidate join)
+    assert(readSchemas.exists(s => s.contains("band_hashes") && !s.contains("shh")),
+      s"no pruned candidate scan found: $readSchemas")
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("re-ingested ids are not their own duplicates, but cross pairs survive") {
+    // probe a batch against an index CONTAINING the same ids: self pairs
+    // (exact J = 1.0 on identical text) must be excluded
+    val idx = graft.ops.Dedup.minhashIndex(docs)
+    val res = graft.ops.Dedup.minhashLshJoinAgainst(newBatch, idx, threshold = 0.8)
+    assert(res.filter(col("new_id") === col("idx_id")).isEmpty)
+    graft.ops.OpCaches.unpersistAll()
+  }
+}
