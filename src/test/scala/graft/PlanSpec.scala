@@ -41,14 +41,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
-  test("no contract query plans a cartesian product or nested-loop join") {
+  test("no contract query plans a cartesian product, nested-loop join, or per-element re-tokenization") {
     // a CartesianProduct / BroadcastNestedLoopJoin anywhere in the contract
     // surface is a 100-TB scale-killer even when the local run is fast (the
-    // r1 q20 lesson: an O(n²) non-equi self-join benches fine at sf0.1)
+    // r1 q20 lesson: an O(n²) non-equi self-join benches fine at sf0.1).
+    // `element_at(split(` inside any node is the pushed-predicate
+    // substitution hazard (q73/q74 lesson): a filter on a derived column
+    // pushed below the token projection re-runs the tokenizer per HOF
+    // element — a measured 20-30x. (Kernel-arg duplication like
+    // isnotnull(simhash(split(...))) is a separate, benign ~2x class,
+    // audited in SCALE.md.)
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
+      assert(!p.contains("element_at(split("),
+        s"$q re-tokenizes per element in a pushed expression:\n$p")
       graft.ops.OpCaches.unpersistAll()
     }
   }
