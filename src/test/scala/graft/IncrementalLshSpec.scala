@@ -64,6 +64,21 @@ class IncrementalLshSpec extends AnyFunSuite {
     graft.ops.OpCaches.unpersistAll()
   }
 
+  test("shingle-less docs carry NULL band_hashes and never generate candidates") {
+    import spark.implicits._
+    // two distinct one-token docs and two empty docs: none has a 3-shingle,
+    // so none may band-join — a real band key for them would bucket every
+    // degenerate doc together (a skew bomb and false candidates at scale)
+    val degenerate = Seq(
+      (1L, "solo"), (2L, "word"), (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.minhashIndex(degenerate)
+    assert(idx.filter(col("band_hashes").isNotNull).isEmpty)
+    val probed = graft.ops.Dedup.minhashLshJoinAgainst(
+      degenerate, idx, threshold = 0.1)
+    assert(probed.isEmpty)
+    graft.ops.OpCaches.unpersistAll()
+  }
+
   test("re-ingested ids are not their own duplicates, but cross pairs survive") {
     // probe a batch against an index CONTAINING the same ids: self pairs
     // (exact J = 1.0 on identical text) must be excluded
