@@ -733,4 +733,38 @@ object StreamingBehavioral {
           }
       }
   }
+
+  /** Continuous near-dup screening of a DOCUMENT STREAM against a stored
+    * `Dedup.minhashIndex` — the streaming face of the incremental-ingest
+    * dedup (q74): each micro-batch runs the batch-exact probe
+    * `Dedup.minhashLshJoinAgainst` against the static index and hands the
+    * (new_id, idx_id, jaccard) pair frame to `sink` with the batch id.
+    *
+    * foreachBatch is the right idiom here, not a reformulated stateful
+    * pipeline: the probe's internals (candidate-pair dropDuplicates,
+    * two-stage exact verification, multi-pass joins over the index) would
+    * each become an unbounded stateful operator in pure streaming, yet the
+    * operation needs NO cross-batch state at all — a doc's near-dups
+    * against a static index are fully determined within its own
+    * micro-batch. State: none; the index re-scans column-pruned per batch
+    * (persist it when it fits executor storage, leave it on parquet when
+    * it does not).
+    *
+    * Per micro-batch the result is bit-identical to the batch operator
+    * (differential-tested in StreamingIngestSpec). Pairs BETWEEN two
+    * streamed docs are out of scope by design — that is the batch
+    * self-join's job at compaction time, when the index generation is
+    * rebuilt; a streamed doc is screened against the index generation it
+    * probes. */
+  def nearDupIngest(docs: DataFrame, index: DataFrame, threshold: Double,
+      k: Int = 3, numHashes: Int = 96, bands: Int = 24,
+      idCol: String = "doc_id", textCol: String = "text")
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.ops.Dedup.minhashLshJoinAgainst(
+          batch.toDF(), index, threshold, k, numHashes, bands, idCol, textCol), batchId)
+      }
+      .start()
 }
