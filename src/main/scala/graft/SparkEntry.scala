@@ -944,6 +944,20 @@ object SparkEntry {
         .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // ---- LLM pipeline: incremental SimHash screening ----------------------
+    // the Hamming-regime twin of q74: the accumulated corpus persists as a
+    // 16-byte-per-doc fingerprint index; the batch fingerprints per-row and
+    // band-joins the stored index. No verification stage — Hamming is exact
+    // from the fingerprints, so the oracle recomputes it directly.
+    "q75_incremental_simhash" -> { (s, dir) =>
+      prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      ops.Dedup.simhashPairsAgainstMd5(
+        d.filter(col("doc_id") % 10 === 0),
+        ops.Dedup.simhashIndexMd5(d.filter(col("doc_id") % 10 =!= 0)),
+        maxDist = 3)
+    },
+
     // ---- LLM pipeline: batched top-k served from the int8 corpus ----------
     // the corpus side exists ONLY in quantized form (scale + int8 codes);
     // scoring dequantizes in-expression, so the oracle recomputes the same
@@ -1768,6 +1782,21 @@ object SparkEntry {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST($ham AS INTEGER) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE $ham <= 3""".stripMargin
+    },
+
+    // q75: the q41 Hamming computation restricted to cross-split pairs,
+    // oriented (new, idx) — band join and pigeonhole change the plan, not
+    // the answer
+    "q75_incremental_simhash" -> {
+      val ham = (1 to 16).map(j =>
+        s"bit_count(xor(strpos('0123456789abcdef', substr(a.simhash_hex, $j, 1)) - 1, " +
+          s"strpos('0123456789abcdef', substr(b.simhash_hex, $j, 1)) - 1))")
+        .mkString(" + ")
+      s"""WITH fp AS ($simhashMd5OracleSql)
+         |SELECT a.doc_id AS new_id, b.doc_id AS idx_id,
+         |  CAST($ham AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
          |WHERE $ham <= 3""".stripMargin
     },
 

@@ -783,4 +783,55 @@ object Dedup {
         popcnt(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Persistable SimHash fingerprint index — (id, simhash) at 16 bytes per
+    * doc, the md5 family so probes stay oracle-reproducible. Build once,
+    * write to parquet, probe with `simhashPairsAgainstMd5` as batches
+    * arrive — the SimHash twin of `minhashIndex`, for the Hamming-distance
+    * near-dup regime. */
+  def simhashIndexMd5(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hi = conv(substring(col("simhash_hex"), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(col("simhash_hex"), 9, 8), 16, 10).cast("long")
+    simhashMd5(docs, idCol, textCol)
+      .select(col("doc_id").as("id"),
+        shiftleft(hi, 32).bitwiseOR(lo).as("simhash"))
+  }
+
+  /** Hamming near-dup pairs between a NEW batch and an EXISTING
+    * `simhashIndexMd5` frame: (new_id, idx_id, hamming ≤ maxDist). Exact —
+    * the 4×16-bit band pigeonhole guarantees every pair within maxDist ≤ 3
+    * shares a band, and the first-shared-band predicate emits each pair
+    * exactly once with no dedup aggregate. Rows with the same id on both
+    * sides are excluded (a re-ingested doc is not its own duplicate).
+    *
+    * Scale shape: the batch side fingerprints per-row (no shuffle, no
+    * verification rejoin — Hamming is exact from the fingerprints), both
+    * sides shuffle only (id, simhash, band_bits) triples, and each side is
+    * scanned exactly once. Ingest cost is O(batch + matched bands), never
+    * O(corpus). */
+  def simhashPairsAgainstMd5(newDocs: DataFrame, index: DataFrame,
+      maxDist: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0,3] for the 4-band pigeonhole guarantee, got $maxDist")
+    def banded(fp: DataFrame) = fp.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+    def bandBits(side: String, b: Int): Column =
+      shiftrightunsigned(col(s"$side.simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+    val firstSharedBand = (0 until 4).map { b =>
+      (0 until b).map(k => bandBits("x", k) =!= bandBits("y", k))
+        .foldLeft(col("x.band") === b)(_ && _)
+    }.reduce(_ || _)
+    banded(simhashIndexMd5(newDocs, idCol, textCol)).as("x")
+      .join(banded(index).as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_bits") === col("y.band_bits") &&
+        col("x.id") =!= col("y.id") && firstSharedBand)
+      .select(col("x.id").as("new_id"), col("y.id").as("idx_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
 }

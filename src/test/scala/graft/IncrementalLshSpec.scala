@@ -79,6 +79,36 @@ class IncrementalLshSpec extends AnyFunSuite {
     graft.ops.OpCaches.unpersistAll()
   }
 
+  test("simhash probe equals the monolithic Hamming self-join restricted to cross-split pairs") {
+    val incremental = graft.ops.Dedup.simhashPairsAgainstMd5(
+        newBatch, graft.ops.Dedup.simhashIndexMd5(existing), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val monolithic = graft.ops.Dedup.simhashPairsMd5(docs, maxDist = 3)
+      .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+      .select(
+        when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b")).as("new_id"),
+        when(col("doc_a") % 10 === 0, col("doc_b")).otherwise(col("doc_a")).as("idx_id"),
+        col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(incremental === monolithic)
+    assert(incremental.nonEmpty, "no cross-split Hamming pairs — test is vacuous")
+    graft.ops.OpCaches.unpersistAll()
+  }
+
+  test("simhash index round-trips through parquet; each pair emitted exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_idx").toString
+    graft.ops.Dedup.simhashIndexMd5(existing).write.mode("overwrite").parquet(dir)
+    val res = graft.ops.Dedup.simhashPairsAgainstMd5(
+      newBatch, spark.read.parquet(dir), maxDist = 3).collect()
+    assert(res.nonEmpty)
+    // the first-shared-band predicate must dedup without an aggregate:
+    // every (new, idx) pair appears exactly once even when several bands
+    // collide (identical docs share all four bands)
+    val keys = res.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.length === keys.distinct.length, "duplicate pair emissions")
+    graft.ops.OpCaches.unpersistAll()
+  }
+
   test("re-ingested ids are not their own duplicates, but cross pairs survive") {
     // probe a batch against an index CONTAINING the same ids: self pairs
     // (exact J = 1.0 on identical text) must be excluded
