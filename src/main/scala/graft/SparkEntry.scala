@@ -944,6 +944,21 @@ object SparkEntry {
         .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // ---- LLM pipeline: incremental exact-dedup screening ------------------
+    // the exact member of the incremental family: a stored (digest, keep_id)
+    // index; the batch digests per-row and left-joins on the 32-byte hash.
+    // The oracle joins on raw text equality — same answer, since sha2 is
+    // injective on this fixture by construction (a collision would also
+    // break q11's grouping).
+    "q76_incremental_exact" -> { (s, dir) =>
+      prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      ops.Dedup.exactDupAgainst(
+        d.filter(col("doc_id") % 10 === 0),
+        ops.Dedup.exactDigestIndex(d.filter(col("doc_id") % 10 =!= 0)))
+        .select(col("new_id"), col("is_dup"), col("keep_id"))
+    },
+
     // ---- LLM pipeline: incremental SimHash screening ----------------------
     // the Hamming-regime twin of q74: the accumulated corpus persists as a
     // 16-byte-per-doc fingerprint index; the batch fingerprints per-row and
@@ -1784,6 +1799,16 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE $ham <= 3""".stripMargin
     },
+
+    // q76: text-equality left join against the index side's min-id groups —
+    // digest join and raw-text join agree whenever sha256 is injective on
+    // the corpus (a collision would equally break q11's grouping)
+    "q76_incremental_exact" ->
+      """WITH idx AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id
+        |             FROM documents WHERE doc_id % 10 <> 0 GROUP BY text)
+        |SELECT d.doc_id AS new_id, idx.keep_id IS NOT NULL AS is_dup, idx.keep_id
+        |FROM documents d LEFT JOIN idx ON d.text = idx.text
+        |WHERE d.doc_id % 10 = 0""".stripMargin,
 
     // q75: the q41 Hamming computation restricted to cross-split pairs,
     // oriented (new, idx) — band join and pigeonhole change the plan, not

@@ -163,6 +163,33 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Persistable exact-dedup digest index: one (text_hash, keep_id) row per
+    * distinct text — the accumulated corpus's dedup state, 32 bytes + id
+    * per DISTINCT document. The exact-dedup member of the incremental
+    * family (`minhashIndex` / `simhashIndexMd5`). */
+  def exactDigestIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"))
+
+  /** Screen a NEW batch against a stored `exactDigestIndex`: one row per
+    * new doc with `is_dup` (byte-identical text already in the corpus) and
+    * the stored representative's id (NULL when new). Within-batch
+    * duplicates are NOT flagged here by design — they are the compaction
+    * self-dedup's job (`exactDupGroups` on the batch), keeping this probe a
+    * single equi-join with no batch-internal aggregate.
+    *
+    * Scale shape: the batch digests per-row and left-joins the index on the
+    * 32-byte digest — the corpus body is never read, the join shuffles
+    * digests only, and ingest cost is O(batch), never O(corpus). */
+  def exactDupAgainst(newDocs: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    newDocs
+      .select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("text_hash"))
+      .join(index, Seq("text_hash"), "left")
+      .select(col("new_id"), col("keep_id").isNotNull.as("is_dup"),
+        col("keep_id"))
+
   /** Per-document cross-corpus repeated-passage statistics at word-n-gram
     * ("chunk") granularity — the passage-level analog of exact dedup, in
     * the deduplicating-training-data tradition (Lee et al. '22): a chunk

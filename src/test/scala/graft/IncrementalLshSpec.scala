@@ -109,6 +109,20 @@ class IncrementalLshSpec extends AnyFunSuite {
     graft.ops.OpCaches.unpersistAll()
   }
 
+  test("exact digest probe flags precisely the docs whose text exists in the index") {
+    import spark.implicits._
+    val idxDocs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta"), (11L, "epsilon zeta"), (12L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val res = graft.ops.Dedup.exactDupAgainst(
+        batch, graft.ops.Dedup.exactDigestIndex(idxDocs))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(res === Map(10L -> ((true, 1L)), 11L -> ((false, -1L)), 12L -> ((true, 2L))))
+    graft.ops.OpCaches.unpersistAll()
+  }
+
   test("re-ingested ids are not their own duplicates, but cross pairs survive") {
     // probe a batch against an index CONTAINING the same ids: self pairs
     // (exact J = 1.0 on identical text) must be excluded
