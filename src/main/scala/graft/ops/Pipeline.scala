@@ -206,8 +206,12 @@ object Pipeline {
       fpp: Double = 0.01): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    val benchGrams = OpCaches.track(explodedGrams(benchmark, benchTextCol, None, n)
-      .distinct().persist())
+    // NON-distinct and NOT persisted, deliberately: bloom inserts are
+    // idempotent, and the verification join below is a left_semi — each
+    // surviving doc gram counts once regardless of bench-side duplicates.
+    // Dropping the distinct removes a bench-gram shuffle and a cache fill;
+    // the bench side is instead scanned twice map-only (bloom + semi join).
+    val benchGrams = explodedGrams(benchmark, benchTextCol, None, n)
     val bloom = benchGrams.select(xxhash64(col("__gram")).as("__h"))
       .stat.bloomFilter("__h", math.max(expectedGrams, 1L), fpp)
     val bloomBits = {
@@ -227,7 +231,7 @@ object Pipeline {
     val corpusGrams = explodedGrams(corpus, textCol, Some(idCol), n)
     val matched = corpusGrams
       .filter(mightContain)
-      .join(benchGrams, Seq("__gram"))
+      .join(benchGrams, Seq("__gram"), "left_semi")
       .groupBy(col("__id")).agg(count(lit(1)).as("__matched"))
     corpusGrams
       .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
