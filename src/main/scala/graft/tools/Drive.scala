@@ -156,6 +156,27 @@ object Drive {
       """SELECT doc_id, simhash_md5_hex(split(trim(text), '\\s+')) AS fp,
         |       winnow_fingerprint(text, 8, 4)[0] AS first_winnow
         |FROM docs_v ORDER BY doc_id LIMIT 3""".stripMargin).show(false)
+    println("-- bloom-prefiltered decontamination (same answer, sketch-pruned plan):")
+    graft.ops.Pipeline.decontaminateBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 5)
+      .orderBy(col("contaminated").desc, col("doc_id")).show(3, false)
+    println("=== incremental ingest family: batch vs stored index ===")
+    val newBatch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    println("-- exact digest screen (first 5 of the batch):")
+    graft.ops.Dedup.exactDupAgainst(
+        newBatch, graft.ops.Dedup.exactDigestIndex(corpus))
+      .orderBy(col("is_dup").desc, col("new_id")).show(5, false)
+    println("-- MinHash probe vs stored index (J>=0.8):")
+    val mIdx = graft.ops.OpCaches.track(
+      graft.ops.Dedup.minhashIndex(corpus).persist())
+    graft.ops.Dedup.minhashLshJoinAgainst(newBatch, mIdx, threshold = 0.8)
+      .orderBy("new_id").show(5, false)
+    println("-- SimHash probe vs stored fingerprints (hamming<=3):")
+    graft.ops.Dedup.simhashPairsAgainstMd5(
+        newBatch, graft.ops.Dedup.simhashIndexMd5(corpus), maxDist = 3)
+      .orderBy("new_id", "idx_id").show(5, false)
     graft.ops.OpCaches.unpersistAll()
 
     println("=== SparkEntry.entry flagship (driver smoke) ===")
