@@ -68,14 +68,25 @@ object SparkEntry {
 
   /** `lead(...) OVER (ORDER BY ts)` in the DuckDB oracle and the operator's
     * internal event ordering are both nondeterministic when two events share
-    * a (user_id, ts) — SURVEY §7.4's same-ts trap. The driver-generated
-    * events tables are tie-free; assert that loudly so a regenerated fixture
-    * with ties fails with a clear message instead of a flaky hash mismatch. */
-  private def assertTieFreePerUserTs(ev: DataFrame, name: String): DataFrame = {
-    val ties = ev.groupBy(col("user_id"), col("ts")).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(ties.isEmpty,
-      s"$name oracle assumes tie-free (user_id, ts); found duplicate at ${ties.headOption}")
+    * a (user_id, ts) — SURVEY §7.4's same-ts trap, shared by every
+    * next-node contract row (q08/q17/q26/q27/q35/q36/q39/q40/q72). The
+    * driver-generated events tables are tie-free; assert that loudly so a
+    * regenerated fixture with ties fails with a clear message instead of a
+    * flaky hash mismatch. The check is a fact about the DATA in `dir`, so
+    * it memoizes per directory — repeated runs in one JVM pay one
+    * limit-1 aggregate total, not one per query per run. */
+  private val tieFreeDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def assertTieFreePerUserTs(ev: DataFrame, name: String,
+      dir: String): DataFrame = {
+    if (!tieFreeDirs.contains(dir)) {
+      val ties = ev.groupBy(col("user_id"), col("ts")).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(ties.isEmpty,
+        s"$name oracle assumes tie-free (user_id, ts); found duplicate at ${ties.headOption}")
+      tieFreeDirs.add(dir)
+    }
     ev
   }
 
@@ -153,7 +164,7 @@ object SparkEntry {
 
     // ---- 2.7 sequence_next_node ----------------------------------------
     "q08_seq_next_node" -> { (s, dir) =>
-      val ev = assertTieFreePerUserTs(events(s, dir), "q08_seq_next_node")
+      val ev = assertTieFreePerUserTs(events(s, dir), "q08_seq_next_node", dir)
       ev.groupBy(col("user_id"))
         .agg(BehavioralFunctions.sequence_next_node("forward", "head", col("ts"),
           col("event_type"),
@@ -235,7 +246,7 @@ object SparkEntry {
 
     // ---- 2.7 sequence_next_node backward/tail ---------------------------
     "q17_next_node_backward" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = assertTieFreePerUserTs(events(s, dir), "q17_next_node_backward", dir)
       ev.groupBy(col("user_id"))
         .agg(BehavioralFunctions.sequence_next_node("backward", "tail", col("ts"),
           col("event_type"),
@@ -333,7 +344,7 @@ object SparkEntry {
 
     // ---- 2.7 next-node forward/tail ------------------------------------
     "q26_next_node_fwd_tail" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = assertTieFreePerUserTs(events(s, dir), "q26_next_node_fwd_tail", dir)
       ev.groupBy(col("user_id"))
         .agg(BehavioralFunctions.sequence_next_node("forward", "tail", col("ts"),
           col("event_type"),
@@ -343,7 +354,7 @@ object SparkEntry {
 
     // ---- 2.7 next-node backward/head ------------------------------------
     "q27_next_node_bwd_head" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = assertTieFreePerUserTs(events(s, dir), "q27_next_node_bwd_head", dir)
       ev.groupBy(col("user_id"))
         .agg(BehavioralFunctions.sequence_next_node("backward", "head", col("ts"),
           col("event_type"),
@@ -478,7 +489,7 @@ object SparkEntry {
 
     // ---- 2.7 next-node forward/first_match ------------------------------
     "q35_next_node_fwd_first" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = assertTieFreePerUserTs(events(s, dir), "q35_next_node_fwd_first", dir)
       ev.groupBy(col("user_id"))
         .agg(BehavioralFunctions.sequence_next_node("forward", "first_match", col("ts"),
           col("event_type"),
@@ -488,7 +499,7 @@ object SparkEntry {
 
     // ---- 2.7 next-node backward/last_match ------------------------------
     "q36_next_node_bwd_last" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = assertTieFreePerUserTs(events(s, dir), "q36_next_node_bwd_last", dir)
       ev.groupBy(col("user_id"))
         .agg(BehavioralFunctions.sequence_next_node("backward", "last_match", col("ts"),
           col("event_type"),
@@ -664,7 +675,7 @@ object SparkEntry {
 
     // ---- 2.7 next-node forward/last_match (8/8 combo coverage) ----------
     "q39_next_node_fwd_last" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = assertTieFreePerUserTs(events(s, dir), "q39_next_node_fwd_last", dir)
       ev.groupBy(col("user_id"))
         .agg(BehavioralFunctions.sequence_next_node("forward", "last_match", col("ts"),
           col("event_type"),
@@ -674,7 +685,7 @@ object SparkEntry {
 
     // ---- 2.7 next-node backward/first_match -----------------------------
     "q40_next_node_bwd_first" -> { (s, dir) =>
-      val ev = events(s, dir)
+      val ev = assertTieFreePerUserTs(events(s, dir), "q40_next_node_bwd_first", dir)
       ev.groupBy(col("user_id"))
         .agg(BehavioralFunctions.sequence_next_node("backward", "first_match", col("ts"),
           col("event_type"),
@@ -872,7 +883,7 @@ object SparkEntry {
     },
     "q72_stream_next_node" -> { (s, dir) =>
       val ev = boundedForStreamHarness(
-        assertTieFreePerUserTs(events(s, dir), "q72_stream_next_node"),
+        assertTieFreePerUserTs(events(s, dir), "q72_stream_next_node", dir),
         "q72_stream_next_node")
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
