@@ -116,7 +116,35 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$ratios$errJson,"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$ratios$errJson,"sf":"$sfDir"}"""
+    println(detail)
+    // the driver's bench capture keeps only the LAST 2000 chars of output
+    // (BENCH_r09.json: "tail": 2000) — the detailed line above is ~8 KB, so
+    // its head (per-query seconds, min/max, unstable flags) was truncated
+    // away every round and `parsed` stayed null. Persist the full record to
+    // a file, then print a COMPACT line LAST that fits the tail whole:
+    // qNN short keys, per-query min seconds (`queries` — min IS the
+    // reported sec), and max/min spread (`spread`, so max = sec * spread).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    def short(n: String) = n.takeWhile(_ != '_')
+    def num2(v: Double): String = if (v.isNaN) "-1" else f"$v%.2f"
+    val cQs = results.map { case (k, v, _, _, _) => "\"" + short(k) + "\":" + num2(v) }
+      .mkString("{", ",", "}")
+    val cSpread = results.map { case (k, _, mn, mx, _) =>
+      val r = if (mn.isNaN || mx.isNaN || mn <= 0) -1.0 else mx / mn
+      "\"" + short(k) + "\":" + (if (r < 0) "-1" else f"$r%.1f")
+    }.mkString("{", ",", "}")
+    val cUnstable = results.collect { case (k, _, _, _, true) => "\"" + short(k) + "\"" }
+      .mkString("[", ",", "]")
+    val cErr =
+      if (errors.isEmpty) ""
+      else errors.take(5).map { case (k, v) => "\"" + short(k) + "\":\"" + v.take(40) + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    val cFloor = floor.map(f => f",\"floor_sec\":$f%.4f").getOrElse("")
+    val sfName = new java.io.File(sfDir).getName
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$cQs,"spread":$cSpread$cFloor,"unstable":$cUnstable$cErr,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -43,7 +43,16 @@ object Tables {
         case LongType if tsIsNanosAnnotated(spark, path) =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case LongType         => raw.withColumn("ts", timestamp_micros(col("ts")))
-        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampNTZType =>
+          // cast(NTZ -> instant) reinterprets the naive value in the SESSION
+          // timezone; it is only value-preserving (and only agrees with
+          // DuckDB's naive-µs read) under UTC. Every shipped entry point sets
+          // UTC — fail loudly for a caller that didn't, instead of silently
+          // shifting every timestamp and producing flaky oracle mismatches.
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"Tables.events requires spark.sql.session.timeZone=UTC to read a TIMESTAMP_NTZ ts column value-preservingly (got '$tz')")
+          raw.withColumn("ts", col("ts").cast(TimestampType))
         case TimestampType    => raw
         case other => throw new IllegalStateException(
           s"events.ts has unsupported parquet-read dtype $other (expected LongType, TimestampNTZType, or TimestampType)")
