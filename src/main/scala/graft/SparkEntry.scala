@@ -945,6 +945,128 @@ object SparkEntry {
       }
     },
 
+    // streaming sessionize vs the q01 oracle aggregated to sessions. The
+    // operator is Spark's native session_window (merging session store) in
+    // APPEND mode — a session only emits once the watermark passes its end,
+    // so after the two data batches two far-future sentinel batches (user
+    // -1, filtered out) advance the watermark and flush every real session.
+    // Probed (GapProbe, round 10): session_window merges at diff == gap
+    // exactly like the batch sessionize's `> gap` new-session rule, so the
+    // q01 lag/sum labeling and the session store agree on boundaries, and
+    // session_end == last event ts + gap.
+    "q77_stream_sessionize" -> { (s, dir) =>
+      val ev = boundedForStreamHarness(events(s, dir), "q77_stream_sessionize", dir)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val rows = ev.select(col("user_id").cast("long").as("user_id"), col("ts"),
+          lit(0).as("conds"))
+        .as[streaming.StreamingBehavioral.SeqEvent]
+        .collect().sortBy(e => (e.ts.getTime, e.user_id))
+      val maxTsMs = rows.iterator.map(_.ts.getTime).foldLeft(0L)(math.max)
+      val name = "graft_q77_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val input = MemoryStream[streaming.StreamingBehavioral.SeqEvent]
+      val q = streaming.StreamingBehavioral
+        .sessionStats(input.toDS().select(col("user_id"), col("ts")),
+          gap = "30 minutes", watermark = "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        for (i <- 1 to 2) {
+          input.addData(streaming.StreamingBehavioral.SeqEvent(-1L,
+            new java.sql.Timestamp(maxTsMs + 200L * 86400 * 1000 + i * 60000), 0))
+          q.processAllAvailable()
+        }
+        val out = s.table(name).filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        out.toDF("user_id", "session_start_us", "session_end_us", "n_events")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    },
+
+    // streaming retention vs the q02 oracle: per-user O(1) OR-mask state in
+    // update mode. The anchor-gated flags are monotone (the mask only
+    // accumulates), so each user's final emission is the per-flag max.
+    "q78_stream_retention" -> { (s, dir) =>
+      val ev = boundedForStreamHarness(events(s, dir), "q78_stream_retention", dir)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val rows = ev.select(col("user_id").cast("long").as("user_id"), col("ts"),
+          (when(to_date(col("ts")) === lit("2024-01-01"), 1).otherwise(0)
+            + when(to_date(col("ts")) === lit("2024-01-02"), 2).otherwise(0)
+            + when(to_date(col("ts")) === lit("2024-01-03"), 4).otherwise(0)).as("conds"))
+        .as[streaming.StreamingBehavioral.RetentionEvent]
+        .collect().sortBy(e => (e.ts.getTime, e.user_id))
+      val name = "graft_q78_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val input = MemoryStream[streaming.StreamingBehavioral.RetentionEvent]
+      val q = streaming.StreamingBehavioral
+        .streamingRetention(input.toDS(), numConds = 3, watermark = "10 minutes",
+          horizonMicros = 3650L * 86400 * 1000000)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val out = s.table(name).groupBy(col("user_id"))
+          .agg(max(element_at(col("flags"), 1)).as("d1"),
+               max(element_at(col("flags"), 2)).as("d2"),
+               max(element_at(col("flags"), 3)).as("d3"))
+          .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+        out.toDF("user_id", "d1", "d2", "d3")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    },
+
+    // streaming window_funnel vs the q03 oracle: per-user packed event
+    // buffer re-scanned per micro-batch, best-step monotone guard — the
+    // final emission is the per-user max. conds=0 events (signup/error)
+    // still flow so every user emits, matching the oracle's DISTINCT-user
+    // completion.
+    "q79_stream_funnel" -> { (s, dir) =>
+      val ev = boundedForStreamHarness(events(s, dir), "q79_stream_funnel", dir)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val rows = ev.select(col("user_id").cast("long").as("user_id"), col("ts"),
+          (when(col("event_type") === "view", 1).otherwise(0)
+            + when(col("event_type") === "click", 2).otherwise(0)
+            + when(col("event_type") === "purchase", 4).otherwise(0)).as("conds"))
+        .as[streaming.StreamingBehavioral.FunnelEvent]
+        .collect().sortBy(e => (e.ts.getTime, e.user_id))
+      val name = "graft_q79_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val input = MemoryStream[streaming.StreamingBehavioral.FunnelEvent]
+      val q = streaming.StreamingBehavioral
+        .streamingFunnel(input.toDS(), windowMicros = HourUs, numConds = 3,
+          watermark = "10 minutes")
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val out = s.table(name).groupBy(col("user_id"))
+          .agg(max(col("steps")).as("steps"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        out.toDF("user_id", "steps")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    },
+
     // ---- LLM pipeline: Bloom-prefiltered decontamination ------------------
     // same question and SAME ORACLE as q51: the Bloom filter over
     // xxhash64(gram) prunes the corpus gram stream (codegen'd might_contain,
@@ -2204,6 +2326,59 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN a ON a.user_id = u.user_id
         |LEFT JOIN o ON o.user_id = u.user_id AND o.ts = a.t0""".stripMargin,
+
+    // q01's lag/sum session labeling aggregated to sessions: same gap
+    // convention as the session store (diff > gap starts a new session —
+    // session_window merges at == gap, probed in round 10), session end =
+    // last event + gap, matching session_window.end
+    "q77_stream_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |lab AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l)
+        |SELECT user_id,
+        |  min(epoch_us(ts)) AS session_start_us,
+        |  max(epoch_us(ts)) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events
+        |FROM lab GROUP BY user_id, sid""".stripMargin,
+
+    // same oracle as q02 — the streaming execution path (O(1) OR-mask
+    // state, two micro-batches, update-mode re-emission) must land on the
+    // identical anchor-gated flags
+    "q78_stream_retention" ->
+      """SELECT user_id,
+        |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false) AS d1,
+        |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false)
+        |    AND coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-02'), false) AS d2,
+        |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false)
+        |    AND coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-03'), false) AS d3
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // same oracle as q03 — the streaming funnel's per-batch re-scan with
+    // the monotone best-step guard must reach exactly the batch depth
+    "q79_stream_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |c2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type = 'click'
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(x.t) AS t3
+        |       FROM c2 LEFT JOIN e x
+        |         ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+        |        AND c2.t2 IS NOT NULL AND x.t > c2.t2 AND x.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM c3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
 
     // q53's brute-force batch oracle over the DEQUANTIZED corpus: the
     // int8 codes and scale are recomputed with q67's arithmetic, then

@@ -20,6 +20,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingBehavioral {
 
+  /** Arm a state-expiry event-time timeout, clamped above the current
+    * watermark: `setTimeoutTimestamp` throws if handed a timestamp the
+    * watermark has already passed, which a straight `maxTs + horizon` can
+    * produce for a user whose (late, or all-filtered) batch left `maxTs`
+    * behind the watermark — the state then expires at the next watermark
+    * advance instead of crashing the query. */
+  private def armExpiry(state: GroupState[_], tsMs: Long): Unit =
+    state.setTimeoutTimestamp(math.max(tsMs, state.getCurrentWatermarkMs() + 1))
+
   /** Gap-based streaming session stats, one row per closed (or updated)
     * session: (user_id, session start/end, n_events).
     *
@@ -204,11 +213,16 @@ object StreamingBehavioral {
             }
             var n = 0
             batch.foreach { e =>
-              if (e.ts != null && e.conds != 0) {
+              if (e.ts != null) {
                 val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
-                buf.append(us, e.conds)
+                // maxTs tracks EVERY event (like streamingRetention): a user
+                // whose first batch is all conds=0 noise must still arm a
+                // valid expiry timestamp, not Long.MinValue + window
                 if (us > maxTsUs) maxTsUs = us
-                n += 1
+                if (e.conds != 0) {
+                  buf.append(us, e.conds)
+                  n += 1
+                }
               }
             }
             // prune events that can no longer join any future chain: an event
@@ -231,7 +245,7 @@ object StreamingBehavioral {
               java.util.Arrays.copyOf(kept.ts, kept.n),
               java.util.Arrays.copyOf(kept.conds, kept.n), maxTsUs, steps))
             // expire once nothing can change: watermark > maxTs + window
-            state.setTimeoutTimestamp((maxTsUs + windowMicros) / 1000 + 1)
+            armExpiry(state, (maxTsUs + windowMicros) / 1000 + 1)
             Iterator.single(FunnelUpdate(userId, steps, kept.n))
           }
       }
@@ -289,7 +303,7 @@ object StreamingBehavioral {
               }
             }
             state.update(RetentionState(mask, maxTsUs))
-            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            armExpiry(state, (maxTsUs + horizonMicros) / 1000 + 1)
             // anchor gating at emission, same as the batch finalize:
             // flag 0 = anchor bit; flag i = anchor AND bit i
             val anchor = (mask & 1) != 0
@@ -403,7 +417,7 @@ object StreamingBehavioral {
               state.update(SeqMatchState(Array.emptyLongArray,
                 Array.emptyIntArray, maxTsUs, matched = true))
             }
-            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            armExpiry(state, (maxTsUs + horizonMicros) / 1000 + 1)
             val nBuf = state.get.ts.length
             Iterator.single(SeqMatchUpdate(userId, matched, nBuf))
           }
@@ -508,7 +522,7 @@ object StreamingBehavioral {
               i += 1
             }
             state.update(SeqCountState(count, restTs, restConds, maxTsUs))
-            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            armExpiry(state, (maxTsUs + horizonMicros) / 1000 + 1)
             Iterator.single(SeqCountUpdate(userId, count, restN))
           }
       }
@@ -605,7 +619,7 @@ object StreamingBehavioral {
               state.update(SeqMatchEventsState(Array.emptyLongArray,
                 Array.emptyIntArray, maxTsUs, matched = true, matchedTs))
             }
-            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            armExpiry(state, (maxTsUs + horizonMicros) / 1000 + 1)
             val nBuf = state.get.ts.length
             Iterator.single(SeqMatchEventsUpdate(userId, matched, matchedTs, nBuf))
           }
@@ -728,7 +742,7 @@ object StreamingBehavioral {
               i += 1
             }
             state.update(NextNodeState(ts2, fl2, vs2, maxTsUs))
-            state.setTimeoutTimestamp((maxTsUs + horizonMicros) / 1000 + 1)
+            armExpiry(state, (maxTsUs + horizonMicros) / 1000 + 1)
             Iterator.single(NextNodeUpdate(userId, answer, kept.n))
           }
       }
