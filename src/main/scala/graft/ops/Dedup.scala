@@ -559,7 +559,18 @@ object Dedup {
     * two-stage verification. */
   def minhashLshJoinAgainst(newDocs: DataFrame, index: DataFrame,
       threshold: Double, k: Int = 3, numHashes: Int = 96, bands: Int = 24,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashLshJoinAgainstTracked(newDocs, index, threshold, k, numHashes,
+      bands, idCol, textCol)._1
+
+  /** `minhashLshJoinAgainst` that also returns the persisted batch-side
+    * sketch, so a bounded-lifetime caller (one streaming micro-batch) can
+    * `OpCaches.release` it as soon as the result is consumed instead of
+    * leaking one cached frame per batch into the session-level registry. */
+  private[graft] def minhashLshJoinAgainstTracked(newDocs: DataFrame,
+      index: DataFrame, threshold: Double, k: Int = 3, numHashes: Int = 96,
+      bands: Int = 24, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val newIdx = materialize(minhashIndex(newDocs, k, numHashes, bands, idCol, textCol))
     def banded(df: DataFrame) = df
@@ -572,8 +583,9 @@ object Dedup {
         col("x.id") =!= col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyPairsExactTwoSided(newIdx, index, cands, threshold)
-      .withColumnsRenamed(Map("doc_a" -> "new_id", "doc_b" -> "idx_id"))
+    (verifyPairsExactTwoSided(newIdx, index, cands, threshold)
+      .withColumnsRenamed(Map("doc_a" -> "new_id", "doc_b" -> "idx_id")),
+      newIdx)
   }
 
   /** Connected components over a near-duplicate pair list: assigns every

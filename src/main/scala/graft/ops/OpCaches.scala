@@ -14,6 +14,17 @@ object OpCaches {
 
   private[graft] def track(df: DataFrame): DataFrame = { tracked.add(df); df }
 
+  /** Unpersist ONE tracked frame now and drop it from the registry — for
+    * callers with a bounded lifetime (e.g. one streaming micro-batch) that
+    * must release their cache immediately instead of waiting for a session-
+    * level `unpersistAll()`. Without this, a long-running ingest stream
+    * accumulates one persisted sketch (plus one registry ref) per
+    * micro-batch. */
+  private[graft] def release(df: DataFrame): Unit = {
+    tracked.remove(df)
+    df.unpersist(blocking = false)
+  }
+
   /** Memoize an expensive operator result within a session; later calls
     * with the same key reuse the cached frame. Keys must identify the input
     * plan collision-free plus all parameters (see Dedup.jaccardJoin's plan

@@ -777,8 +777,15 @@ object StreamingBehavioral {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(graft.ops.Dedup.minhashLshJoinAgainst(
-          batch.toDF(), index, threshold, k, numHashes, bands, idCol, textCol), batchId)
+        // the probe persists the batch-side sketch (it feeds both candidate
+        // generation and verification within one action); release it as soon
+        // as the sink has consumed the result — a long-running stream must
+        // not accumulate one cached sketch per micro-batch. The result frame
+        // is only valid INSIDE `sink`; a sink that needs it later must copy.
+        val (res, batchSketch) = graft.ops.Dedup.minhashLshJoinAgainstTracked(
+          batch.toDF(), index, threshold, k, numHashes, bands, idCol, textCol)
+        try sink(res, batchId)
+        finally graft.ops.OpCaches.release(batchSketch)
       }
       .start()
 }

@@ -18,6 +18,10 @@ class StreamingIngestSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
     val newBatch = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // suites run sequentially in the forked test JVM (fork := true without
+    // testForkedParallel), so the persistent-RDD count is stable across this
+    // test and the delta isolates what THIS test persists
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val idx = graft.ops.OpCaches.track(graft.ops.Dedup.minhashIndex(
       docs.filter(col("doc_id") % 10 =!= 0)).persist())
 
@@ -35,6 +39,14 @@ class StreamingIngestSpec extends AnyFunSuite {
         input.addData(b.toSeq); q.processAllAvailable()
       }
     } finally q.stop()
+
+    // no per-batch cache leak (round-9 ADVICE): each micro-batch's probe
+    // persists its batch-side sketch and the wrapper must release it after
+    // the sink returns — with >= 3 batches processed, only the index this
+    // test persisted may remain cached
+    assert(spark.sparkContext.getPersistentRDDs.size - cachedBefore <= 1,
+      "nearDupIngest leaked per-micro-batch persisted sketches: " +
+        s"${spark.sparkContext.getPersistentRDDs.size - cachedBefore} frames cached beyond the index")
 
     val expected = graft.ops.Dedup.minhashLshJoinAgainst(
         docs.filter(col("doc_id") % 10 === 0), idx, threshold = 0.8)
