@@ -256,3 +256,82 @@ case class SimhashMd5Hex(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `bloom_might_contain_broadcast(broadcast bits, hash) -> boolean`.
+  *
+  * Same test as Spark's `BloomFilterMightContain`, but the serialized
+  * filter travels as a BROADCAST VARIABLE instead of a plan literal. The
+  * literal shape is right for small filters (and is what
+  * `Pipeline.decontaminateBloom` uses below its size threshold), but a
+  * large filter embedded as a literal is held on the driver inside the
+  * expression tree, byte-compared during plan canonicalization, and
+  * serialized into every stage's task binary — ~1.2 GB at the 10⁹-gram /
+  * 1% fpp design point. A broadcast ships the bits once per executor over
+  * the torrent protocol and the plan carries only the handle.
+  *
+  * The filter deserializes ONCE PER EXECUTOR JVM: the expression instance
+  * itself is deserialized per task (it rides the task binary's reference
+  * array), so a per-instance lazy val would pay the multi-100MB
+  * `BloomFilter.readFrom` per task — the deserialized filter is instead
+  * cached process-globally by broadcast id. NULL hash → NULL, matching
+  * `BloomFilterMightContain`.
+  */
+object BloomMightContainBroadcast {
+  private val MaxCached = 8
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    Long, org.apache.spark.util.sketch.BloomFilter]()
+
+  private[functions] def filterFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): org.apache.spark.util.sketch.BloomFilter = {
+    // bounded: a session cycling many distinct filters must not pin them
+    // all; dropping the whole map just costs the next probe a re-read
+    if (cache.size > MaxCached) cache.clear()
+    cache.computeIfAbsent(bc.id, _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bc.value)))
+  }
+}
+
+case class BloomMightContainBroadcast(
+    bits: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint hash child, got ${child.dataType.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bloom_might_contain_broadcast"
+
+  @transient private lazy val filter = BloomMightContainBroadcast.filterFor(bits)
+
+  /** The membership probe; public so generated code can call it. */
+  def mightContain(h: Long): Boolean = filter.mightContainLong(h)
+
+  override def eval(input: InternalRow): Any = {
+    val h = child.eval(input)
+    if (h == null) null else mightContain(h.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("bloomBc", this,
+      classOf[BloomMightContainBroadcast].getName)
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |boolean ${ev.value} = false;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $ref.mightContain(${childGen.value});
+         |}
+       """.stripMargin
+    ev.copy(code = resultCode)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -203,7 +203,7 @@ object Pipeline {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
       idCol: String = "doc_id", textCol: String = "text",
       benchTextCol: String = "text", expectedGrams: Long = 4L << 20,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, maxLiteralBytes: Long = 8L << 20): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     // NON-distinct and NOT persisted, deliberately: bloom inserts are
@@ -219,11 +219,24 @@ object Pipeline {
       bloom.writeTo(out)
       out.toByteArray
     }
+    // two shipping shapes for the same probe, both codegen'd in the scan
+    // projection: a small filter rides the plan as a literal (simplest, and
+    // canonicalization/task-binary costs are negligible at ~5 MB); a filter
+    // above `maxLiteralBytes` ships once per executor as a broadcast
+    // variable — a GB-class literal would otherwise live on the driver
+    // inside the expression tree, be byte-compared during plan
+    // canonicalization, and serialize into every stage's task binary
+    // (round-9 ADVICE; the 10⁹-gram design point is ~1.2 GB of bits).
+    val hashExpr = org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+      xxhash64(col("__gram")))
     val mightContain = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(bloomBits)),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-          xxhash64(col("__gram")))))
+      if (bloomBits.length <= maxLiteralBytes)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(bloomBits)),
+          hashExpr)
+      else
+        graft.functions.BloomMightContainBroadcast(
+          corpus.sparkSession.sparkContext.broadcast(bloomBits), hashExpr))
     // corpus grams stream twice (match counting + total counting) — two
     // map-only passes instead of persisting a corpus-sized gram set, the
     // right trade at 100 TB. Total counts shuffle only (id, partial-count)

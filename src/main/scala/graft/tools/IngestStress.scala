@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the INCREMENTAL-ingest claim (ingest cost is O(batch),
+  * never O(corpus)) and for the Bloom-filter shipping paths.
+  *
+  * Part 1 — index growth: a FIXED new batch (sf0.1 documents, doc_id % 10
+  * == 0) is probed against stored indexes built from m× grown corpora
+  * (m = 1, 2, 4; copies token-prefixed so they share no shingles, the
+  * DedupStress growth shape). Each index is written to parquet and read
+  * back — the probe sees exactly what a daily-ingest job sees. If the
+  * probes are O(batch), wall time stays ~flat while the index grows 4×
+  * (modulo the index-side column-pruned scan, which grows linearly but is
+  * a small constant at these sizes).
+  *
+  * Part 2 — Bloom shipping: `decontaminateBloom` at sf0.01 with the same
+  * corpus/bench split as q73, once with the filter as a plan literal and
+  * once as a broadcast variable, at the default ~5 MB sizing and at an
+  * oversized ~114 MB filter (expectedGrams = 1e8) — the measured evidence
+  * for the `maxLiteralBytes` threshold (round-9 VERDICT "What's wrong #2").
+  *
+  * Run: `sbt "runMain graft.tools.IngestStress"`.
+  */
+object IngestStress {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // two runs per probe: the first pays codegen/JIT (these probes are
+    // sub-second, so warmup would dominate a single sample and mask the
+    // flat-vs-m signal); both are reported, read the second
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n2 = f
+      val warm = (System.nanoTime() - t1) / 1e9
+      assert(n == n2, s"$name nondeterministic: $n vs $n2 rows")
+      System.err.println(f"$name%-44s cold $cold%7.2f s / warm $warm%7.2f s  ($n rows)")
+      warm
+    }
+
+    // ---- Part 1: fixed batch vs m-times-grown stored indexes ----
+    val base = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val batch = base.filter(col("doc_id") % 10 === 0).cache()
+    val nBatch = batch.count()
+    System.err.println(s"== fixed batch: $nBatch docs ==")
+
+    // copy 0 keeps the ORIGINAL text so the fixture's real near-dup pairs
+    // between batch docs and index docs survive (the probes must do real
+    // verification work, not just generate zero candidates); copies >= 1
+    // are token-prefixed so growth adds index mass without adding matches
+    def corpus(m: Int) = (0 until m).map { i =>
+      base.filter(col("doc_id") % 10 =!= 0)
+        .select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          (if (i == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", s"c$i$$1")).as("text"))
+    }.reduce(_.union(_))
+
+    val tmp = java.nio.file.Files.createTempDirectory("ingest_stress").toString
+    for (m <- Seq(1, 2, 4)) {
+      val c = corpus(m)
+      graft.ops.Dedup.minhashIndex(c).write.mode("overwrite")
+        .parquet(s"$tmp/minhash_$m")
+      graft.ops.Dedup.simhashIndexMd5(c).write.mode("overwrite")
+        .parquet(s"$tmp/simhash_$m")
+      graft.ops.Dedup.exactDigestIndex(c).write.mode("overwrite")
+        .parquet(s"$tmp/exact_$m")
+      val nIdx = spark.read.parquet(s"$tmp/minhash_$m").count()
+      System.err.println(s"== m=$m (stored index: $nIdx docs) ==")
+      t(s"minhashLshJoinAgainst      m=$m") {
+        val n = graft.ops.Dedup.minhashLshJoinAgainst(
+          batch, spark.read.parquet(s"$tmp/minhash_$m"), threshold = 0.8).count()
+        graft.ops.OpCaches.unpersistAll(); n
+      }
+      t(s"simhashPairsAgainstMd5     m=$m") {
+        graft.ops.Dedup.simhashPairsAgainstMd5(
+          batch, spark.read.parquet(s"$tmp/simhash_$m")).count()
+      }
+      t(s"exactDupAgainst            m=$m") {
+        graft.ops.Dedup.exactDupAgainst(
+          batch, spark.read.parquet(s"$tmp/exact_$m")).count()
+      }
+    }
+
+    // ---- Part 2: Bloom filter shipping paths ----
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.load(spark, sf01, "documents")
+    val (corpus01, bench01) =
+      (docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0))
+    System.err.println("== bloom shipping (decontaminateBloom, sf0.01, n=13) ==")
+    for ((label, grams, maxLit) <- Seq(
+        ("default ~5MB literal", 4L << 20, Long.MaxValue),
+        ("default ~5MB broadcast", 4L << 20, 0L),
+        ("oversized ~114MB literal", 100000000L, Long.MaxValue),
+        ("oversized ~114MB broadcast", 100000000L, 0L))) {
+      t(label) {
+        graft.ops.Pipeline.decontaminateBloom(corpus01, bench01,
+          expectedGrams = grams, maxLiteralBytes = maxLit).count()
+      }
+    }
+    spark.stop()
+  }
+}

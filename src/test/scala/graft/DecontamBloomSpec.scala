@@ -39,6 +39,21 @@ class DecontamBloomSpec extends AnyFunSuite {
     graft.ops.OpCaches.unpersistAll()
   }
 
+  test("broadcast-variable shipping path (maxLiteralBytes = 0) is bit-identical to the literal path") {
+    val (corpus, bench) = split()
+    val exact = asMap(graft.ops.Pipeline.decontaminate(corpus, bench, n = 5))
+    // force every filter size over the threshold: the serialized bloom
+    // ships as a Broadcast[Array[Byte]] probed by BloomMightContainBroadcast
+    val bc = asMap(graft.ops.Pipeline.decontaminateBloom(corpus, bench, n = 5,
+      maxLiteralBytes = 0))
+    assert(bc === exact)
+    val plan = graft.ops.Pipeline.decontaminateBloom(corpus, bench, n = 5,
+      maxLiteralBytes = 0).queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_broadcast"), plan)
+    assert(!plan.contains("might_contain("), plan)
+    graft.ops.OpCaches.unpersistAll()
+  }
+
   test("probe stream is pruned inside the scan projection (might_contain filter, no gram broadcast of the corpus)") {
     val (corpus, bench) = split()
     val plan = graft.ops.Pipeline.decontaminateBloom(corpus, bench, n = 5)
