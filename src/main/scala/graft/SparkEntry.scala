@@ -113,6 +113,21 @@ object SparkEntry {
     ev
   }
 
+  /** Final-emission selector for the q72 next-node stream: the per-user
+    * buffer only grows under the wide harness horizon, so the final
+    * update-mode emission is the one with the largest `n_buffered` —
+    * strictly larger whenever a later batch added an event for the user,
+    * single emission otherwise. Extracted (and unit-pinned with a
+    * synthetic straddle in StreamingContractSpec) because whether the
+    * FIXTURE ever splits a user's signup from its successor across the
+    * two-batch feed is data luck — a wrong selector must fail a test
+    * either way. */
+  private[graft] def lastNextNodeEmission(tbl: DataFrame): DataFrame =
+    tbl.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("n_buffered").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("next_node"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- 2.1 sessionize ------------------------------------------------
@@ -928,15 +943,7 @@ object SparkEntry {
         rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
           input.addData(b); q.processAllAvailable()
         }
-        // the buffer only grows (wide horizon), so a user's final emission
-        // is the one with the largest n_buffered — strictly larger when any
-        // batch-2 event arrived, single emission otherwise
-        val out = s.table(name)
-          .withColumn("__rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-              .orderBy(col("n_buffered").desc)))
-          .filter(col("__rn") === 1)
-          .select(col("user_id"), col("next_node"))
+        val out = lastNextNodeEmission(s.table(name))
           .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
         out.toDF("user_id", "next_node")
       } finally {
