@@ -128,6 +128,24 @@ object SparkEntry {
       .filter(col("__rn") === 1)
       .select(col("user_id"), col("next_node"))
 
+  /** Final-emission selectors for the q78/q79 update-mode streams: both
+    * emit MONOTONE per-user values (the retention mask only accumulates;
+    * the funnel's best-step guard never lowers a reached depth), so the
+    * final emission is the per-user max. Extracted and unit-pinned with
+    * synthetic straddles (StreamingContractSpec) for the same reason as
+    * `lastNextNodeEmission`: at the fixture's time span the two-batch
+    * midpoint split never splits the Jan 1-3 retention window or an
+    * active 1h funnel, so an end-to-end differential alone cannot tell
+    * max from min. */
+  private[graft] def finalRetentionFlags(tbl: DataFrame): DataFrame =
+    tbl.groupBy(col("user_id"))
+      .agg(max(element_at(col("flags"), 1)).as("d1"),
+           max(element_at(col("flags"), 2)).as("d2"),
+           max(element_at(col("flags"), 3)).as("d3"))
+
+  private[graft] def finalFunnelSteps(tbl: DataFrame): DataFrame =
+    tbl.groupBy(col("user_id")).agg(max(col("steps")).as("steps"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- 2.1 sessionize ------------------------------------------------
@@ -1025,10 +1043,7 @@ object SparkEntry {
         rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
           input.addData(b); q.processAllAvailable()
         }
-        val out = s.table(name).groupBy(col("user_id"))
-          .agg(max(element_at(col("flags"), 1)).as("d1"),
-               max(element_at(col("flags"), 2)).as("d2"),
-               max(element_at(col("flags"), 3)).as("d3"))
+        val out = finalRetentionFlags(s.table(name))
           .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toSeq
         out.toDF("user_id", "d1", "d2", "d3")
       } finally {
@@ -1064,8 +1079,7 @@ object SparkEntry {
         rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
           input.addData(b); q.processAllAvailable()
         }
-        val out = s.table(name).groupBy(col("user_id"))
-          .agg(max(col("steps")).as("steps"))
+        val out = finalFunnelSteps(s.table(name))
           .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
         out.toDF("user_id", "steps")
       } finally {

@@ -119,6 +119,28 @@ class StreamingContractSpec extends AnyFunSuite {
     assert(got === Map(1L -> Some("click"), 2L -> Some("view")))
   }
 
+  test("q78 selector picks the accumulated flags, not an early emission (synthetic straddle)") {
+    import spark.implicits._
+    // user 1's day-2 event arrived in a later batch: first emission
+    // (true,false,false), final (true,true,false) — the selector must OR
+    // across emissions (per-flag max), not read the first
+    val emissions = Seq(
+      (1L, Seq(true, false, false)),
+      (1L, Seq(true, true, false)),
+      (2L, Seq(false, false, false))).toDF("user_id", "flags")
+    val got = SparkEntry.finalRetentionFlags(emissions)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got === Map(1L -> ((true, true, false)), 2L -> ((false, false, false))))
+  }
+
+  test("q79 selector picks the deepest step, not an early emission (synthetic straddle)") {
+    import spark.implicits._
+    val emissions = Seq((1L, 1), (1L, 3), (2L, 0)).toDF("user_id", "steps")
+    val got = SparkEntry.finalFunnelSteps(emissions)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 0))
+  }
+
   test("streaming funnel survives a first micro-batch of conds=0 noise (expiry clamp)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
