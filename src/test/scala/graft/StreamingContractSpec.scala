@@ -173,4 +173,41 @@ class StreamingContractSpec extends AnyFunSuite {
       spark.catalog.dropTempView(name)
     }
   }
+
+  test("streaming funnel drops a late event behind the watermark before the state function") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val name = "graft_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val input = MemoryStream[streaming.StreamingBehavioral.FunnelEvent]
+    val q = streaming.StreamingBehavioral
+      .streamingFunnel(input.toDS(), windowMicros = 3600L * 1000000, numConds = 2,
+        watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      // batch 1 advances the watermark to 01:50
+      input.addData(streaming.StreamingBehavioral.FunnelEvent(8L,
+        ts("2024-01-01T02:00:00Z"), 1))
+      q.processAllAvailable()
+      // batch 2: an event at 00:05, behind the 01:50 watermark. Observed
+      // (and pinned here): Spark PRE-FILTERS late input rows for
+      // flatMapGroupsWithState under event-time timeout, so the row is
+      // dropped silently — it neither crashes the query nor creates state
+      // for user 9. This is why the armExpiry watermark clamp is
+      // defensive-only on this path: every row that reaches the state
+      // function has ts >= watermark, so maxTs + horizon > watermark.
+      input.addData(streaming.StreamingBehavioral.FunnelEvent(9L,
+        ts("2024-01-01T00:05:00Z"), 1))
+      q.processAllAvailable()
+      val steps = spark.table(name).groupBy(col("user_id"))
+        .agg(max(col("steps")).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(steps === Map(8L -> 1))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
 }
