@@ -132,7 +132,12 @@ object Bench {
     def num2(v: Double): String = if (v.isNaN) "-1" else f"$v%.2f"
     val cQs = results.map { case (k, v, _, _, _) => "\"" + short(k) + "\":" + num2(v) }
       .mkString("{", ",", "}")
-    val cSpread = results.map { case (k, _, mn, mx, _) =>
+    // spread only for the OUTLIERS (max/min > 1.5, or errored): a spread
+    // <= 1.5 means max ~ min ~ the reported sec, and omitting those keeps
+    // the compact line inside the driver's 2000-char tail even as the
+    // query count grows — the whole point of this line
+    val cSpread = results.collect { case (k, _, mn, mx, _)
+        if mn.isNaN || mx.isNaN || mn <= 0 || mx / mn > 1.5 =>
       val r = if (mn.isNaN || mx.isNaN || mn <= 0) -1.0 else mx / mn
       "\"" + short(k) + "\":" + (if (r < 0) "-1" else f"$r%.1f")
     }.mkString("{", ",", "}")

@@ -1088,6 +1088,121 @@ object SparkEntry {
       }
     },
 
+    // streaming sequence_match vs the q04 oracle (wildcard pattern
+    // "(?1).*(?2)" view->purchase): per-user packed buffer + the batch
+    // pattern engine per micro-batch, with a match LATCH that drops the
+    // buffer (O(1) state once matched). matched is monotone -> max.
+    "q80_stream_seq_match" -> { (s, dir) =>
+      val ev = boundedForStreamHarness(events(s, dir), "q80_stream_seq_match", dir)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val rows = ev.select(col("user_id").cast("long").as("user_id"), col("ts"),
+          (when(col("event_type") === "view", 1).otherwise(0)
+            + when(col("event_type") === "purchase", 2).otherwise(0)).as("conds"))
+        .as[streaming.StreamingBehavioral.SeqEvent]
+        .collect().sortBy(e => (e.ts.getTime, e.user_id))
+      val name = "graft_q80_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val input = MemoryStream[streaming.StreamingBehavioral.SeqEvent]
+      val q = streaming.StreamingBehavioral
+        .streamingSequenceMatch(input.toDS(), "(?1).*(?2)",
+          watermark = "10 minutes", horizonMicros = 3650L * 86400 * 1000000)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val out = s.table(name).groupBy(col("user_id"))
+          .agg(max(col("matched")).as("matched"))
+          .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+        out.toDF("user_id", "matched")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    },
+
+    // streaming sequence_match_events vs the q07 oracle (adjacency
+    // "(?1)(?2)" view->click): the latch captures the first match's (?N)
+    // step timestamps; with a time-ordered feed the latched match IS the
+    // batch first match. matched_ts is null-until-latched then constant,
+    // so max over the guarded elements selects the final emission.
+    "q81_stream_seq_match_events" -> { (s, dir) =>
+      val ev = boundedForStreamHarness(events(s, dir), "q81_stream_seq_match_events", dir)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val rows = ev.select(col("user_id").cast("long").as("user_id"), col("ts"),
+          (when(col("event_type") === "view", 1).otherwise(0)
+            + when(col("event_type") === "click", 2).otherwise(0)).as("conds"))
+        .as[streaming.StreamingBehavioral.SeqEvent]
+        .collect().sortBy(e => (e.ts.getTime, e.user_id))
+      val name = "graft_q81_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val input = MemoryStream[streaming.StreamingBehavioral.SeqEvent]
+      val q = streaming.StreamingBehavioral
+        .streamingSequenceMatchEvents(input.toDS(), "(?1)(?2)",
+          watermark = "10 minutes", horizonMicros = 3650L * 86400 * 1000000)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val out = s.table(name).groupBy(col("user_id"))
+          .agg(max(when(col("matched"), try_element_at(col("matched_ts"), lit(1)))).as("ev1_us"),
+               max(when(col("matched"), try_element_at(col("matched_ts"), lit(2)))).as("ev2_us"))
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+            if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))).toSeq
+        out.toDF("user_id", "ev1_us", "ev2_us")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    },
+
+    // streaming exact dedup over the documents table: the operator's
+    // dropDuplicatesWithinWatermark state must keep EXACTLY the first
+    // occurrence of each text digest across the two micro-batches — the
+    // output counts emissions per digest, so a leaked cross-batch (or
+    // in-batch) duplicate hash-mismatches as n_emitted = 2. Event time is
+    // synthesized deterministically from doc_id (the documents table has
+    // no timestamp; which COPY survives is the operator's arbitrary choice
+    // within a batch, so the contract row pins digest-level exactly-once,
+    // and StreamingSpec pins first-wins ordering on crafted feeds).
+    "q82_stream_exact_dedup" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val docs = Tables.load(s, dir, "documents")
+      val rows = docs.select(col("doc_id").cast("long"), col("text"),
+          timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")).as("ts"))
+        .as[(Long, String, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      require(rows.length <= MaxStreamHarnessRows,
+        s"q82_stream_exact_dedup feed of ${rows.length} docs exceeds the harness bound")
+      val name = "graft_q82_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = streaming.StreamingBehavioral
+        .streamingExactDedup(input.toDF().toDF("doc_id", "text", "ts"),
+          watermark = "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val out = s.table(name).groupBy(sha2(col("text"), 256).as("text_hash"))
+          .agg(count(lit(1)).as("n_emitted"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        out.toDF("text_hash", "n_emitted")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+      }
+    },
+
     // ---- LLM pipeline: Bloom-prefiltered decontamination ------------------
     // same question and SAME ORACLE as q51: the Bloom filter over
     // xxhash64(gram) prunes the corpus gram stream (codegen'd might_contain,
@@ -2378,6 +2493,38 @@ object SparkEntry {
         |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false)
         |    AND coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-03'), false) AS d3
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // same oracle as q04 — the streaming pattern engine's latch across two
+    // micro-batches must land on the batch wildcard-match answer
+    "q80_stream_seq_match" ->
+      """SELECT user_id,
+        |  (min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) IS NOT NULL
+        |   AND max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) IS NOT NULL
+        |   AND min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |     < max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS matched
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // same oracle as q07 — the latched (?N) step timestamps must be the
+    // batch FIRST match's
+    "q81_stream_seq_match_events" ->
+      """WITH f AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |l AS (SELECT user_id, t, event_type,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY t) AS ne FROM f),
+        |mm AS (SELECT user_id, t AS ev1, nt AS ev2,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+        |       FROM l WHERE event_type = 'view' AND ne = 'click')
+        |SELECT u.user_id, mm.ev1 AS ev1_us, mm.ev2 AS ev2_us
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN mm ON u.user_id = mm.user_id AND mm.rn = 1""".stripMargin,
+
+    // digest-level exactly-once: one emission per distinct text across the
+    // whole stream (a leaked duplicate shows up as n_emitted = 2, a lost
+    // text as a missing row)
+    "q82_stream_exact_dedup" ->
+      """SELECT sha256(text) AS text_hash, CAST(1 AS BIGINT) AS n_emitted
+        |FROM (SELECT DISTINCT text FROM documents)""".stripMargin,
 
     // same oracle as q03 — the streaming funnel's per-batch re-scan with
     // the monotone best-step guard must reach exactly the batch depth
