@@ -1203,6 +1203,59 @@ object SparkEntry {
       }
     },
 
+    // streaming SimHash near-dup screen vs the md5 simhash DuckDB oracle:
+    // a doc is near-dup iff an EARLIER doc (synthetic event time = doc_id
+    // order, so "earlier" is deterministic) sits within Hamming <= 3 —
+    // banded bucket state + per-doc OR of the 4 band votes, flushed by the
+    // watermark like q77. The md5 fingerprint variant is used so DuckDB
+    // can recompute the exact fingerprints; the xxh64 production kernel
+    // shares every other code path (band split, state, votes) and is
+    // differential-tested in StreamingSpec.
+    "q83_stream_simhash_dedup" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val docs = Tables.load(s, dir, "documents")
+      val rows = docs.select(col("doc_id").cast("long"), col("text"),
+          timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")).as("ts"))
+        .as[(Long, String, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      require(rows.length <= MaxStreamHarnessRows,
+        s"q83_stream_simhash_dedup feed of ${rows.length} docs exceeds the harness bound")
+      val maxTsMs = rows.iterator.map(_._3.getTime).foldLeft(0L)(math.max)
+      val prev = s.conf.getOption("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+      val name = "graft_q83_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = streaming.StreamingBehavioral
+        .streamingSimhashDedup(input.toDF().toDF("doc_id", "text", "ts"),
+          maxDist = 3, watermark = "10 minutes",
+          fingerprint = streaming.StreamingBehavioral.simhashMd5Fingerprint)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        for (i <- 1 to 2) {
+          input.addData((-1L, "sentinel flush doc",
+            new java.sql.Timestamp(maxTsMs + 200L * 86400 * 1000 + i * 60000)))
+          q.processAllAvailable()
+        }
+        val out = s.table(name).filter(col("doc_id") >= 0)
+          .select(col("doc_id"), col("is_near_dup"))
+          .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+        out.toDF("doc_id", "is_near_dup")
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(name)
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", v)
+          case None => s.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+        }
+      }
+    },
+
     // ---- LLM pipeline: Bloom-prefiltered decontamination ------------------
     // same question and SAME ORACLE as q51: the Bloom filter over
     // xxhash64(gram) prunes the corpus gram stream (codegen'd might_contain,
@@ -2525,6 +2578,23 @@ object SparkEntry {
     "q82_stream_exact_dedup" ->
       """SELECT sha256(text) AS text_hash, CAST(1 AS BIGINT) AS n_emitted
         |FROM (SELECT DISTINCT text FROM documents)""".stripMargin,
+
+    // seen-based suppression over the md5 simhash fingerprints: near-dup
+    // iff an earlier-id doc sits within Hamming <= 3 (the q41 Hamming
+    // computation, directed by doc_id order = the synthetic event-time
+    // order the harness feeds)
+    "q83_stream_simhash_dedup" -> {
+      val ham = (1 to 16).map(j =>
+        s"bit_count(xor(strpos('0123456789abcdef', substr(a.simhash_hex, $j, 1)) - 1, " +
+          s"strpos('0123456789abcdef', substr(b.simhash_hex, $j, 1)) - 1))")
+        .mkString(" + ")
+      s"""WITH fp AS ($simhashMd5OracleSql),
+         |d AS (SELECT DISTINCT b.doc_id AS id
+         |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |      WHERE $ham <= 3)
+         |SELECT fp.doc_id, d.id IS NOT NULL AS is_near_dup
+         |FROM fp LEFT JOIN d ON fp.doc_id = d.id""".stripMargin
+    },
 
     // same oracle as q03 — the streaming funnel's per-batch re-scan with
     // the monotone best-step guard must reach exactly the batch depth

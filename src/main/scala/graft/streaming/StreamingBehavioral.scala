@@ -98,19 +98,40 @@ object StreamingBehavioral {
     * late-row hazard. Documents arriving behind the watermark are
     * dropped (the standard streaming-lateness contract).
     */
+  /** Default per-row fingerprint for `streamingSimhashDedup`: `simhash64`
+    * (xxhash64 token votes) over whitespace tokens — the production kernel. */
+  def simhash64Fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Simhash64(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          graft.ops.TextAnalysis.tokensWs(text))))
+
+  /** Oracle-mirrorable md5 fingerprint packed to the same 64-bit layout
+    * (4×16-bit bands), the streaming twin of `Dedup.simhashIndexMd5`'s
+    * conversion — lets the streaming near-dup screen be gated against the
+    * DuckDB md5 simhash oracle (q83). */
+  def simhashMd5Fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hex = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SimhashMd5Hex(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          graft.ops.TextAnalysis.tokensWs(text))))
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   def streamingSimhashDedup(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+      tsCol: String = "ts", watermark: String = "1 hour",
+      fingerprint: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        simhash64Fingerprint): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist must be in [0,3] for the 4-band pigeonhole guarantee, got $maxDist")
     val spark = docs.sparkSession
     import spark.implicits._
     val fp = docs.select(col(idCol).cast("long").as("doc_id"),
         col(tsCol).as("ts"),
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.functions.Simhash64(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-              graft.ops.TextAnalysis.tokensWs(col(textCol))))).as("simhash"))
+        fingerprint(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
     val banded = fp.select(col("doc_id"), col("ts"), col("simhash"),
         explode(array((0 until 4).map(b =>
