@@ -9,13 +9,32 @@ import org.scalatest.funsuite.AnyFunSuite
   * streaming harness break) still reaches the driver's per-round gate
   * undetected — the round-8 outage pattern: a green unit suite while the
   * product could not run its own contract surface. This suite is the local
-  * pre-commit version of the driver's Verify run. Row counts are not
-  * asserted (tiny-SF results can legitimately be empty); successful
-  * execution is the contract.
+  * pre-commit version of the driver's Verify run. Pair-join and filter
+  * queries can legitimately be (near-)empty at tiny SF, but for queries
+  * whose cardinality is STRUCTURAL — one row per user / per event / per
+  * doc — an accidentally-empty frame is a bug execution-only success
+  * would hide, so those carry a row-count floor.
   */
 class ContractSmokeSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
+
+  // sf0.001: 1,000 events over 15 users; 500 documents. Floors sit well
+  // under the structural counts so a regenerated fixture with fewer rows
+  // does not false-alarm, while an empty/near-empty frame still fails.
+  private val perUser = Seq("q02_retention", "q03_window_funnel",
+    "q04_seq_match_wild", "q05_seq_match_adj", "q06_seq_count",
+    "q07_seq_match_events", "q08_seq_next_node", "q71_stream_seq_count",
+    "q72_stream_next_node", "q78_stream_retention", "q79_stream_funnel",
+    "q80_stream_seq_match", "q81_stream_seq_match_events")
+  private val perDoc = Seq("q12_text_stats", "q21_langid", "q22_quality",
+    "q28_simhash", "q83_stream_simhash_dedup")
+  private val rowFloors: Map[String, Int] =
+    perUser.map(_ -> 10).toMap ++ perDoc.map(_ -> 300).toMap ++ Map(
+      "q01_sessionize" -> 800,        // one row per event
+      "q77_stream_sessionize" -> 300, // >= one session per user, ~gap-bound
+      "q82_stream_exact_dedup" -> 30, // one row per DISTINCT text (~10% of docs)
+      "q09_tpch_q1" -> 1, "q10_join_revenue" -> 1, "q13_lang_stats" -> 1)
 
   test("oracleSql covers exactly the declared query surface") {
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
@@ -25,10 +44,18 @@ class ContractSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }
 
+  test("row floors only name declared queries") {
+    assert(rowFloors.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"stale floor entries: ${rowFloors.keySet -- SparkEntry.queries.keySet}")
+  }
+
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name executes end-to-end at sf0.001") {
       val rows = SparkEntry.queries(name)(spark, sfDir).collect()
       assert(rows != null)
+      val floor = rowFloors.getOrElse(name, 0)
+      assert(rows.length >= floor,
+        s"$name returned ${rows.length} rows, below its structural floor $floor")
       graft.ops.OpCaches.unpersistAll()
     }
   }
