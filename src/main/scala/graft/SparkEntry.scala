@@ -1256,6 +1256,42 @@ object SparkEntry {
       }
     },
 
+    // the streaming ingest screen end-to-end vs the SAME exact-Jaccard
+    // oracle as q74: the new-docs split streams through nearDupIngest in
+    // three micro-batches against the persisted index and the per-batch
+    // sink outputs are unioned — per-batch results are bit-identical to
+    // the batch probe (StreamingIngestSpec), so the union must hash-match
+    // the monolithic q74 answer. This closes the last member of the
+    // streaming family on the oracle gate.
+    "q84_stream_neardup_ingest" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val d = Tables.load(s, dir, "documents")
+      val idx = ops.OpCaches.track(
+        ops.Dedup.minhashIndex(d.filter(col("doc_id") % 10 =!= 0)).persist())
+      val rows = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      require(rows.length <= MaxStreamHarnessRows,
+        s"q84_stream_neardup_ingest feed of ${rows.length} docs exceeds the harness bound")
+      val received = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val input = MemoryStream[(Long, String)]
+      val q = streaming.StreamingBehavioral.nearDupIngest(
+        input.toDF().toDF("doc_id", "text"), idx, threshold = 0.8) { (pairs, _) =>
+        received ++= pairs
+          .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      try {
+        rows.grouped(math.max(rows.length / 3, 1)).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+        received.toSeq.toDF("new_id", "idx_id", "jaccard")
+      } finally q.stop()
+    },
+
     // ---- LLM pipeline: Bloom-prefiltered decontamination ------------------
     // same question and SAME ORACLE as q51: the Bloom filter over
     // xxhash64(gram) prunes the corpus gram stream (codegen'd might_contain,
@@ -1952,6 +1988,21 @@ object SparkEntry {
     // q19 monolithic join share the banding recall bound, so both oracle
     // against exact SQL at threshold 0.8
     "q74_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS new_id, b.doc_id AS idx_id,
+        |  CAST(round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS DOUBLE) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    // q84: the q74 oracle verbatim — streaming delivery across three
+    // micro-batches must not change the incremental probe's answer
+    "q84_stream_neardup_ingest" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,
         |        list_distinct(list_transform(range(1, len(toks) - 1),
