@@ -146,6 +146,14 @@ object SparkEntry {
   private[graft] def finalFunnelSteps(tbl: DataFrame): DataFrame =
     tbl.groupBy(col("user_id")).agg(max(col("steps")).as("steps"))
 
+  /** q80's final-emission selector: `matched` is a LATCH (monotone
+    * false -> true), so the final emission is the per-user max. Same
+    * data-luck rationale as the other selectors — at sf0.001 most users
+    * latch within the first micro-batch, so only the synthetic straddle
+    * test exercises the flip deterministically. */
+  private[graft] def finalMatchedFlag(tbl: DataFrame): DataFrame =
+    tbl.groupBy(col("user_id")).agg(max(col("matched")).as("matched"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- 2.1 sessionize ------------------------------------------------
@@ -1113,8 +1121,7 @@ object SparkEntry {
         rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
           input.addData(b); q.processAllAvailable()
         }
-        val out = s.table(name).groupBy(col("user_id"))
-          .agg(max(col("matched")).as("matched"))
+        val out = finalMatchedFlag(s.table(name))
           .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
         out.toDF("user_id", "matched")
       } finally {

@@ -104,6 +104,82 @@ class StreamingContractSpec extends AnyFunSuite {
     assert(got.values.exists(_ >= 2), "no multi-step funnels — vacuous")
   }
 
+  test("q80 final matched equals the batch sequence_match per user") {
+    val got = run("q80_stream_seq_match").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    graft.behavioral.BehavioralFunctions.register(spark)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val exp = ev.groupBy(col("user_id").cast("long").as("u"))
+      .agg(graft.behavioral.BehavioralFunctions.sequence_match("(?1).*(?2)",
+        col("ts"), col("event_type") === "view",
+        col("event_type") === "purchase").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === exp)
+    assert(got.values.exists(identity), "no matches — vacuous")
+  }
+
+  test("q81 final step timestamps equal the batch sequence_match_events per user") {
+    val got = run("q81_stream_seq_match_events").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    graft.behavioral.BehavioralFunctions.register(spark)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val exp = ev.groupBy(col("user_id").cast("long").as("u"))
+      .agg(graft.behavioral.BehavioralFunctions.sequence_match_events("(?1)(?2)",
+        col("ts"), col("event_type") === "view",
+        col("event_type") === "click").as("r"))
+      .select(col("u"), unix_micros(get(col("r"), lit(0))).as("e1"),
+        unix_micros(get(col("r"), lit(1))).as("e2"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got === exp)
+    assert(got.exists(_._2.isDefined), "no matched step timestamps — vacuous")
+  }
+
+  test("q83 suppression equals the batch earlier-doc Hamming screen") {
+    val got = run("q83_stream_simhash_dedup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // batch equivalent over the same md5 fingerprints: near-dup iff an
+    // EARLIER-id doc (the synthetic event-time order) is within Hamming 3
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val fp = graft.ops.Dedup.simhashIndexMd5(d).cache()
+    val suppressed = fp.as("a").join(fp.as("b"),
+        col("a.id") < col("b.id") &&
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("b.id").as("id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val exp = fp.collect().map(r => r.getLong(0) -> suppressed(r.getLong(0))).toMap
+    fp.unpersist()
+    assert(got === exp)
+    assert(got.values.exists(identity), "no near-dups — vacuous")
+    assert(got.values.exists(!_), "all docs near-dup — vacuous")
+  }
+
+  test("q84 accumulated sink pairs equal the batch incremental probe") {
+    val got = run("q84_stream_neardup_ingest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val exp = graft.ops.Dedup.minhashLshJoinAgainst(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0), threshold = 0.8)
+      .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.ops.OpCaches.unpersistAll()
+    assert(got === exp)
+    assert(got.nonEmpty, "no cross pairs — vacuous")
+  }
+
+  test("q80 selector latches matched across emissions (synthetic straddle)") {
+    import spark.implicits._
+    val emissions = Seq((1L, false), (1L, true), (2L, false))
+      .toDF("user_id", "matched")
+    val got = SparkEntry.finalMatchedFlag(emissions)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
   test("q72 selector picks the LARGEST-buffer emission (synthetic straddle)") {
     import spark.implicits._
     // user 1's signup successor arrived only in a later batch: the first
