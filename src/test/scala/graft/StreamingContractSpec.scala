@@ -161,9 +161,10 @@ class StreamingContractSpec extends AnyFunSuite {
     val got = run("q84_stream_neardup_ingest").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val idx = graft.ops.OpCaches.track(
+      graft.ops.Dedup.minhashIndex(d.filter(col("doc_id") % 10 =!= 0)).persist())
     val exp = graft.ops.Dedup.minhashLshJoinAgainst(
-        d.filter(col("doc_id") % 10 === 0),
-        d.filter(col("doc_id") % 10 =!= 0), threshold = 0.8)
+        d.filter(col("doc_id") % 10 === 0), idx, threshold = 0.8)
       .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     graft.ops.OpCaches.unpersistAll()
