@@ -154,6 +154,25 @@ object SparkEntry {
   private[graft] def finalMatchedFlag(tbl: DataFrame): DataFrame =
     tbl.groupBy(col("user_id")).agg(max(col("matched")).as("matched"))
 
+  /** Wrap a streaming contract row so its query runs with few shuffle
+    * partitions: state-store instances scale with partitions × stateful
+    * operators × micro-batches, and at the harness's tiny per-batch
+    * cardinality that per-store fixed cost dominates wall time (measured:
+    * q83 13 s at 32 partitions → 5 s at 4, identical result). This is the
+    * harness-scale setting of a knob production must size too — partition
+    * streaming state by key cardinality and executor count, not by the
+    * batch session default (SCALE.md, Streaming). Restores the session
+    * value on exit; contract rows execute sequentially in Verify/Bench, so
+    * the temporary session-conf change cannot leak into a concurrent
+    * query. */
+  private def harnessRow(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try fn(s, dir)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- 2.1 sessionize ------------------------------------------------
@@ -915,7 +934,7 @@ object SparkEntry {
     // production path reads a real source); the horizon is set wide so the
     // forgetting contract is not in play — these rows pin EQUALITY with
     // batch semantics, the lateness/horizon contracts are unit-tested.
-    "q71_stream_seq_count" -> { (s, dir) =>
+    "q71_stream_seq_count" -> harnessRow { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q71_stream_seq_count", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -945,7 +964,7 @@ object SparkEntry {
         s.catalog.dropTempView(name)
       }
     },
-    "q72_stream_next_node" -> { (s, dir) =>
+    "q72_stream_next_node" -> harnessRow { (s, dir) =>
       val ev = boundedForStreamHarness(
         assertTieFreePerUserTs(events(s, dir), "q72_stream_next_node", dir),
         "q72_stream_next_node", dir)
@@ -987,7 +1006,7 @@ object SparkEntry {
     // exactly like the batch sessionize's `> gap` new-session rule, so the
     // q01 lag/sum labeling and the session store agree on boundaries, and
     // session_end == last event ts + gap.
-    "q77_stream_sessionize" -> { (s, dir) =>
+    "q77_stream_sessionize" -> harnessRow { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q77_stream_sessionize", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1029,7 +1048,7 @@ object SparkEntry {
     // streaming retention vs the q02 oracle: per-user O(1) OR-mask state in
     // update mode. The anchor-gated flags are monotone (the mask only
     // accumulates), so each user's final emission is the per-flag max.
-    "q78_stream_retention" -> { (s, dir) =>
+    "q78_stream_retention" -> harnessRow { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q78_stream_retention", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1065,7 +1084,7 @@ object SparkEntry {
     // final emission is the per-user max. conds=0 events (signup/error)
     // still flow so every user emits, matching the oracle's DISTINCT-user
     // completion.
-    "q79_stream_funnel" -> { (s, dir) =>
+    "q79_stream_funnel" -> harnessRow { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q79_stream_funnel", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1100,7 +1119,7 @@ object SparkEntry {
     // "(?1).*(?2)" view->purchase): per-user packed buffer + the batch
     // pattern engine per micro-batch, with a match LATCH that drops the
     // buffer (O(1) state once matched). matched is monotone -> max.
-    "q80_stream_seq_match" -> { (s, dir) =>
+    "q80_stream_seq_match" -> harnessRow { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q80_stream_seq_match", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1135,7 +1154,7 @@ object SparkEntry {
     // step timestamps; with a time-ordered feed the latched match IS the
     // batch first match. matched_ts is null-until-latched then constant,
     // so max over the guarded elements selects the final emission.
-    "q81_stream_seq_match_events" -> { (s, dir) =>
+    "q81_stream_seq_match_events" -> harnessRow { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q81_stream_seq_match_events", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1178,7 +1197,7 @@ object SparkEntry {
     // no timestamp; which COPY survives is the operator's arbitrary choice
     // within a batch, so the contract row pins digest-level exactly-once,
     // and StreamingSpec pins first-wins ordering on crafted feeds).
-    "q82_stream_exact_dedup" -> { (s, dir) =>
+    "q82_stream_exact_dedup" -> harnessRow { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = s.sqlContext
@@ -1218,7 +1237,7 @@ object SparkEntry {
     // can recompute the exact fingerprints; the xxh64 production kernel
     // shares every other code path (band split, state, votes) and is
     // differential-tested in StreamingSpec.
-    "q83_stream_simhash_dedup" -> { (s, dir) =>
+    "q83_stream_simhash_dedup" -> harnessRow { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = s.sqlContext
@@ -1270,7 +1289,7 @@ object SparkEntry {
     // the batch probe (StreamingIngestSpec), so the union must hash-match
     // the monolithic q74 answer. This closes the last member of the
     // streaming family on the oracle gate.
-    "q84_stream_neardup_ingest" -> { (s, dir) =>
+    "q84_stream_neardup_ingest" -> harnessRow { (s, dir) =>
       prep(s, dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
