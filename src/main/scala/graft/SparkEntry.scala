@@ -1318,6 +1318,90 @@ object SparkEntry {
       } finally q.stop()
     },
 
+    // ---- multimodal: REAL image codec (JDK javax.imageio), oracle-gated --
+    // One 32x16 PNG is synthesized per doc_id — r = id%256 solid,
+    // g = (id*7)%256 solid, b = (x+id)%256 gradient — then decoded by the
+    // ACTUAL PNG codec and reduced to per-channel means. PNG is lossless
+    // and the means have closed forms in doc_id, so DuckDB can verify the
+    // real decode path bit-for-bit (sums of integers divided by a
+    // power-of-two pixel count are exact doubles).
+    "q85_image_decode" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val images = ids.mapPartitions(_.map(id =>
+        ops.Multimodal.ImageRow(id, ops.Multimodal.encodePng(32, 16) { (x, _) =>
+          (((id % 256).toInt) << 16) | (((id * 7 % 256).toInt) << 8) |
+            ((x + id) % 256).toInt
+        })))
+      ops.Multimodal.decodeImages(images)
+        .select(col("media_id").as("doc_id"), col("ok"),
+          col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    },
+
+    // resize 32x16 -> 8x4 through the real decode -> nearest-neighbor ->
+    // PNG re-encode -> real decode round trip. The NN source map is
+    // sx = x*32/8 = 4x (exact multiples), so the surviving b-gradient
+    // samples have the same closed form shifted to stride 4.
+    "q86_image_resize" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val images = ids.mapPartitions(_.map(id =>
+        ops.Multimodal.ImageRow(id, ops.Multimodal.encodePng(32, 16) { (x, _) =>
+          (((id % 256).toInt) << 16) | (((id * 7 % 256).toInt) << 8) |
+            ((x + id) % 256).toInt
+        })))
+      ops.Multimodal.decodeImages(ops.Multimodal.resizeImages(images, 8, 4))
+        .select(col("media_id").as("doc_id"), col("ok"),
+          col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    },
+
+    // ---- multimodal: REAL audio codec (JDK javax.sound.sampled) ---------
+    // One 64-frame mono PCM16 WAV is synthesized per doc_id — sample i is
+    // ((id*31 + i*17) % 65536) - 32768 — encoded by the ACTUAL WAV writer,
+    // decoded by the ACTUAL WAV reader, and reduced to exact sample means
+    // (sums of integers over a power-of-two frame count). DuckDB recomputes
+    // the means in closed form; equality proves the real codec round trip.
+    "q87_audio_decode" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val audio = ids.mapPartitions(_.map(id =>
+        ops.Multimodal.AudioRow(id, ops.Multimodal.encodeWav(8000,
+          Array.tabulate(64)(i => (((id * 31 + i * 17) % 65536) - 32768).toShort)))))
+      ops.Multimodal.decodeAudio(audio)
+        .select(col("media_id").as("doc_id"), col("ok"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_amp"), 6).as("mean_amp"),
+          round(col("mean_abs"), 6).as("mean_abs"))
+    },
+
+    // stride-2 downsample through the real decode -> every-2nd-frame ->
+    // WAV re-encode at 4000 Hz -> real decode round trip: surviving
+    // samples are s'_i = s_{2i}, same closed form at stride 2.
+    "q88_audio_downsample" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val audio = ids.mapPartitions(_.map(id =>
+        ops.Multimodal.AudioRow(id, ops.Multimodal.encodeWav(8000,
+          Array.tabulate(64)(i => (((id * 31 + i * 17) % 65536) - 32768).toShort)))))
+      ops.Multimodal.decodeAudio(ops.Multimodal.downsampleAudio(audio, 2))
+        .select(col("media_id").as("doc_id"), col("ok"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_amp"), 6).as("mean_amp"),
+          round(col("mean_abs"), 6).as("mean_abs"))
+    },
+
     // ---- LLM pipeline: Bloom-prefiltered decontamination ------------------
     // same question and SAME ORACLE as q51: the Bloom filter over
     // xxhash64(gram) prunes the corpus gram stream (codegen'd might_contain,
@@ -2040,6 +2124,65 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    // q85: closed-form pixel statistics of the synthesized 32x16 PNGs —
+    // r/g are solid so their means are the channel values; b's gradient
+    // mean is avg over x in [0,32) of (x+id)%256, computable by a range
+    // cross join. Equality proves the REAL codec round trip (encode ->
+    // PNG bytes -> decode) is lossless and the channel order is right.
+    "q85_image_decode" ->
+      """WITH xs AS (SELECT unnest(range(0, 32)) AS x),
+        |m AS (SELECT d.doc_id, avg(CAST((xs.x + d.doc_id) % 256 AS DOUBLE)) AS mb
+        |      FROM documents d CROSS JOIN xs GROUP BY d.doc_id)
+        |SELECT m.doc_id, true AS ok,
+        |  CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  round(CAST(m.doc_id % 256 AS DOUBLE), 6) AS mean_r,
+        |  round(CAST((m.doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
+        |  round(mb, 6) AS mean_b
+        |FROM m""".stripMargin,
+
+    // q86: nearest-neighbor 32x16 -> 8x4 keeps b-samples at x' = 4x
+    "q86_image_resize" ->
+      """WITH xs AS (SELECT unnest(range(0, 8)) AS x),
+        |m AS (SELECT d.doc_id, avg(CAST((4 * xs.x + d.doc_id) % 256 AS DOUBLE)) AS mb
+        |      FROM documents d CROSS JOIN xs GROUP BY d.doc_id)
+        |SELECT m.doc_id, true AS ok,
+        |  CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |  round(CAST(m.doc_id % 256 AS DOUBLE), 6) AS mean_r,
+        |  round(CAST((m.doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
+        |  round(mb, 6) AS mean_b
+        |FROM m""".stripMargin,
+
+    // q87: closed-form sample statistics of the synthesized 64-frame mono
+    // PCM16 WAVs — sample i is ((id*31 + i*17) % 65536) - 32768, so the
+    // means are exact (integer sums over 64 frames). Equality proves the
+    // REAL WAV codec round trip (encode -> container bytes -> decode) is
+    // lossless with the right endianness and header fields.
+    "q87_audio_decode" ->
+      """WITH fs AS (SELECT unnest(range(0, 64)) AS i),
+        |m AS (SELECT d.doc_id,
+        |        avg(CAST((d.doc_id * 31 + fs.i * 17) % 65536 - 32768 AS DOUBLE)) AS ma,
+        |        avg(abs(CAST((d.doc_id * 31 + fs.i * 17) % 65536 - 32768 AS DOUBLE))) AS mabs
+        |      FROM documents d CROSS JOIN fs GROUP BY d.doc_id)
+        |SELECT m.doc_id, true AS ok,
+        |  CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+        |  CAST(64 AS BIGINT) AS n_frames, round(CAST(8.0 AS DOUBLE), 6) AS duration_ms,
+        |  round(ma, 6) AS mean_amp, round(mabs, 6) AS mean_abs
+        |FROM m""".stripMargin,
+
+    // q88: every-2nd-frame downsample keeps samples at i' = 2i, re-encoded
+    // at 4000 Hz — 32 frames, unchanged 8 ms duration
+    "q88_audio_downsample" ->
+      """WITH fs AS (SELECT unnest(range(0, 32)) AS i),
+        |m AS (SELECT d.doc_id,
+        |        avg(CAST((d.doc_id * 31 + 2 * fs.i * 17) % 65536 - 32768 AS DOUBLE)) AS ma,
+        |        avg(abs(CAST((d.doc_id * 31 + 2 * fs.i * 17) % 65536 - 32768 AS DOUBLE))) AS mabs
+        |      FROM documents d CROSS JOIN fs GROUP BY d.doc_id)
+        |SELECT m.doc_id, true AS ok,
+        |  CAST(4000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+        |  CAST(32 AS BIGINT) AS n_frames, round(CAST(8.0 AS DOUBLE), 6) AS duration_ms,
+        |  round(ma, 6) AS mean_amp, round(mabs, 6) AS mean_abs
+        |FROM m""".stripMargin,
 
     // q73 is the bloom-prefiltered path to the exact same answer as q51 —
     // one oracle text, two physical strategies under test

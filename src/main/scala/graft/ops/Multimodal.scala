@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batch feature-extraction operators.
   *
-  * The DECODE STEP IS A STUB: real codecs (JPEG/PNG/ffmpeg) are not in this
-  * environment, so `decodeHeader` parses a small deterministic fake header
-  * (magic, width/height or sample-rate, payload) instead. Everything around
-  * it — the schema, the `Dataset[T]` encoders, the mapPartitions batch
-  * shape, the partition-preserving plumbing — is the real thing a cluster
-  * deployment would keep, swapping only the decoder body.
+  * IMAGES AND AUDIO DECODE FOR REAL: `decodeImages` / `resizeImages` /
+  * `encodePng` run actual PNG/JPEG codecs via the JDK's `javax.imageio`,
+  * and `decodeAudio` / `downsampleAudio` / `encodeWav` run actual
+  * WAV/AIFF/AU PCM codecs via the JDK's `javax.sound.sampled` — no
+  * external dependency — oracle-gated (q85-q88) on synthesized media
+  * whose pixel/sample statistics have closed forms. ONLY VIDEO REMAINS A
+  * STUB: the JDK ships no ffmpeg-class video codec, so `sampleFrames`
+  * parses a small deterministic fake header instead; its schema,
+  * `Dataset[T]` encoders, mapPartitions batch shape, and
+  * partition-preserving plumbing are the real thing a cluster deployment
+  * would keep, swapping only the decoder body.
   *
   * Scale shape: feature extraction is a per-partition map (no shuffle);
   * binary payloads never serialize to the driver; metadata-only queries
@@ -130,4 +135,238 @@ object Multimodal {
       .agg(count(lit(1)).as("n"),
         avg(col("width") * col("height")).as("avg_pixels"),
         avg(col("duration_ms")).as("avg_duration_ms"))
+
+  // -------------------------------------------------------------------
+  // REAL image codec path (PNG/JPEG via the JDK's javax.imageio — no
+  // external dependency; round-10 upgrade of the decode stub). Only
+  // video frame decode remains stubbed above: the JDK ships no
+  // ffmpeg-class video codec, so frame sampling keeps the honest fake.
+  // Everything below decodes and re-encodes actual image bytes on
+  // executors.
+  // -------------------------------------------------------------------
+
+  /** One real-image row: opaque encoded bytes (PNG/JPEG/...). */
+  case class ImageRow(media_id: Long, bytes: Array[Byte])
+
+  /** Decoded image facts: `ok=false` rows carry zeros (undecodable bytes
+    * are DATA at corpus scale, not errors — a pipeline must keep flowing
+    * and report them). Channel means are exact doubles: sums of <= 2^53
+    * integer channel values divided by the pixel count. */
+  case class ImageMeta(media_id: Long, ok: Boolean, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** ImageIO keeps a disk-backed stream cache by default — one temp file
+    * per decode call. Per-partition batch decode wants the heap path; this
+    * flips the process-wide switch once per executor JVM. */
+  private lazy val imageIoInit: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Decode one image, or None when the bytes are not a supported format
+    * (ImageIO returns null rather than throwing for unknown magic). */
+  private def decodeOne(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoInit
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+  }
+
+  /** Encode a raster as PNG (lossless — decode(encodePng(f)) reproduces
+    * `f` exactly, the property the oracle rows lean on). `rgb(x, y)` is
+    * the packed 0xRRGGBB pixel. */
+  def encodePng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL batch decode: per-partition map, one ImageIO decode per row,
+    * exact per-channel means off the decoded raster. No shuffle; the
+    * iterator-in/iterator-out shape keeps memory flat however wide the
+    * binary rows are. */
+  def decodeImages(images: Dataset[ImageRow]): Dataset[ImageMeta] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      rows.map { r =>
+        decodeOne(r.bytes) match {
+          case None => ImageMeta(r.media_id, ok = false, 0, 0, 0.0, 0.0, 0.0)
+          case Some(img) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            ImageMeta(r.media_id, ok = true, w, h, sr / n, sg / n, sb / n)
+        }
+      }
+    }
+  }
+
+  /** REAL resize: decode -> nearest-neighbor resample (explicit integer
+    * source mapping `sx = x * srcW / dstW`, deterministic on every JVM —
+    * Graphics2D interpolation is NOT pinned by spec, so the kernel is
+    * hand-rolled) -> lossless PNG re-encode. Undecodable rows pass
+    * through unchanged, like the curation operators treat bad documents. */
+  def resizeImages(images: Dataset[ImageRow], newW: Int, newH: Int): Dataset[ImageRow] = {
+    require(newW > 0 && newH > 0, s"target size must be positive, got ${newW}x$newH")
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      rows.map { r =>
+        decodeOne(r.bytes) match {
+          case None => r
+          case Some(img) =>
+            val bytes = encodePng(newW, newH) { (x, y) =>
+              img.getRGB(x * img.getWidth / newW, y * img.getHeight / newH)
+            }
+            ImageRow(r.media_id, bytes)
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // REAL audio codec path (WAV/PCM via the JDK's javax.sound.sampled —
+  // no external dependency). Same design as images: encode through the
+  // actual codec, decode through the actual codec, oracle-gate on
+  // synthesized signals whose sample statistics have closed forms.
+  // Only VIDEO frame decode remains a stub (no ffmpeg-class codec in
+  // the JDK).
+  // -------------------------------------------------------------------
+
+  /** One real-audio row: opaque encoded bytes (WAV/AIFF/AU/...). */
+  case class AudioRow(media_id: Long, bytes: Array[Byte])
+
+  /** Decoded audio facts. Restricted to what's exact: 16-bit signed PCM
+    * samples are integers, so means over power-of-two frame counts are
+    * exact doubles. `ok=false` rows (unsupported container or non-PCM16
+    * encoding) carry zeros and keep flowing, like undecodable images. */
+  case class AudioMeta(media_id: Long, ok: Boolean, sample_rate: Int,
+      channels: Int, n_frames: Long, duration_ms: Double,
+      mean_amp: Double, mean_abs: Double)
+
+  /** Encode mono 16-bit signed PCM as a WAV container through the REAL
+    * JDK writer (`AudioSystem.write`). Lossless: WAV stores the PCM
+    * frames verbatim, so decode(encodeWav(s)) == s — the property the
+    * oracle rows lean on. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode one audio payload to (format, PCM frames), or None when the
+    * container is unrecognized or the encoding is not 16-bit signed PCM. */
+  private def decodeAudioOne(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Short])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val pcm16 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16
+        if (!pcm16) None
+        else {
+          val raw = in.readAllBytes()
+          val n = raw.length / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          if (fmt.isBigEndian)
+            while (i < n) {
+              samples(i) = (((raw(2 * i) & 0xFF) << 8) | (raw(2 * i + 1) & 0xFF)).toShort
+              i += 1
+            }
+          else
+            while (i < n) {
+              samples(i) = (((raw(2 * i + 1) & 0xFF) << 8) | (raw(2 * i) & 0xFF)).toShort
+              i += 1
+            }
+          Some((fmt, samples))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
+  }
+
+  /** REAL batch decode: per-partition map, one AudioSystem decode per
+    * row, exact sample statistics off the decoded PCM. No shuffle. */
+  def decodeAudio(audio: Dataset[AudioRow]): Dataset[AudioMeta] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudioOne(r.bytes) match {
+          case None => AudioMeta(r.media_id, ok = false, 0, 0, 0L, 0.0, 0.0, 0.0)
+          case Some((fmt, samples)) =>
+            val ch = fmt.getChannels
+            val nFrames = samples.length.toLong / ch
+            var sum = 0L; var sumAbs = 0L
+            var i = 0
+            while (i < samples.length) {
+              sum += samples(i); sumAbs += math.abs(samples(i).toInt); i += 1
+            }
+            val n = math.max(samples.length, 1).toDouble
+            AudioMeta(r.media_id, ok = true, fmt.getSampleRate.toInt, ch,
+              nFrames, nFrames * 1000.0 / fmt.getSampleRate,
+              sum / n, sumAbs / n)
+        }
+      }
+    }
+  }
+
+  /** REAL integer-stride downsample: decode -> take every `stride`-th
+    * frame (deterministic; no interpolation filter, so the output has a
+    * closed form the oracle can verify) -> WAV re-encode at rate/stride.
+    * Undecodable rows pass through unchanged. */
+  def downsampleAudio(audio: Dataset[AudioRow], stride: Int): Dataset[AudioRow] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudioOne(r.bytes) match {
+          case None => r
+          case Some((fmt, samples)) if fmt.getChannels == 1 =>
+            val kept = Array.range(0, samples.length, stride).map(samples)
+            AudioRow(r.media_id,
+              encodeWav(fmt.getSampleRate.toInt / stride, kept))
+          case Some(_) => r // multi-channel passthrough (stride would de-interleave)
+        }
+      }
+    }
+  }
 }

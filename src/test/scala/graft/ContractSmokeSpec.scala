@@ -28,7 +28,9 @@ class ContractSmokeSpec extends AnyFunSuite {
     "q72_stream_next_node", "q78_stream_retention", "q79_stream_funnel",
     "q80_stream_seq_match", "q81_stream_seq_match_events")
   private val perDoc = Seq("q12_text_stats", "q21_langid", "q22_quality",
-    "q28_simhash", "q83_stream_simhash_dedup")
+    "q28_simhash", "q83_stream_simhash_dedup",
+    "q85_image_decode", "q86_image_resize",
+    "q87_audio_decode", "q88_audio_downsample")
   private val rowFloors: Map[String, Int] =
     perUser.map(_ -> 10).toMap ++ perDoc.map(_ -> 300).toMap ++ Map(
       "q01_sessionize" -> 800,        // one row per event
