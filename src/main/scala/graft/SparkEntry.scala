@@ -1402,6 +1402,30 @@ object SparkEntry {
           round(col("mean_abs"), 6).as("mean_abs"))
     },
 
+    // ---- multimodal: REAL video path (MJPEG-AVI, JDK JPEG codec) --------
+    // One 8-frame MJPEG-AVI is synthesized per doc_id — frame i is solid
+    // gray 32*((i+id)%8)+16, JPEG-encoded by the ACTUAL codec, wrapped in
+    // a spec-conformant RIFF/AVI container — then frame-sampled at stride
+    // 2 through the real container walk + JPEG decode. JPEG is lossy, so
+    // the oracle checks floor(mean_gray/32): solid frames decode within
+    // ±2 of the encoded level against a ±15 bucket margin, making the
+    // statistic exact AND sensitive to the actual decoded pixel content.
+    "q89_video_frames" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val videos = ids.mapPartitions(_.map { id =>
+        val frames = (0 until 8).map { i =>
+          val v = 32 * ((i + id) % 8).toInt + 16
+          ops.Multimodal.encodeJpeg(16, 16)((_, _) => (v << 16) | (v << 8) | v)
+        }
+        ops.Multimodal.VideoRow(id, ops.Multimodal.encodeMjpegAvi(16, 16, 10, frames))
+      })
+      ops.Multimodal.sampleVideoFrames(videos, 2)
+        .select(col("media_id").as("doc_id"), col("frame_idx"), col("ok"),
+          col("width"), col("height"), col("level").as("gray_level"))
+    },
+
     // ---- LLM pipeline: Bloom-prefiltered decontamination ------------------
     // same question and SAME ORACLE as q51: the Bloom filter over
     // xxhash64(gram) prunes the corpus gram stream (codegen'd might_contain,
@@ -2183,6 +2207,18 @@ object SparkEntry {
         |  CAST(32 AS BIGINT) AS n_frames, round(CAST(8.0 AS DOUBLE), 6) AS duration_ms,
         |  round(ma, 6) AS mean_amp, round(mabs, 6) AS mean_abs
         |FROM m""".stripMargin,
+
+    // q89: stride-2 sampling of the 8-frame MJPEG-AVI keeps frames
+    // 0,2,4,6; each frame's gray bucket floor(mean/32) has the closed form
+    // (frame_idx + doc_id) % 8 — exact despite JPEG loss (±2 decode noise
+    // against a ±15 bucket margin), and wrong if the container walk, the
+    // frame order, the stride, or the pixel path is wrong.
+    "q89_video_frames" ->
+      """WITH fs AS (SELECT unnest(range(0, 8, 2)) AS i)
+        |SELECT d.doc_id, CAST(fs.i AS INTEGER) AS frame_idx, true AS ok,
+        |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  CAST((fs.i + d.doc_id) % 8 AS INTEGER) AS gray_level
+        |FROM documents d CROSS JOIN fs""".stripMargin,
 
     // q73 is the bloom-prefiltered path to the exact same answer as q51 —
     // one oracle text, two physical strategies under test

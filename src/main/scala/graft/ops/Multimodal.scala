@@ -6,17 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batch feature-extraction operators.
   *
-  * IMAGES AND AUDIO DECODE FOR REAL: `decodeImages` / `resizeImages` /
-  * `encodePng` run actual PNG/JPEG codecs via the JDK's `javax.imageio`,
-  * and `decodeAudio` / `downsampleAudio` / `encodeWav` run actual
-  * WAV/AIFF/AU PCM codecs via the JDK's `javax.sound.sampled` — no
-  * external dependency — oracle-gated (q85-q88) on synthesized media
-  * whose pixel/sample statistics have closed forms. ONLY VIDEO REMAINS A
-  * STUB: the JDK ships no ffmpeg-class video codec, so `sampleFrames`
-  * parses a small deterministic fake header instead; its schema,
-  * `Dataset[T]` encoders, mapPartitions batch shape, and
-  * partition-preserving plumbing are the real thing a cluster deployment
-  * would keep, swapping only the decoder body.
+  * ALL THREE MODALITIES DECODE FOR REAL, using only what the JDK ships:
+  * images via `javax.imageio` PNG/JPEG (`decodeImages` / `resizeImages`
+  * / `encodePng`), audio via `javax.sound.sampled` WAV/AIFF/AU PCM
+  * (`decodeAudio` / `downsampleAudio` / `encodeWav`), and video as
+  * Motion-JPEG in a hand-walked RIFF/AVI container with the real JPEG
+  * codec per frame (`sampleVideoFrames` / `encodeMjpegAvi`). Each path
+  * is oracle-gated (q85-q89) on synthesized media whose pixel/sample
+  * statistics have closed forms (quantized below codec noise where the
+  * codec is lossy). The `demoTable`/`decodeHeader`/`sampleFrames` family
+  * above retains the original deterministic fake-header format as a
+  * synthetic fixture for the metadata-pruning and feature-extraction
+  * queries (q57/q64/q66); non-MJPEG video codecs (H.264 etc.) are the
+  * one thing still out of reach without an ffmpeg-class dependency.
   *
   * Scale shape: feature extraction is a per-partition map (no shuffle);
   * binary payloads never serialize to the driver; metadata-only queries
@@ -365,6 +367,198 @@ object Multimodal {
             AudioRow(r.media_id,
               encodeWav(fmt.getSampleRate.toInt / stride, kept))
           case Some(_) => r // multi-channel passthrough (stride would de-interleave)
+        }
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // REAL video path: Motion-JPEG in an AVI container. The frame codec is
+  // the JDK's actual JPEG codec (javax.imageio); the RIFF/AVI container
+  // walk is hand-rolled to the public AVI 1.0 spec (RIFF 'AVI ' -> LIST
+  // 'movi' -> '00dc'/'00db' chunks, all sizes little-endian, chunks
+  // even-padded) — which is all an MJPEG "decoder" is. JPEG is lossy, so
+  // oracles quantize pixel statistics below the codec's noise floor
+  // (solid frames at 32-step gray levels; floor(mean/32) is exact).
+  // -------------------------------------------------------------------
+
+  /** One real-video row: opaque encoded bytes (MJPEG-AVI). */
+  case class VideoRow(media_id: Long, bytes: Array[Byte])
+
+  /** One decoded frame's facts. `level` = floor(mean gray / 32): a
+    * pixel-content statistic quantized safely above JPEG noise (solid
+    * frames decode within ±2 of the encoded level; the bucket margin is
+    * ±15). `ok=false` rows (bad container / undecodable frame bytes)
+    * carry -1s and keep flowing. */
+  case class VideoFrameMeta(media_id: Long, frame_idx: Int, ok: Boolean,
+      width: Int, height: Int, level: Int)
+
+  private def leInt(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+    b.write((v >> 16) & 0xFF); b.write((v >> 24) & 0xFF)
+  }
+  private def leShort(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+  }
+  private def fourCC(b: java.io.ByteArrayOutputStream, s: String): Unit =
+    b.write(s.getBytes("US-ASCII"))
+
+  /** Encode a JPEG via the REAL JDK codec. */
+  def encodeJpeg(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Write an MJPEG-AVI container around already-encoded JPEG frames:
+    * RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh 'vids'/'MJPG',
+    * strf BITMAPINFOHEADER } }, LIST movi { '00dc' <jpeg> ... } }.
+    * Hand-rolled to the public spec — deterministic on every JVM. */
+  def encodeMjpegAvi(w: Int, h: Int, fps: Int, jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    val n = jpegFrames.length
+    val maxFrame = if (n == 0) 0 else jpegFrames.map(_.length).max
+
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      fourCC(b, id); leInt(b, body.length); b.write(body)
+      if (body.length % 2 == 1) b.write(0) // RIFF chunks are even-padded
+      b.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      fourCC(b, "LIST"); leInt(b, body.length + 4); fourCC(b, kind); b.write(body)
+      b.toByteArray
+    }
+
+    val avih = { // MainAVIHeader: 14 DWORDs
+      val b = new java.io.ByteArrayOutputStream()
+      leInt(b, 1000000 / fps)          // dwMicroSecPerFrame
+      leInt(b, maxFrame * fps)         // dwMaxBytesPerSec
+      leInt(b, 0)                      // dwPaddingGranularity
+      leInt(b, 0)                      // dwFlags (no idx1 chunk, so no AVIF_HASINDEX)
+      leInt(b, n)                      // dwTotalFrames
+      leInt(b, 0)                      // dwInitialFrames
+      leInt(b, 1)                      // dwStreams
+      leInt(b, maxFrame)               // dwSuggestedBufferSize
+      leInt(b, w); leInt(b, h)
+      leInt(b, 0); leInt(b, 0); leInt(b, 0); leInt(b, 0) // dwReserved
+      b.toByteArray
+    }
+    val strh = { // AVIStreamHeader: fccType/handler + 12 DWORDs + rcFrame
+      val b = new java.io.ByteArrayOutputStream()
+      fourCC(b, "vids"); fourCC(b, "MJPG")
+      leInt(b, 0); leShort(b, 0); leShort(b, 0) // flags, priority, language
+      leInt(b, 0)                      // dwInitialFrames
+      leInt(b, 1); leInt(b, fps)       // dwScale / dwRate => fps
+      leInt(b, 0); leInt(b, n)         // dwStart, dwLength (frames)
+      leInt(b, maxFrame)               // dwSuggestedBufferSize
+      leInt(b, 10000)                  // dwQuality
+      leInt(b, 0)                      // dwSampleSize (0: varies)
+      leShort(b, 0); leShort(b, 0); leShort(b, w); leShort(b, h) // rcFrame
+      b.toByteArray
+    }
+    val strf = { // BITMAPINFOHEADER, biCompression = 'MJPG'
+      val b = new java.io.ByteArrayOutputStream()
+      leInt(b, 40); leInt(b, w); leInt(b, h)
+      leShort(b, 1); leShort(b, 24)
+      fourCC(b, "MJPG")
+      leInt(b, w * h * 3); leInt(b, 0); leInt(b, 0); leInt(b, 0); leInt(b, 0)
+      b.toByteArray
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      jpegFrames.map(f => chunk("00dc", f)).foldLeft(Array.emptyByteArray)(_ ++ _))
+
+    val riffBody = {
+      val b = new java.io.ByteArrayOutputStream()
+      fourCC(b, "AVI "); b.write(hdrl); b.write(movi)
+      b.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    fourCC(out, "RIFF"); leInt(out, riffBody.length); out.write(riffBody)
+    out.toByteArray
+  }
+
+  private def leIntAt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) |
+      ((b(o + 3) & 0xFF) << 24)
+  private def fourCCAt(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Walk an AVI container and return its video frame payloads
+    * ('00dc'/'00db' chunks under LIST 'movi'), or None when the bytes are
+    * not a RIFF/AVI container. Bounds-checked against truncated files. */
+  private def aviFrameChunks(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 12 ||
+        fourCCAt(bytes, 0) != "RIFF" || fourCCAt(bytes, 8) != "AVI ") return None
+    val end = math.min(bytes.length.toLong, 8L + leIntAt(bytes, 4)).toInt
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = fourCCAt(bytes, o)
+        val size = leIntAt(bytes, o + 4)
+        if (size < 0 || o + 8 + size > to) return // truncated/corrupt: stop
+        if (id == "LIST" && size >= 4) {
+          val kind = fourCCAt(bytes, o + 8)
+          if (kind == "movi" || kind == "hdrl" || kind == "strl" || kind == "rec ")
+            walk(o + 12, o + 8 + size)
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          frames += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + size)
+        }
+        o += 8 + size + (size % 2) // skip the pad byte of odd chunks
+      }
+    }
+    walk(12, end)
+    Some(frames.result())
+  }
+
+  /** REAL frame sampling: walk the AVI container, decode every `stride`-th
+    * MJPEG frame through the ACTUAL JPEG codec, reduce each to its gray
+    * level bucket. Per-partition map, no shuffle; non-AVI bytes yield one
+    * ok=false row (frame_idx -1), undecodable individual frames yield
+    * ok=false rows at their index — both are data, the stream keeps
+    * flowing. */
+  def sampleVideoFrames(videos: Dataset[VideoRow], stride: Int): Dataset[VideoFrameMeta] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { rows =>
+      rows.flatMap { r =>
+        aviFrameChunks(r.bytes) match {
+          case None => Iterator(VideoFrameMeta(r.media_id, -1, ok = false, -1, -1, -1))
+          case Some(frames) =>
+            (0 until frames.length by stride).iterator.map { i =>
+              decodeOne(frames(i)) match {
+                case None => VideoFrameMeta(r.media_id, i, ok = false, -1, -1, -1)
+                case Some(img) =>
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      sum += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val level = (sum / (w.toLong * h) / 32).toInt
+                  VideoFrameMeta(r.media_id, i, ok = true, w, h, level)
+              }
+            }
         }
       }
     }

@@ -36,6 +36,8 @@ class ContractSmokeSpec extends AnyFunSuite {
       "q01_sessionize" -> 800,        // one row per event
       "q77_stream_sessionize" -> 300, // >= one session per user, ~gap-bound
       "q82_stream_exact_dedup" -> 30, // one row per DISTINCT text (~10% of docs)
+      "q89_video_frames" -> 1200,     // 4 sampled frames per doc
+
       "q09_tpch_q1" -> 1, "q10_join_revenue" -> 1, "q13_lang_stats" -> 1)
 
   test("oracleSql covers exactly the declared query surface") {
