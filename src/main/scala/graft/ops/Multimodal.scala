@@ -140,9 +140,7 @@ object Multimodal {
 
   // -------------------------------------------------------------------
   // REAL image codec path (PNG/JPEG via the JDK's javax.imageio — no
-  // external dependency; round-10 upgrade of the decode stub). Only
-  // video frame decode remains stubbed above: the JDK ships no
-  // ffmpeg-class video codec, so frame sampling keeps the honest fake.
+  // external dependency; round-10 upgrade of the decode stub).
   // Everything below decodes and re-encodes actual image bytes on
   // executors.
   // -------------------------------------------------------------------
