@@ -179,6 +179,35 @@ object Drive {
       .orderBy("new_id", "idx_id").show(5, false)
     graft.ops.OpCaches.unpersistAll()
 
+    println("=== real media codecs (JDK imageio / sound.sampled / MJPEG-AVI) ===")
+    locally {
+      import spark.implicits._
+      import graft.ops.Multimodal
+      val media = docs.select(col("doc_id").cast("long")).as[Long]
+        .filter(col("doc_id") < 20).map { id =>
+          (id,
+            Multimodal.encodePng(32, 16)((x, _) =>
+              (((id % 256).toInt) << 16) | (((id * 7 % 256).toInt) << 8) | ((x + id) % 256).toInt),
+            Multimodal.encodeWav(8000,
+              Array.tabulate(64)(i => (((id * 31 + i * 17) % 65536) - 32768).toShort)),
+            Multimodal.encodeMjpegAvi(16, 16, 10, (0 until 8).map { i =>
+              val v = 32 * ((i + id) % 8).toInt + 16
+              Multimodal.encodeJpeg(16, 16)((_, _) => (v << 16) | (v << 8) | v)
+            }))
+        }.cache()
+      println("-- image decode (real PNG codec):")
+      Multimodal.decodeImages(media.map(m => Multimodal.ImageRow(m._1, m._2)))
+        .orderBy("media_id").show(3, false)
+      println("-- audio decode (real WAV codec):")
+      Multimodal.decodeAudio(media.map(m => Multimodal.AudioRow(m._1, m._3)))
+        .orderBy("media_id").show(3, false)
+      println("-- video frame sampling (MJPEG-AVI, real JPEG codec, stride 2):")
+      Multimodal.sampleVideoFrames(
+          media.map(m => Multimodal.VideoRow(m._1, m._4)), 2)
+        .orderBy("media_id", "frame_idx").show(6, false)
+      media.unpersist()
+    }
+
     println("=== SparkEntry.entry flagship (driver smoke) ===")
     val e = graft.SparkEntry.entry(spark)
     e.show(5, false)
