@@ -728,6 +728,32 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
     },
 
+    // ---- similarity: incremental IVF ingest (index maintenance) ----------
+    // the ANN counterpart of q74-q76: the index is TRAINED on the stored
+    // corpus only (vec_id % 10 != 0); the held-out batch is ivfAppend'ed to
+    // the existing centroids (O(batch), no retrain), and the queries — all
+    // from the appended batch — must find exact top-k over corpus+batch at
+    // nProbe = nCells. Equality proves appended vectors are immediately
+    // searchable AND that append-time cell assignment agrees with the
+    // probe-time cell selection (a drifted assignment would drop rank-1
+    // self-matches at partial probe; at full probe it proves the union
+    // index is complete and correctly scored).
+    "q90_incremental_ann" -> { (s, dir) =>
+      prep(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (indexed, centroids) = ops.Similarity.ivfIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), nCells = 8, iterations = 2)
+      val appended = ops.Similarity.ivfAppend(
+        emb.filter(col("vec_id") % 10 === 0), centroids)
+      ops.Similarity.ivfBatchTopK(indexed.unionByName(appended), centroids,
+          emb.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("v").as("qv")),
+          k = 5, nProbe = 8)
+        .select(col("qid"), col("rank"), col("id").as("vec_id"),
+          round(col("sim"), 6).as("sim"))
+    },
+
     // ---- LLM pipeline: unigram LM quality score --------------------------
     // vocab 500 so the OOV floor path is exercised on this corpus
     "q55_lm_quality" -> { (s, dir) =>
@@ -2270,6 +2296,24 @@ object SparkEntry {
         |           FROM embeddings WHERE vec_id % 100 = 0),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |      FROM embeddings WHERE vec_id % 100 <> 0),
+        |s AS (SELECT q.qid, c.vec_id,
+        |        list_dot_product(v, qv)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |      FROM c CROSS JOIN q),
+        |r AS (SELECT qid, vec_id, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        |  CAST(round(sim, 6) AS DOUBLE) AS sim
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // q90: full-probe IVF over corpus + appended batch is exact, so the
+    // oracle is exact cosine top-k over ALL embeddings (self-matches at
+    // rank 1 included — the query vectors are in the appended batch)
+    "q90_incremental_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.qid, c.vec_id,
         |        list_dot_product(v, qv)
         |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim

@@ -332,6 +332,21 @@ object Similarity {
   def writeIvfPartitioned(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental IVF maintenance: assign a NEW batch of vectors to the
+    * EXISTING centroids — no retraining, no touch of the stored corpus.
+    * This is the daily-ingest shape at 100 TB: cost is O(batch) (one
+    * per-row argmin_cell pass over the batch), the result appends to the
+    * cell-partitioned store (`writeIvfPartitioned`'s layout gains files
+    * only in the cells the batch lands in), and appended vectors are
+    * immediately searchable because `ivfTopK`/`ivfBatchTopK` read only
+    * (id, v, cell). Centroids go stale as the distribution drifts —
+    * recall at fixed nProbe decays, never correctness of the verify
+    * scoring — so retraining is a scheduled background rebuild, exactly
+    * like re-clustering an IVF index in any vector store. */
+  def ivfAppend(batch: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
+    assignCells(batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
+
   /** LSH-bucketed near-neighbor self-join: only vectors sharing a bucket in
     * at least one of `tables` independent hashings are compared, then
     * filtered by exact cosine >= threshold. Recall is tunable via

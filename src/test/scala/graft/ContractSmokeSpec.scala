@@ -37,6 +37,7 @@ class ContractSmokeSpec extends AnyFunSuite {
       "q77_stream_sessionize" -> 300, // >= one session per user, ~gap-bound
       "q82_stream_exact_dedup" -> 30, // one row per DISTINCT text (~10% of docs)
       "q89_video_frames" -> 1200,     // 4 sampled frames per doc
+      "q90_incremental_ann" -> 20,    // 5 queries x k=5 at 500 embeddings
 
       "q09_tpch_q1" -> 1, "q10_join_revenue" -> 1, "q13_lang_stats" -> 1)
 
