@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * (modulo the index-side column-pruned scan, which grows linearly but is
   * a small constant at these sizes).
   *
+  * Part 1b — IVF growth: centroids trained once, a fixed embedding batch
+  * `ivfAppend`ed (flat in m by construction — the plan never touches the
+  * store) and a fixed query batch `ivfBatchTopK`-probed against m× grown
+  * cell-partitioned stores.
+  *
   * Part 2 — Bloom shipping: `decontaminateBloom` at sf0.01 with the same
   * corpus/bench split as q73, once with the filter as a plan literal and
   * once as a broadcast variable, at the default ~5 MB sizing and at an
@@ -91,6 +96,42 @@ object IngestStress {
         graft.ops.Dedup.exactDupAgainst(
           batch, spark.read.parquet(s"$tmp/exact_$m")).count()
       }
+    }
+
+    // ---- Part 1b: IVF append + probe vs m-times-grown stored index ----
+    // same growth shape for ANN: centroids trained ONCE on the m=1 corpus,
+    // a fixed embedding batch ivfAppend'ed (must be flat in m — the plan
+    // never touches the store), then a fixed query batch probed against
+    // the m-grown cell-partitioned store (index-side scan grows linearly
+    // but stays partition-pruned to the probed cells)
+    locally {
+      val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val embBatch = emb.filter(col("vec_id") % 10 === 0).cache()
+      System.err.println(s"== IVF: fixed append batch ${embBatch.count()} vecs ==")
+      val (idx1, centroids) = graft.ops.Similarity.ivfIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), nCells = 8, iterations = 2)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).cache()
+      queries.count()
+      for (m <- Seq(1, 2, 4)) {
+        // grow the stored index by re-appending id-shifted copies (ANN has
+        // no token-prefix trick; shifted copies add mass and candidates)
+        val grown = (0 until m).map(i => idx1.select(
+          (col("id") + lit(i.toLong * 1000000L)).as("id"), col("v"), col("cell")))
+          .reduce(_.unionByName(_))
+        graft.ops.Similarity.writeIvfPartitioned(grown, s"$tmp/ivf_$m")
+        val stored = spark.read.parquet(s"$tmp/ivf_$m")
+        t(s"ivfAppend                  m=$m") {
+          graft.ops.Similarity.ivfAppend(embBatch, centroids).count()
+        }
+        t(s"ivfBatchTopK nProbe=2      m=$m") {
+          graft.ops.Similarity.ivfBatchTopK(
+            stored, centroids, queries, k = 5, nProbe = 2).count()
+        }
+      }
+      embBatch.unpersist(); queries.unpersist()
+      graft.ops.OpCaches.unpersistAll()
     }
 
     // ---- Part 2: Bloom filter shipping paths ----
