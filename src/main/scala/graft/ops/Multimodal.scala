@@ -269,6 +269,7 @@ object Multimodal {
     * frames verbatim, so decode(encodeWav(s)) == s — the property the
     * oracle rows lean on. */
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"sample rate must be positive, got $sampleRate")
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRate.toFloat, 16, 1, /* signed = */ true, /* bigEndian = */ false)
     val pcm = new Array[Byte](samples.length * 2)
