@@ -280,6 +280,33 @@ object SparkEntry {
              count(lit(1)).as("n_orders"))
     },
 
+    // ---- 2.9 host-engine surface: bucketed co-located fact-fact join ----
+    // same logical answer as a plain orders x lineitem join (the oracle is
+    // that plain SQL); what's under test is the LAYOUT: both sides written
+    // as 8-bucket tables on the join key, so the join plans with ZERO
+    // exchanges (PlanSpec pins it). At 100 TB the bucketed layout deletes
+    // both shuffles of the biggest join in the schema; writing it costs
+    // one shuffle-equivalent up front and amortizes over every downstream
+    // join — the standard warehouse trade.
+    "q91_bucketed_join" -> { (s, dir) =>
+      prep(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      sources.Sinks.writeBucketed(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_b_orders", s"$tmp/o", nBuckets = 8, "o_orderkey")
+      sources.Sinks.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_b_lineitem", s"$tmp/l", nBuckets = 8, "l_orderkey")
+      sources.Sinks.readBucketed(s, "graft_b_orders")
+        .join(sources.Sinks.readBucketed(s, "graft_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+    },
+
     // ---- LLM pipeline: exact dedup -------------------------------------
     "q11_dedup_exact" -> { (s, dir) =>
       prep(s, dir)
@@ -1760,6 +1787,15 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    // q91: the oracle is the PLAIN join — bucketing is a physical layout
+    // and must not change the answer
+    "q91_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q11_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count

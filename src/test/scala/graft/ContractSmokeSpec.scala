@@ -38,6 +38,7 @@ class ContractSmokeSpec extends AnyFunSuite {
       "q82_stream_exact_dedup" -> 30, // one row per DISTINCT text (~10% of docs)
       "q89_video_frames" -> 1200,     // 4 sampled frames per doc
       "q90_incremental_ann" -> 20,    // 5 queries x k=5 at 500 embeddings
+      "q91_bucketed_join" -> 3,       // one row per order priority (5)
 
       "q09_tpch_q1" -> 1, "q10_join_revenue" -> 1, "q13_lang_stats" -> 1)
 

@@ -35,6 +35,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q91: bucketed fact-fact join plans with zero shuffles on the join") {
+    // force the sort-merge path (at sf0.001 the small side would broadcast
+    // and hide the layout property the bucketing exists to provide)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q91_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      // the ONLY exchange is the 5-group final aggregation, never the join:
+      // both join inputs read pre-bucketed on the key
+      assert("Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).isEmpty, p)
+      assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).isEmpty, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q01: sessionize is one shuffle + sort + window (no extra exchange)") {
     val p = plan("q01_sessionize")
     assert(p.contains("Window"), p)
