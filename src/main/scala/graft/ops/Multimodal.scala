@@ -180,12 +180,16 @@ object Multimodal {
     imageIoInit
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // one bulk raster write — per-pixel setRGB pays a color-model
+    // conversion call per pixel, ~an order of magnitude slower
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      while (x < w) { px(y * w + x) = rgb(x, y); x += 1 }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -204,16 +208,14 @@ object Multimodal {
           case Some(img) =>
             val w = img.getWidth
             val h = img.getHeight
+            // bulk raster read (one color-model conversion pass, not w*h calls)
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              i += 1
             }
             val n = (w.toLong * h).toDouble
             ImageMeta(r.media_id, ok = true, w, h, sr / n, sg / n, sb / n)
@@ -235,8 +237,11 @@ object Multimodal {
         decodeOne(r.bytes) match {
           case None => r
           case Some(img) =>
+            val sw = img.getWidth
+            val sh = img.getHeight
+            val src = img.getRGB(0, 0, sw, sh, null, 0, sw)
             val bytes = encodePng(newW, newH) { (x, y) =>
-              img.getRGB(x * img.getWidth / newW, y * img.getHeight / newH)
+              src((y * sh / newH) * sw + (x * sw / newW))
             }
             ImageRow(r.media_id, bytes)
         }
@@ -407,12 +412,14 @@ object Multimodal {
     imageIoInit
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      while (x < w) { px(y * w + x) = rgb(x, y); x += 1 }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", out)
     out.toByteArray
@@ -543,16 +550,13 @@ object Multimodal {
                 case Some(img) =>
                   val w = img.getWidth
                   val h = img.getHeight
+                  val px = img.getRGB(0, 0, w, h, null, 0, w)
                   var sum = 0L
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) {
-                      val p = img.getRGB(x, y)
-                      sum += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
-                      x += 1
-                    }
-                    y += 1
+                  var j = 0
+                  while (j < px.length) {
+                    val p = px(j)
+                    sum += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+                    j += 1
                   }
                   val level = (sum / (w.toLong * h) / 32).toInt
                   VideoFrameMeta(r.media_id, i, ok = true, w, h, level)
