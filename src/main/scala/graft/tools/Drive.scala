@@ -179,6 +179,36 @@ object Drive {
       .orderBy("new_id", "idx_id").show(5, false)
     graft.ops.OpCaches.unpersistAll()
 
+    println("=== layout ops: incremental IVF append + bucketed co-located join ===")
+    locally {
+      val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (indexed, centroids) = graft.ops.Similarity.ivfIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), nCells = 4, iterations = 2)
+      val appended = graft.ops.Similarity.ivfAppend(
+        emb.filter(col("vec_id") % 10 === 0), centroids)
+      println(s"-- ivfAppend: ${appended.count()} vectors assigned, cells " +
+        appended.groupBy("cell").count().orderBy("cell").collect()
+          .map(r => s"${r.get(0)}:${r.get(1)}").mkString(" "))
+      graft.ops.OpCaches.unpersistAll()
+
+      val tmp = java.nio.file.Files.createTempDirectory("drive_bucketed").toString
+      graft.sources.Sinks.writeBucketed(
+        graft.sources.Tables.load(spark, sfDir, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+        "drive_b_orders", s"$tmp/o", nBuckets = 4, "o_orderkey")
+      graft.sources.Sinks.writeBucketed(
+        graft.sources.Tables.load(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_extendedprice"),
+        "drive_b_lineitem", s"$tmp/l", nBuckets = 4, "l_orderkey")
+      val joined = graft.sources.Sinks.readBucketed(spark, "drive_b_orders")
+        .join(graft.sources.Sinks.readBucketed(spark, "drive_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      println("-- bucketed join (no exchange on the join keys):")
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items")).orderBy("o_orderpriority").show(5, false)
+    }
+
     println("=== real media codecs (JDK imageio / sound.sampled / MJPEG-AVI) ===")
     locally {
       import spark.implicits._
