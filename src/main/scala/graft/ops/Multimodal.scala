@@ -163,14 +163,34 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
   }
 
+  /** Decompression-bomb guard: a corpus-scale decoder must reject
+    * over-limit rasters from the HEADER, before allocating — a 60000²
+    * PNG is ~100 KB compressed but ~14 GB decoded, and one such row
+    * would OOM an executor. 2^26 px (~268 MB as INT_RGB) per image. */
+  val MaxDecodePixels: Long = 1L << 26
+
   /** Decode one image, or None when the bytes are not a supported format
-    * (ImageIO returns null rather than throwing for unknown magic). */
-  private def decodeOne(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    * (ImageIO returns null rather than throwing for unknown magic) or the
+    * header declares more than `maxPixels` — checked via the format
+    * reader's header parse, no pixel allocation. */
+  private[graft] def decodeOne(bytes: Array[Byte],
+      maxPixels: Long = MaxDecodePixels): Option[java.awt.image.BufferedImage] = {
     imageIoInit
-    if (bytes == null || bytes.isEmpty) None
-    else
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val px = reader.getWidth(0).toLong * reader.getHeight(0)
+          if (px > maxPixels) None else Option(reader.read(0))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: java.io.IOException => None }
   }
 
   /** Encode a raster as PNG (lossless — decode(encodePng(f)) reproduces

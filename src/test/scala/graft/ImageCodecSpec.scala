@@ -52,6 +52,19 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(through.bytes.toSeq === junk.bytes.toSeq)
   }
 
+  test("decompression-bomb guard rejects over-limit rasters from the header") {
+    // the guard must fire on the HEADER's declared dimensions without
+    // allocating the raster — exercised with a small limit so the test
+    // itself stays cheap
+    val png = Multimodal.encodePng(200, 200)((x, y) => (x * y) & 0xFFFFFF)
+    assert(Multimodal.decodeOne(png, maxPixels = 100L * 100).isEmpty)
+    assert(Multimodal.decodeOne(png).nonEmpty) // default limit unaffected
+    // and a jpeg goes through the same reader-header path
+    val jpg = Multimodal.encodeJpeg(64, 64)((_, _) => 0x808080)
+    assert(Multimodal.decodeOne(jpg, maxPixels = 10L).isEmpty)
+    assert(Multimodal.decodeOne(jpg).nonEmpty)
+  }
+
   test("JPEG bytes decode through the same operator") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(20, 10,
