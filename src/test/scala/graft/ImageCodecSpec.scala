@@ -58,6 +58,8 @@ class ImageCodecSpec extends AnyFunSuite {
     // itself stays cheap
     val png = Multimodal.encodePng(200, 200)((x, y) => (x * y) & 0xFFFFFF)
     assert(Multimodal.decodeOne(png, maxPixels = 100L * 100).isEmpty)
+    assert(Multimodal.decodeOne(png, maxPixels = 200L * 200).nonEmpty,
+      "an image exactly at the limit must decode")
     assert(Multimodal.decodeOne(png).nonEmpty) // default limit unaffected
     // and a jpeg goes through the same reader-header path
     val jpg = Multimodal.encodeJpeg(64, 64)((_, _) => 0x808080)
