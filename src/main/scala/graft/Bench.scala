@@ -92,6 +92,11 @@ object Bench {
         errors.get(name).map(m => s" ERROR: $m").getOrElse(""))
       (name, sec, mn, mx, unstable)
     }
+    // JSON numeric formatting MUST be locale-independent: the f-interpolator
+    // delegates to String.format under the JVM default locale, which emits
+    // comma decimals (invalid JSON) under e.g. de_DE
+    def jf(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
     def num(v: Double): String = if (v.isNaN) "-1" else v.toString
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
@@ -109,8 +114,8 @@ object Bench {
     val floor = results.collectFirst { case ("q12_text_stats", s, _, _, _) if s > 0 => s }
     val ratios = floor.map { f =>
       results.map { case (k, v, _, _, _) =>
-        s"\"" + k + "\":" + (if (v.isNaN) "-1" else f"${v / f}%.2f")
-      }.mkString(",\"floor_sec\":" + f"$f%.4f" + ",\"floor_ratios\":{", ",", "}")
+        s"\"" + k + "\":" + (if (v.isNaN) "-1" else jf("%.2f", v / f))
+      }.mkString(",\"floor_sec\":" + jf("%.4f", f) + ",\"floor_ratios\":{", ",", "}")
     }.getOrElse("")
     val errJson =
       if (errors.isEmpty) ""
@@ -129,7 +134,7 @@ object Bench {
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     def short(n: String) = n.takeWhile(_ != '_')
-    def num2(v: Double): String = if (v.isNaN) "-1" else f"$v%.2f"
+    def num2(v: Double): String = if (v.isNaN) "-1" else jf("%.2f", v)
     val cQs = results.map { case (k, v, _, _, _) => "\"" + short(k) + "\":" + num2(v) }
       .mkString("{", ",", "}")
     // spread only for the OUTLIERS (max/min > 1.5, or errored): a spread
@@ -139,7 +144,7 @@ object Bench {
     val cSpread = results.collect { case (k, _, mn, mx, _)
         if mn.isNaN || mx.isNaN || mn <= 0 || mx / mn > 1.5 =>
       val r = if (mn.isNaN || mx.isNaN || mn <= 0) -1.0 else mx / mn
-      "\"" + short(k) + "\":" + (if (r < 0) "-1" else f"$r%.1f")
+      "\"" + short(k) + "\":" + (if (r < 0) "-1" else jf("%.1f", r))
     }.mkString("{", ",", "}")
     val cUnstable = results.collect { case (k, _, _, _, true) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
@@ -147,9 +152,9 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.take(5).map { case (k, v) => "\"" + short(k) + "\":\"" + v.take(40) + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    val cFloor = floor.map(f => f",\"floor_sec\":$f%.4f").getOrElse("")
+    val cFloor = floor.map(f => ",\"floor_sec\":" + jf("%.4f", f)).getOrElse("")
     val sfName = new java.io.File(sfDir).getName
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$cQs,"spread":$cSpread$cFloor,"unstable":$cUnstable$cErr,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${jf("%.2f", total)},"unit":"sec","queries":$cQs,"spread":$cSpread$cFloor,"unstable":$cUnstable$cErr,"sf":"$sfName"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -67,7 +67,7 @@ object SparkEntry {
     val root = new java.io.File(s"$dir/events.parquet")
     val files: Seq[java.io.File] =
       if (root.isDirectory) root.listFiles().toSeq.filter(_.isFile) else Seq(root)
-    val parts = files.filter(f => f.getName.endsWith(".parquet") || f.isFile)
+    val parts = files.filter(_.getName.endsWith(".parquet"))
     s"$dir|n=${parts.size}|bytes=${parts.map(_.length).sum}|mtime=${parts.map(_.lastModified).foldLeft(0L)(math.max)}"
   }
 
@@ -290,7 +290,7 @@ object SparkEntry {
     // join — the standard warehouse trade.
     "q91_bucketed_join" -> { (s, dir) =>
       prep(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      val tmp = sources.Sinks.scratchDir("q91_bucketed")
       sources.Sinks.writeBucketed(
         Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
         "graft_b_orders", s"$tmp/o", nBuckets = 8, "o_orderkey")
@@ -305,6 +305,28 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
                .as("revenue"),
              count(lit(1)).as("n_items"))
+    },
+
+    // ---- bucketed EVENTS layout: shuffle-free behavioral aggregation ----
+    // the reference's entire behavioral surface is GROUP BY user_id /
+    // PARTITION BY user_id over the event log — at 100 TB that per-query
+    // shuffle IS the dominant cost. Writing events bucketed by user_id
+    // pays it ONCE at ingest; every funnel / retention / sequence query
+    // then plans with ZERO exchanges (the bucketed scan's HashPartitioning
+    // already satisfies the aggregate's ClusteredDistribution; PlanSpec
+    // pins it). The oracle is q03's plain funnel SQL — layout must not
+    // change the answer.
+    "q92_bucketed_funnel" -> { (s, dir) =>
+      val ev = events(s, dir).select("user_id", "ts", "event_type")
+      val tmp = sources.Sinks.scratchDir("q92_bucketed")
+      sources.Sinks.writeBucketed(ev, "graft_b_events", s"$tmp/events",
+        nBuckets = 8, "user_id")
+      sources.Sinks.readBucketed(s, "graft_b_events")
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("steps"))
     },
 
     // ---- LLM pipeline: exact dedup -------------------------------------
@@ -1796,6 +1818,28 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // q92: oracle is q03's PLAIN funnel SQL — the bucketed layout must not
+    // change the answer
+    "q92_bucketed_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |c2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type = 'click'
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(x.t) AS t3
+        |       FROM c2 LEFT JOIN e x
+        |         ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+        |        AND c2.t2 IS NOT NULL AND x.t > c2.t2 AND x.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM c3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
 
     "q11_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count

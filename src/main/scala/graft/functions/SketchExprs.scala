@@ -278,17 +278,42 @@ case class SimhashMd5Hex(child: Expression) extends UnaryExpression {
   */
 object BloomMightContainBroadcast {
   private val MaxCached = 8
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    Long, org.apache.spark.util.sketch.BloomFilter]()
+
+  // True LRU (access-order LinkedHashMap), evicting only the
+  // least-recently-probed filter instead of dropping the whole map. Keyed
+  // per-context AND per-broadcast: broadcast ids are a per-SparkContext
+  // counter starting at 0, so after a stop/start in the same JVM a reused
+  // id must not alias the previous context's filter (wrong membership).
+  private val cache = new java.util.LinkedHashMap[
+      String, org.apache.spark.util.sketch.BloomFilter](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, org.apache.spark.util.sketch.BloomFilter]): Boolean =
+      size() > MaxCached
+  }
+
+  private def contextKey: String =
+    Option(org.apache.spark.SparkEnv.get)
+      .flatMap(env => scala.util.Try(env.conf.getAppId).toOption)
+      .getOrElse("no-app")
 
   private[functions] def filterFor(
       bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): org.apache.spark.util.sketch.BloomFilter = {
-    // bounded: a session cycling many distinct filters must not pin them
-    // all; dropping the whole map just costs the next probe a re-read
-    if (cache.size > MaxCached) cache.clear()
-    cache.computeIfAbsent(bc.id, _ =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bc.value)))
+    val key = s"$contextKey:${bc.id}"
+    // the whole lookup-or-deserialize runs under the cache lock so the
+    // multi-100MB readFrom happens ONCE per executor JVM even when a
+    // stage's tasks all arrive at a cold cache together; cross-filter
+    // blocking during that window is rare (sessions seldom probe two
+    // distinct large filters at the same instant) and benign
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        cache.put(key, f)
+        f
+      }
+    }
   }
 }
 

@@ -190,7 +190,13 @@ object Multimodal {
           if (px > maxPixels) None else Option(reader.read(0))
         } finally reader.dispose()
       } finally iis.close()
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // JDK image parsers throw RuntimeExceptions (ArrayIndexOutOfBounds,
+      // NegativeArraySize, CMMException, ...) on malformed bytes, not just
+      // IOException; at corpus scale a corrupt row is DATA (ok=false), not
+      // a task-killer.
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Encode a raster as PNG (lossless — decode(encodePng(f)) reproduces
@@ -345,8 +351,9 @@ object Multimodal {
         }
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException                               => None
+      // same rationale as decodeOne: malformed bytes are data, and the JDK
+      // audio parser can throw RuntimeExceptions beyond the two checked ones
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

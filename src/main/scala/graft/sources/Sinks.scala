@@ -21,6 +21,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sinks {
 
+  /** Fixed per-JVM scratch directory for layout experiments (bucketed
+    * copies, stress indexes). A fresh `createTempDirectory` per execution
+    * accumulates unbounded /tmp residue when the bench harness runs a
+    * query several times — instead each name maps to ONE stable path that
+    * is cleared of any previous JVM's residue on first use, overwritten
+    * (not duplicated) by repeated runs, and recursively deleted at JVM
+    * exit. Safe to call from concurrent query executions. */
+  def scratchDir(name: String): String =
+    scratchRoots.computeIfAbsent(name, _ => {
+      val p = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_scratch", name)
+      deleteRecursive(p)
+      java.nio.file.Files.createDirectories(p)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursive(p)))
+      p
+    }).toString
+
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+          case _: java.io.IOException => ()
+        })
+    }
+
   /** Write `df` as a bucketed external parquet table at `path`, replacing
     * any previous table of the same name. Keys order matters: joins
     * co-locate when their keys cover the bucket keys with equal bucket
@@ -30,6 +59,10 @@ object Sinks {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // dropping an EXTERNAL table leaves its files; clear the location so
+    // the re-create is a true overwrite (CTAS into a non-empty location
+    // throws in Spark 3.2+) and repeated runs never accumulate
+    deleteRecursive(java.nio.file.Paths.get(path))
     df.write.mode("overwrite").format("parquet")
       .option("path", path)
       .bucketBy(nBuckets, key, moreKeys: _*)

@@ -192,7 +192,7 @@ object Drive {
           .map(r => s"${r.get(0)}:${r.get(1)}").mkString(" "))
       graft.ops.OpCaches.unpersistAll()
 
-      val tmp = java.nio.file.Files.createTempDirectory("drive_bucketed").toString
+      val tmp = graft.sources.Sinks.scratchDir("drive_bucketed")
       graft.sources.Sinks.writeBucketed(
         graft.sources.Tables.load(spark, sfDir, "orders")
           .select("o_orderkey", "o_orderpriority"),

@@ -72,7 +72,7 @@ object IngestStress {
            else regexp_replace(col("text"), "(\\S+)", s"c$i$$1")).as("text"))
     }.reduce(_.union(_))
 
-    val tmp = java.nio.file.Files.createTempDirectory("ingest_stress").toString
+    val tmp = graft.sources.Sinks.scratchDir("ingest_stress")
     for (m <- Seq(1, 2, 4)) {
       val c = corpus(m)
       graft.ops.Dedup.minhashIndex(c).write.mode("overwrite")

@@ -50,6 +50,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q92: bucketed events funnel plans with ZERO exchanges") {
+    // the core-surface extension of q91's layout lever: GROUP BY user_id
+    // over events bucketed by user_id must need NO shuffle at all — the
+    // bucketed scan's HashPartitioning(user_id) satisfies the aggregate's
+    // ClusteredDistribution, so the plan is scan -> partial -> final
+    val p = plan("q92_bucketed_funnel")
+    assert(p.contains("partial_window_funnel"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"bucketed behavioral aggregation still shuffles:\n$p")
+  }
+
   test("q01: sessionize is one shuffle + sort + window (no extra exchange)") {
     val p = plan("q01_sessionize")
     assert(p.contains("Window"), p)
