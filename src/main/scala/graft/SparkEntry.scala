@@ -1075,8 +1075,9 @@ object SparkEntry {
     // streaming sessionize vs the q01 oracle aggregated to sessions. The
     // operator is Spark's native session_window (merging session store) in
     // APPEND mode — a session only emits once the watermark passes its end,
-    // so after the two data batches two far-future sentinel batches (user
-    // -1, filtered out) advance the watermark and flush every real session.
+    // so after the two data batches ONE far-future sentinel batch (user
+    // -1, filtered out) advances the watermark and flushes every real
+    // session via the engine's no-data micro-batch.
     // Probed (GapProbe, round 10): session_window merges at diff == gap
     // exactly like the batch sessionize's `> gap` new-session rule, so the
     // q01 lag/sum labeling and the session store agree on boundaries, and
@@ -1102,11 +1103,14 @@ object SparkEntry {
         rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
           input.addData(b); q.processAllAvailable()
         }
-        for (i <- 1 to 2) {
-          input.addData(streaming.StreamingBehavioral.SeqEvent(-1L,
-            new java.sql.Timestamp(maxTsMs + 200L * 86400 * 1000 + i * 60000), 0))
-          q.processAllAvailable()
-        }
+        // ONE far-future sentinel flushes every open session: the batch
+        // carrying it advances the watermark, and the engine's no-data
+        // micro-batch (noDataMicroBatches, on by default) then evicts the
+        // closed session state (mutation SS141 pins the flush margin; a
+        // second sentinel was measured as pure fixed cost)
+        input.addData(streaming.StreamingBehavioral.SeqEvent(-1L,
+          new java.sql.Timestamp(maxTsMs + 200L * 86400 * 1000 + 60000), 0))
+        q.processAllAvailable()
         val out = s.table(name).filter(col("user_id") >= 0)
           .select(col("user_id"),
             unix_micros(col("session_start")).as("session_start_us"),
@@ -1338,11 +1342,12 @@ object SparkEntry {
         rows.grouped(math.max(rows.length / 2, 1)).foreach { b =>
           input.addData(b); q.processAllAvailable()
         }
-        for (i <- 1 to 2) {
-          input.addData((-1L, "sentinel flush doc",
-            new java.sql.Timestamp(maxTsMs + 200L * 86400 * 1000 + i * 60000)))
-          q.processAllAvailable()
-        }
+        // one sentinel suffices: its batch advances the watermark and the
+        // no-data micro-batch evicts the now-expired band state (same
+        // trim as q77; the second sentinel was pure fixed cost)
+        input.addData((-1L, "sentinel flush doc",
+          new java.sql.Timestamp(maxTsMs + 200L * 86400 * 1000 + 60000)))
+        q.processAllAvailable()
         val out = s.table(name).filter(col("doc_id") >= 0)
           .select(col("doc_id"), col("is_near_dup"))
           .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
@@ -1477,6 +1482,33 @@ object SparkEntry {
           round(col("mean_abs"), 6).as("mean_abs"))
     },
 
+    // stereo variant: interleaved L/R PCM16 (L_i and R_i have distinct
+    // closed forms), frame-wise stride-2 downsample — channels must stay
+    // paired and count-preserved (a de-interleaving stride or channel swap
+    // changes both means). decodeAudio's means run over ALL interleaved
+    // samples, so the oracle averages the two per-frame channel values.
+    "q94_audio_stereo" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val audio = ids.mapPartitions(_.map { id =>
+        val inter = new Array[Short](64 * 2)
+        var i = 0
+        while (i < 64) {
+          inter(2 * i) = (((id * 31 + i * 17) % 65536) - 32768).toShort
+          inter(2 * i + 1) = (((id * 13 + i * 23) % 65536) - 32768).toShort
+          i += 1
+        }
+        ops.Multimodal.AudioRow(id, ops.Multimodal.encodeWav(8000, inter, channels = 2))
+      })
+      ops.Multimodal.decodeAudio(ops.Multimodal.downsampleAudio(audio, 2))
+        .select(col("media_id").as("doc_id"), col("ok"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_amp"), 6).as("mean_amp"),
+          round(col("mean_abs"), 6).as("mean_abs"))
+    },
+
     // ---- multimodal: REAL video path (MJPEG-AVI, JDK JPEG codec) --------
     // One 8-frame MJPEG-AVI is synthesized per doc_id — frame i is solid
     // gray 32*((i+id)%8)+16, JPEG-encoded by the ACTUAL codec, wrapped in
@@ -1499,6 +1531,40 @@ object SparkEntry {
       ops.Multimodal.sampleVideoFrames(videos, 2)
         .select(col("media_id").as("doc_id"), col("frame_idx"), col("ok"),
           col("width"), col("height"), col("level").as("gray_level"))
+    },
+
+    // ---- multimodal: undecodable-bytes contract under the HASH gate -----
+    // a deterministic per-doc mix — doc_id % 4: 0 = valid PNG (q85's
+    // closed form), 1 = junk bytes (wrong magic, no reader claims them),
+    // 2 = PNG truncated mid-stream (header parses, pixel read EOFs),
+    // 3 = decompression-bomb header (valid IHDR declaring 16384x16384 =
+    // 2^28 px > the 2^26 guard). Every non-zero class must flow through
+    // as ok=false with zeroed stats, never a thrown task: corrupt rows
+    // are DATA at corpus scale. The oracle computes ok and the zeros in
+    // closed form from the mix rule, so the hash covers ok=false rows.
+    "q93_media_robustness" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val images = ids.mapPartitions(_.map { id =>
+        def valid = ops.Multimodal.encodePng(32, 16) { (x, _) =>
+          (((id % 256).toInt) << 16) | (((id * 7 % 256).toInt) << 8) |
+            ((x + id) % 256).toInt
+        }
+        val bytes = (id % 4) match {
+          case 0 => valid
+          case 1 => Array[Byte](1, 2, 3, 4, 5)
+          case 2 => valid.take(40)
+          case _ => ops.Multimodal.bombHeaderPng(16384, 16384)
+        }
+        ops.Multimodal.ImageRow(id, bytes)
+      })
+      ops.Multimodal.decodeImages(images)
+        .select(col("media_id").as("doc_id"), col("ok"),
+          col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
     },
 
     // ---- LLM pipeline: Bloom-prefiltered decontamination ------------------
@@ -2314,6 +2380,23 @@ object SparkEntry {
         |  round(ma, 6) AS mean_amp, round(mabs, 6) AS mean_abs
         |FROM m""".stripMargin,
 
+    // q94: stereo stride-2 downsample keeps frames i' = 2i with both
+    // channels; means run over the interleaved samples, i.e. the average
+    // of the per-frame L and R closed forms
+    "q94_audio_stereo" ->
+      """WITH fs AS (SELECT unnest(range(0, 32)) AS i),
+        |m AS (SELECT d.doc_id,
+        |        avg((CAST((d.doc_id * 31 + 2 * fs.i * 17) % 65536 - 32768 AS DOUBLE)
+        |           + CAST((d.doc_id * 13 + 2 * fs.i * 23) % 65536 - 32768 AS DOUBLE)) / 2) AS ma,
+        |        avg((abs(CAST((d.doc_id * 31 + 2 * fs.i * 17) % 65536 - 32768 AS DOUBLE))
+        |           + abs(CAST((d.doc_id * 13 + 2 * fs.i * 23) % 65536 - 32768 AS DOUBLE))) / 2) AS mabs
+        |      FROM documents d CROSS JOIN fs GROUP BY d.doc_id)
+        |SELECT m.doc_id, true AS ok,
+        |  CAST(4000 AS INTEGER) AS sample_rate, CAST(2 AS INTEGER) AS channels,
+        |  CAST(32 AS BIGINT) AS n_frames, round(CAST(8.0 AS DOUBLE), 6) AS duration_ms,
+        |  round(ma, 6) AS mean_amp, round(mabs, 6) AS mean_abs
+        |FROM m""".stripMargin,
+
     // q89: stride-2 sampling of the 8-frame MJPEG-AVI keeps frames
     // 0,2,4,6; each frame's gray bucket floor(mean/32) has the closed form
     // (frame_idx + doc_id) % 8 — exact despite JPEG loss (±2 decode noise
@@ -2325,6 +2408,21 @@ object SparkEntry {
         |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
         |  CAST((fs.i + d.doc_id) % 8 AS INTEGER) AS gray_level
         |FROM documents d CROSS JOIN fs""".stripMargin,
+
+    // q93: the undecodable-media mix in closed form — doc_id % 4 == 0 is
+    // the only decodable class; every other class must surface as
+    // ok=false with zeroed stats (the hash gate covers the ok=false rows)
+    "q93_media_robustness" ->
+      """WITH xs AS (SELECT unnest(range(0, 32)) AS x),
+        |m AS (SELECT d.doc_id, avg(CAST((xs.x + d.doc_id) % 256 AS DOUBLE)) AS mb
+        |      FROM documents d CROSS JOIN xs GROUP BY d.doc_id)
+        |SELECT m.doc_id, (m.doc_id % 4 = 0) AS ok,
+        |  CAST(CASE WHEN m.doc_id % 4 = 0 THEN 32 ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN m.doc_id % 4 = 0 THEN 16 ELSE 0 END AS INTEGER) AS height,
+        |  round(CASE WHEN m.doc_id % 4 = 0 THEN CAST(m.doc_id % 256 AS DOUBLE) ELSE 0 END, 6) AS mean_r,
+        |  round(CASE WHEN m.doc_id % 4 = 0 THEN CAST((m.doc_id * 7) % 256 AS DOUBLE) ELSE 0 END, 6) AS mean_g,
+        |  round(CASE WHEN m.doc_id % 4 = 0 THEN mb ELSE 0 END, 6) AS mean_b
+        |FROM m""".stripMargin,
 
     // q73 is the bloom-prefiltered path to the exact same answer as q51 —
     // one oracle text, two physical strategies under test

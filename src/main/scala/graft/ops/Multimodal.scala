@@ -221,6 +221,30 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Synthetic decompression-bomb fixture: a spec-valid PNG signature +
+    * IHDR (correct length and CRC) DECLARING `w`x`h` with no pixel data —
+    * the header parses cleanly, so an over-limit w*h exercises the
+    * `MaxDecodePixels` guard itself (header-read -> reject) rather than a
+    * generic parse failure. Bytes only; never allocates a raster. */
+  def bombHeaderPng(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def be(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes("US-ASCII"))
+    ihdr.write(be(w)); ihdr.write(be(h))
+    ihdr.write(8); ihdr.write(2) // bit depth 8, color type RGB
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, filter 0, no interlace
+    val body = ihdr.toByteArray
+    out.write(be(13))
+    out.write(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update(body, 0, body.length)
+    out.write(be(crc.getValue.toInt))
+    out.toByteArray
+  }
+
   /** REAL batch decode: per-partition map, one ImageIO decode per row,
     * exact per-channel means off the decoded raster. No shuffle; the
     * iterator-in/iterator-out shape keeps memory flat however wide the
@@ -299,10 +323,18 @@ object Multimodal {
     * JDK writer (`AudioSystem.write`). Lossless: WAV stores the PCM
     * frames verbatim, so decode(encodeWav(s)) == s — the property the
     * oracle rows lean on. */
-  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] =
+    encodeWav(sampleRate, samples, channels = 1)
+
+  /** Multi-channel variant: `samples` is interleaved frame-major (frame 0's
+    * channels 0..c-1, then frame 1's, ...), the WAV container's own layout. */
+  def encodeWav(sampleRate: Int, samples: Array[Short], channels: Int): Array[Byte] = {
     require(sampleRate > 0, s"sample rate must be positive, got $sampleRate")
+    require(channels > 0, s"channels must be positive, got $channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples do not divide into $channels channels")
     val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+      sampleRate.toFloat, 16, channels, /* signed = */ true, /* bigEndian = */ false)
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -311,7 +343,7 @@ object Multimodal {
       i += 1
     }
     val stream = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      new java.io.ByteArrayInputStream(pcm), fmt, (samples.length / channels).toLong)
     val out = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(stream,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
@@ -383,8 +415,9 @@ object Multimodal {
   }
 
   /** REAL integer-stride downsample: decode -> take every `stride`-th
-    * frame (deterministic; no interpolation filter, so the output has a
-    * closed form the oracle can verify) -> WAV re-encode at rate/stride.
+    * FRAME (a frame is one sample per channel, so multi-channel audio
+    * strides frame-wise and never de-interleaves its channels) -> WAV
+    * re-encode at rate/stride preserving the channel count.
     * Undecodable rows pass through unchanged. */
   def downsampleAudio(audio: Dataset[AudioRow], stride: Int): Dataset[AudioRow] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
@@ -393,11 +426,21 @@ object Multimodal {
       rows.map { r =>
         decodeAudioOne(r.bytes) match {
           case None => r
-          case Some((fmt, samples)) if fmt.getChannels == 1 =>
-            val kept = Array.range(0, samples.length, stride).map(samples)
+          case Some((fmt, samples)) =>
+            val ch = fmt.getChannels
+            val nFrames = samples.length / ch
+            val keptFrames = (nFrames + stride - 1) / stride
+            val kept = new Array[Short](keptFrames * ch)
+            var f = 0
+            while (f < keptFrames) {
+              var c = 0
+              while (c < ch) {
+                kept(f * ch + c) = samples(f * stride * ch + c); c += 1
+              }
+              f += 1
+            }
             AudioRow(r.media_id,
-              encodeWav(fmt.getSampleRate.toInt / stride, kept))
-          case Some(_) => r // multi-channel passthrough (stride would de-interleave)
+              encodeWav(fmt.getSampleRate.toInt / stride, kept, ch))
         }
       }
     }

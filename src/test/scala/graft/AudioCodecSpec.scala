@@ -45,6 +45,34 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(meta.mean_amp === kept.map(_.toLong).sum.toDouble / 20)
   }
 
+  test("stereo round trip: frame-wise downsample preserves channels and never de-interleaves") {
+    import spark.implicits._
+    // interleaved L/R: L_i = 100*i, R_i = -100*i - 1 (channels always
+    // differ, so any de-interleave or channel swap changes the samples)
+    val nFrames = 40
+    val inter = new Array[Short](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      inter(2 * i) = (100 * i).toShort
+      inter(2 * i + 1) = (-100 * i - 1).toShort
+    }
+    val bytes = Multimodal.encodeWav(8000, inter, channels = 2)
+    val meta = Multimodal.decodeAudio(
+      Seq(Multimodal.AudioRow(11L, bytes)).toDS()).collect().head
+    assert(meta.ok && meta.channels === 2 && meta.n_frames === nFrames.toLong)
+    // stride 4 must keep FRAMES 0,4,8,... — both channels of each
+    val out = Multimodal.downsampleAudio(
+      Seq(Multimodal.AudioRow(11L, bytes)).toDS(), 4).collect().head
+    val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out.bytes))
+    assert(ain.getFormat.getChannels === 2)
+    assert(ain.getFormat.getSampleRate === 2000f)
+    val raw = ain.readAllBytes()
+    val got = Array.tabulate(raw.length / 2)(i =>
+      (((raw(2 * i + 1) & 0xFF) << 8) | (raw(2 * i) & 0xFF)).toShort)
+    val want = (0 until nFrames by 4).flatMap(f => Seq(inter(2 * f), inter(2 * f + 1)))
+    assert(got.toSeq === want, "frame-wise stride must keep L/R pairs intact")
+  }
+
   test("undecodable bytes: ok=false meta row; downsample passes the row through") {
     import spark.implicits._
     val junk = Multimodal.AudioRow(9L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))

@@ -67,6 +67,21 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeOne(jpg).nonEmpty)
   }
 
+  test("bomb-header fixture parses as a header and is rejected by the pixel guard") {
+    // the synthetic IHDR must be a VALID header (a real reader claims it
+    // and reports the declared dimensions) so q93's bomb row exercises the
+    // guard, not a generic parse failure
+    val bomb = Multimodal.bombHeaderPng(16384, 16384)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bomb))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    assert(readers.hasNext, "no ImageIO reader claims the bomb-header PNG")
+    val r = readers.next(); r.setInput(iis)
+    assert(r.getWidth(0) === 16384 && r.getHeight(0) === 16384)
+    r.dispose(); iis.close()
+    assert(Multimodal.decodeOne(bomb).isEmpty, "2^28 px must trip the 2^26 guard")
+  }
+
   test("JPEG bytes decode through the same operator") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(20, 10,
