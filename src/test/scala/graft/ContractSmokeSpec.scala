@@ -30,7 +30,8 @@ class ContractSmokeSpec extends AnyFunSuite {
   private val perDoc = Seq("q12_text_stats", "q21_langid", "q22_quality",
     "q28_simhash", "q83_stream_simhash_dedup",
     "q85_image_decode", "q86_image_resize",
-    "q87_audio_decode", "q88_audio_downsample")
+    "q87_audio_decode", "q88_audio_downsample",
+    "q93_media_robustness", "q94_audio_stereo")
   private val rowFloors: Map[String, Int] =
     perUser.map(_ -> 10).toMap ++ perDoc.map(_ -> 300).toMap ++ Map(
       "q01_sessionize" -> 800,        // one row per event
@@ -39,6 +40,7 @@ class ContractSmokeSpec extends AnyFunSuite {
       "q89_video_frames" -> 1200,     // 4 sampled frames per doc
       "q90_incremental_ann" -> 20,    // 5 queries x k=5 at 500 embeddings
       "q91_bucketed_join" -> 3,       // one row per order priority (5)
+      "q92_bucketed_funnel" -> 10,    // one row per user, like q03
 
       "q09_tpch_q1" -> 1, "q10_join_revenue" -> 1, "q13_lang_stats" -> 1)
 
@@ -53,6 +55,31 @@ class ContractSmokeSpec extends AnyFunSuite {
   test("row floors only name declared queries") {
     assert(rowFloors.keySet.subsetOf(SparkEntry.queries.keySet),
       s"stale floor entries: ${rowFloors.keySet -- SparkEntry.queries.keySet}")
+  }
+
+  test("layout queries leave no accumulating scratch residue") {
+    // q91/q92 rewrite bucketed copies per execution; the scratch layout is
+    // a FIXED per-JVM path that must be overwritten, not duplicated —
+    // repeated runs may not grow /tmp (the round-10 leak: a fresh
+    // createTempDirectory per execution, unbounded under bench reruns)
+    def fileCount(p: java.nio.file.Path): Long = {
+      if (!java.nio.file.Files.exists(p)) return 0L
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally s.close()
+    }
+    val scratch = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch")
+    SparkEntry.queries("q91_bucketed_join")(spark, sfDir).collect()
+    val after1 = fileCount(scratch)
+    SparkEntry.queries("q91_bucketed_join")(spark, sfDir).collect()
+    val after2 = fileCount(scratch)
+    assert(after2 <= after1,
+      s"repeated q91 runs grew the scratch dir: $after1 -> $after2 files")
+    // and nothing lands under the legacy per-execution temp pattern
+    val legacy = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(f => f.getName.startsWith("graft_bucketed") && f.isDirectory)
+    assert(legacy.isEmpty, s"legacy temp dirs present: ${legacy.mkString(", ")}")
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
