@@ -307,6 +307,27 @@ object SparkEntry {
              count(lit(1)).as("n_items"))
     },
 
+    // ---- skew-mitigated fact join: salted equi-join ---------------------
+    // same logical answer as the plain orders x lineitem join (the oracle
+    // IS q91's plain SQL); what's under test is the SKEW REWRITE: the
+    // fact side salted 8 ways, the mid-size side replicated per salt, so
+    // a heavy-hitter orderkey spreads over 8 tasks instead of one. The
+    // salt changes task placement only — never the rows (SkewSpec pins
+    // row equality and the (key, salt) partitioning).
+    "q95_salted_join" -> { (s, dir) =>
+      prep(s, dir)
+      val lineitem = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      ops.Skew.saltedEquiJoin(lineitem, orders,
+          "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+    },
+
     // ---- bucketed EVENTS layout: shuffle-free behavioral aggregation ----
     // the reference's entire behavioral surface is GROUP BY user_id /
     // PARTITION BY user_id over the event log — at 100 TB that per-query
@@ -1879,6 +1900,15 @@ object SparkEntry {
     // q91: the oracle is the PLAIN join — bucketing is a physical layout
     // and must not change the answer
     "q91_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // q95: oracle is the PLAIN join — salting moves task placement, never
+    // rows
+    "q95_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items

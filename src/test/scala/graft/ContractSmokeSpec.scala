@@ -41,6 +41,7 @@ class ContractSmokeSpec extends AnyFunSuite {
       "q90_incremental_ann" -> 20,    // 5 queries x k=5 at 500 embeddings
       "q91_bucketed_join" -> 3,       // one row per order priority (5)
       "q92_bucketed_funnel" -> 10,    // one row per user, like q03
+      "q95_salted_join" -> 3,         // one row per order priority (5)
 
       "q09_tpch_q1" -> 1, "q10_join_revenue" -> 1, "q13_lang_stats" -> 1)
 

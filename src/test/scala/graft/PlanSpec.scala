@@ -62,6 +62,28 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed behavioral aggregation still shuffles:\n$p")
   }
 
+  test("bucketed events also serve the WINDOW path shuffle-free (sessionize)") {
+    // the aggregate path is pinned by q92; the window functions
+    // (sessionize et al run PARTITION BY user_id) use the same
+    // ClusteredDistribution machinery — over the bucketed table the plan
+    // must be scan -> sort-within-partitions -> window, no exchange
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    graft.behavioral.BehavioralFunctions.register(spark)
+    // q92's query writes/refreshes the bucketed table as a side effect
+    SparkEntry.queries("q92_bucketed_funnel")(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val p = graft.sources.Sinks.readBucketed(spark, "graft_b_events")
+      .select(col("user_id"),
+        graft.behavioral.BehavioralFunctions.sessionize(col("ts"),
+          expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(p.contains("Sort"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"bucketed window partitioning still shuffles:\n$p")
+  }
+
   test("q01: sessionize is one shuffle + sort + window (no extra exchange)") {
     val p = plan("q01_sessionize")
     assert(p.contains("Window"), p)

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** `Skew.saltedEquiJoin`: the explicit skew rewrite must change task
+  * placement ONLY — never the joined rows. q95 pins the whole-query answer
+  * against the plain-join oracle; these tests pin the row-level equality
+  * on a deliberately skewed input (which the TPC-H-ish fixture is not)
+  * and the physical properties the rewrite exists for.
+  */
+class SaltedJoinSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import graft.ops.Skew
+
+  private def skewed() = {
+    import spark.implicits._
+    // one heavy-hitter key (90% of left rows) + a tail; right is mid-size
+    val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val right = (1 to 50).map(i => (i.toLong, s"name_$i")).toDF("rk", "name")
+    (left, right)
+  }
+
+  test("salted join returns exactly the plain inner join's rows") {
+    val (left, right) = skewed()
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "v", "rk", "name")
+    val salted = Skew.saltedEquiJoin(left, right, "k", "rk", salts = 8)
+      .select("k", "v", "rk", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting changed the joined rows")
+    // the heavy key's 900 matches all survive
+    assert(salted.filter(col("k") === 1).count() === 900)
+  }
+
+  test("the join partitions on (key, salt), spreading the heavy key") {
+    val (left, right) = skewed()
+    val p = Skew.saltedEquiJoin(left, right, "k", "rk", salts = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__graft_salt"),
+      s"salt column missing from the physical join:\n$p")
+    // both the key and the salt must be in the join keys (the exchange
+    // hashes on both, which is the entire point of the rewrite)
+    assert(p.contains("k#") && p.contains("__graft_salt"), p)
+    // and the salt never reaches the output schema
+    assert(!Skew.saltedEquiJoin(left, right, "k", "rk", salts = 8)
+      .columns.contains("__graft_salt"))
+  }
+
+  test("salts = 1 degenerates to the plain join; reserved column rejected") {
+    val (left, right) = skewed()
+    // only the heavy key matches (tail keys 901..1000 exceed the dim's 50)
+    assert(Skew.saltedEquiJoin(left, right, "k", "rk", salts = 1).count() === 900)
+    val bad = left.withColumnRenamed("v", "__graft_salt")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(bad, right, "k", "rk", salts = 4)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+}
