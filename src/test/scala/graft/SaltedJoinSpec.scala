@@ -49,6 +49,33 @@ class SaltedJoinSpec extends AnyFunSuite {
       .columns.contains("__graft_salt"))
   }
 
+  test("the heavy key's rows take MANY distinct salts (the spread is real)") {
+    // a salt derived from the join key would give every copy of the heavy
+    // key the SAME salt — rows still correct, spread nonexistent. Probe
+    // the physical partitioning with broadcast DISABLED (under a broadcast
+    // join there is no hash exchange and partition ids measure nothing):
+    // count the shuffle partitions holding the heavy key's output rows.
+    val (left, right) = skewed()
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE coalesces this tiny shuffle into ONE partition either way —
+    // disable so partition ids reflect the (key, salt) hash
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val parts = Skew.saltedEquiJoin(left, right, "k", "rk", salts = 8)
+        .filter(col("k") === 1)
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .distinct().as[Int].collect()
+      assert(parts.length > 1,
+        s"heavy key landed in ${parts.length} partition(s) — salting is not spreading")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("salts = 1 degenerates to the plain join; reserved column rejected") {
     val (left, right) = skewed()
     // only the heavy key matches (tail keys 901..1000 exceed the dim's 50)
