@@ -207,6 +207,16 @@ object Drive {
       println("-- bucketed join (no exchange on the join keys):")
       joined.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items")).orderBy("o_orderpriority").show(5, false)
+
+      println("-- salted skew join (placement-only: same rollup as plain):")
+      graft.ops.Skew.saltedEquiJoin(
+          graft.sources.Tables.load(spark, sfDir, "lineitem")
+            .select("l_orderkey", "l_extendedprice"),
+          graft.sources.Tables.load(spark, sfDir, "orders")
+            .select("o_orderkey", "o_orderpriority"),
+          "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items")).orderBy("o_orderpriority").show(5, false)
     }
 
     println("=== real media codecs (JDK imageio / sound.sampled / MJPEG-AVI) ===")
@@ -228,6 +238,16 @@ object Drive {
       println("-- image decode (real PNG codec):")
       Multimodal.decodeImages(media.map(m => Multimodal.ImageRow(m._1, m._2)))
         .orderBy("media_id").show(3, false)
+      println("-- robustness: junk / truncated / bomb-header bytes flow as ok=false:")
+      Multimodal.decodeImages(media.map { m =>
+          Multimodal.ImageRow(m._1, (m._1 % 4) match {
+            case 0 => m._2
+            case 1 => Array[Byte](1, 2, 3)
+            case 2 => m._2.take(40)
+            case _ => Multimodal.bombHeaderPng(16384, 16384)
+          })
+        })
+        .groupBy("ok").count().orderBy("ok").show(2, false)
       println("-- audio decode (real WAV codec):")
       Multimodal.decodeAudio(media.map(m => Multimodal.AudioRow(m._1, m._3)))
         .orderBy("media_id").show(3, false)
