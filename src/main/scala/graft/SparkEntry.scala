@@ -291,15 +291,17 @@ object SparkEntry {
     "q91_bucketed_join" -> { (s, dir) =>
       prep(s, dir)
       val tmp = sources.Sinks.scratchDir("q91_bucketed")
+      val tOrders = sources.Sinks.sessionTable(s, "graft_b_orders")
+      val tLineitem = sources.Sinks.sessionTable(s, "graft_b_lineitem")
       sources.Sinks.writeBucketed(
         Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "graft_b_orders", s"$tmp/o", nBuckets = 8, "o_orderkey")
+        tOrders, s"$tmp/o", nBuckets = 8, "o_orderkey")
       sources.Sinks.writeBucketed(
         Tables.load(s, dir, "lineitem")
           .select("l_orderkey", "l_extendedprice", "l_discount"),
-        "graft_b_lineitem", s"$tmp/l", nBuckets = 8, "l_orderkey")
-      sources.Sinks.readBucketed(s, "graft_b_orders")
-        .join(sources.Sinks.readBucketed(s, "graft_b_lineitem"),
+        tLineitem, s"$tmp/l", nBuckets = 8, "l_orderkey")
+      sources.Sinks.readBucketed(s, tOrders)
+        .join(sources.Sinks.readBucketed(s, tLineitem),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -340,9 +342,10 @@ object SparkEntry {
     "q92_bucketed_funnel" -> { (s, dir) =>
       val ev = events(s, dir).select("user_id", "ts", "event_type")
       val tmp = sources.Sinks.scratchDir("q92_bucketed")
-      sources.Sinks.writeBucketed(ev, "graft_b_events", s"$tmp/events",
+      val tEvents = sources.Sinks.sessionTable(s, "graft_b_events")
+      sources.Sinks.writeBucketed(ev, tEvents, s"$tmp/events",
         nBuckets = 8, "user_id")
-      sources.Sinks.readBucketed(s, "graft_b_events")
+      sources.Sinks.readBucketed(s, tEvents)
         .groupBy(col("user_id"))
         .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), col("ts"),
           col("event_type") === "view",

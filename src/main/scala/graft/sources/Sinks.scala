@@ -74,4 +74,11 @@ object Sinks {
     * so this must go through the table name, not the path). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Session-unique catalog name for a scratch table: stable across
+    * re-executions within one SparkContext (so overwrites land on the
+    * same table) but distinct across sessions — fixed names would collide
+    * between concurrent sessions sharing a metastore. */
+  def sessionTable(spark: SparkSession, base: String): String =
+    s"${base}_${math.abs(spark.sparkContext.applicationId.hashCode.toLong)}"
 }

@@ -196,13 +196,13 @@ object Drive {
       graft.sources.Sinks.writeBucketed(
         graft.sources.Tables.load(spark, sfDir, "orders")
           .select("o_orderkey", "o_orderpriority"),
-        "drive_b_orders", s"$tmp/o", nBuckets = 4, "o_orderkey")
+        graft.sources.Sinks.sessionTable(spark, "drive_b_orders"), s"$tmp/o", nBuckets = 4, "o_orderkey")
       graft.sources.Sinks.writeBucketed(
         graft.sources.Tables.load(spark, sfDir, "lineitem")
           .select("l_orderkey", "l_extendedprice"),
-        "drive_b_lineitem", s"$tmp/l", nBuckets = 4, "l_orderkey")
-      val joined = graft.sources.Sinks.readBucketed(spark, "drive_b_orders")
-        .join(graft.sources.Sinks.readBucketed(spark, "drive_b_lineitem"),
+        graft.sources.Sinks.sessionTable(spark, "drive_b_lineitem"), s"$tmp/l", nBuckets = 4, "l_orderkey")
+      val joined = graft.sources.Sinks.readBucketed(spark, graft.sources.Sinks.sessionTable(spark, "drive_b_orders"))
+        .join(graft.sources.Sinks.readBucketed(spark, graft.sources.Sinks.sessionTable(spark, "drive_b_lineitem")),
           col("o_orderkey") === col("l_orderkey"))
       println("-- bucketed join (no exchange on the join keys):")
       joined.groupBy("o_orderpriority")

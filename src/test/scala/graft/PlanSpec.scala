@@ -73,7 +73,7 @@ class PlanSpec extends AnyFunSuite {
     // q92's query writes/refreshes the bucketed table as a side effect
     SparkEntry.queries("q92_bucketed_funnel")(spark, sfDir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val p = graft.sources.Sinks.readBucketed(spark, "graft_b_events")
+    val p = graft.sources.Sinks.readBucketed(spark, graft.sources.Sinks.sessionTable(spark, "graft_b_events"))
       .select(col("user_id"),
         graft.behavioral.BehavioralFunctions.sessionize(col("ts"),
           expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
