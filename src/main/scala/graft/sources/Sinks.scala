@@ -75,6 +75,24 @@ object Sinks {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Write `df` date-partitioned on `to_date(tsCol)` — the standard
+    * event-log layout: one directory per day, so any time-sliced query
+    * (the dominant access pattern for behavioral data) PRUNES whole
+    * partitions at planning time instead of scanning the full log. The
+    * complement of `writeBucketed`: bucketing kills the per-query
+    * key shuffle, date partitioning kills the per-query time scan. At
+    * 100 TB a 7-day funnel over a 3-year log reads ~0.6% of the files. */
+  def writeDatePartitioned(df: DataFrame, path: String,
+      tsCol: String = "ts"): Unit =
+    df.withColumn("event_date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col(tsCol)))
+      .write.mode("overwrite").partitionBy("event_date").parquet(path)
+
+  /** Read a date-partitioned log back; `event_date` filters prune. */
+  def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Session-unique catalog name for a scratch table: stable across
     * re-executions within one SparkContext (so overwrites land on the
     * same table) but distinct across sessions — fixed names would collide

@@ -62,6 +62,41 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed behavioral aggregation still shuffles:\n$p")
   }
 
+  test("q96: date filter prunes day-partitions at planning time") {
+    val df = SparkEntry.queries("q96_datepart_funnel")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the date predicate must land INSIDE the PartitionFilters bracket
+    // (pruned at listing) — a scan line always prints "PartitionFilters:
+    // []" and the same line carries PushedFilters, so merely co-occurring
+    // strings prove nothing (mutation DP211 survived that first draft)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(pf.contains("event_date"),
+      s"event_date bounds not inside PartitionFilters (got '$pf'):\n$p")
+    // and the pruning is real: the scan reads ~7 of the 30 day-partitions.
+    // AQE hides the scan inside query stages `collect` can't traverse, so
+    // probe with AQE off — pruning happens at listing time either way.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df2 = SparkEntry.queries("q96_datepart_funnel")(spark, sfDir)
+      df2.collect()
+      val scans = df2.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, df2.queryExecution.executedPlan.toString)
+      // the layout really is one directory per day on disk...
+      val dayDirs = new java.io.File(
+          graft.sources.Sinks.scratchDir("q96_datepart"), "events")
+        .listFiles().count(f => f.isDirectory && f.getName.startsWith("event_date="))
+      assert(dayDirs == 30, s"expected 30 day-partitions on disk, found $dayDirs")
+      // ...and the 7-day slice reads strictly fewer files than exist
+      val numFiles = scans.map(_.metrics("numFiles").value).sum
+      assert(numFiles > 0 && numFiles <= 10 && numFiles < dayDirs,
+        s"expected <= 10 of >= $dayDirs files after pruning, scan read $numFiles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bucketed events also serve the WINDOW path shuffle-free (sessionize)") {
     // the aggregate path is pinned by q92; the window functions
     // (sessionize et al run PARTITION BY user_id) use the same
