@@ -373,6 +373,28 @@ object SparkEntry {
           col("event_type") === "purchase").as("steps"))
     },
 
+    // ---- COMBINED layout: date-partitioned + user-bucketed --------------
+    // both levers in one table: the 7-day funnel prunes 23 of 30
+    // day-directories at planning time AND aggregates with zero
+    // exchanges (PlanSpec pins both on the same plan). Same oracle as
+    // q96 — layout must not change the answer.
+    "q97_layout_funnel" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          to_date(col("ts")).as("event_date"))
+      val tmp = sources.Sinks.scratchDir("q97_layout")
+      val tEvents = sources.Sinks.sessionTable(s, "graft_pb_events")
+      sources.Sinks.writePartitionedBucketed(ev, tEvents, s"$tmp/events",
+        partCol = "event_date", nBuckets = 8, key = "user_id")
+      sources.Sinks.readBucketed(s, tEvents)
+        .filter(col("event_date").between(lit("2024-01-01"), lit("2024-01-07")))
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"), col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("steps"))
+    },
+
     // ---- LLM pipeline: exact dedup -------------------------------------
     "q11_dedup_exact" -> { (s, dir) =>
       prep(s, dir)
@@ -1941,6 +1963,29 @@ object SparkEntry {
     // q96: the plain funnel SQL restricted to the 7-day slice — the
     // date-partitioned layout must not change the answer
     "q96_datepart_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |           WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |c2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type = 'click'
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(x.t) AS t3
+        |       FROM c2 LEFT JOIN e x
+        |         ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+        |        AND c2.t2 IS NOT NULL AND x.t > c2.t2 AND x.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM c3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
+
+    // q97: same oracle as q96 — the combined layout must not change the
+    // 7-day answer
+    "q97_layout_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
         |           WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'),
         |u AS (SELECT DISTINCT user_id FROM e),

@@ -93,6 +93,26 @@ object Sinks {
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The combined production layout: directory-partitioned on `partCol`
+    * AND bucketed by `key` within each partition. A time-sliced
+    * behavioral query then prunes whole day-directories at planning time
+    * AND aggregates with zero exchanges — both layout levers in one
+    * table. `partCol` must already exist on `df` (e.g. a `to_date(ts)`
+    * column), because it leaves the file schema and becomes directory
+    * structure. */
+  def writePartitionedBucketed(df: DataFrame, table: String, path: String,
+      partCol: String, nBuckets: Int, key: String): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .partitionBy(partCol)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Session-unique catalog name for a scratch table: stable across
     * re-executions within one SparkContext (so overwrites land on the
     * same table) but distinct across sessions — fixed names would collide

@@ -43,6 +43,7 @@ class ContractSmokeSpec extends AnyFunSuite {
       "q92_bucketed_funnel" -> 10,    // one row per user, like q03
       "q95_salted_join" -> 3,         // one row per order priority (5)
       "q96_datepart_funnel" -> 10,    // one row per user active in the slice
+      "q97_layout_funnel" -> 10,      // one row per user active in the slice
 
       "q09_tpch_q1" -> 1, "q10_join_revenue" -> 1, "q13_lang_stats" -> 1)
 

@@ -97,6 +97,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q97: combined layout prunes day-partitions AND aggregates with zero exchanges") {
+    val p = plan("q97_layout_funnel")
+    // both levers on ONE plan: the date predicate inside the
+    // PartitionFilters bracket (pruned at listing) ...
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(pf.contains("event_date"),
+      s"event_date bounds not inside PartitionFilters (got '$pf'):\n$p")
+    // ... and the bucketed scan satisfying the aggregate's distribution
+    assert(p.contains("partial_window_funnel"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"combined layout still shuffles:\n$p")
+  }
+
   test("bucketed events also serve the WINDOW path shuffle-free (sessionize)") {
     // the aggregate path is pinned by q92; the window functions
     // (sessionize et al run PARTITION BY user_id) use the same
