@@ -1575,6 +1575,46 @@ object SparkEntry {
           round(col("mean_abs"), 6).as("mean_abs"))
     },
 
+    // ---- multimodal: undecodable-AUDIO contract under the HASH gate -----
+    // q93's principle for the audio path — doc_id % 4: 0 = valid PCM16
+    // WAV (q87's closed form), 1 = junk bytes (no parser claims them),
+    // 2 = WAV truncated mid-header, 3 = real 8-bit unsigned WAV (parses,
+    // but non-PCM16 is DATA the decoder declines, not an error). Every
+    // non-zero class flows as ok=false with zeroed stats under the hash.
+    "q98_audio_robustness" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val audio = ids.mapPartitions(_.map { id =>
+        def valid = ops.Multimodal.encodeWav(8000,
+          Array.tabulate(64)(i => (((id * 31 + i * 17) % 65536) - 32768).toShort))
+        def wav8bit: Array[Byte] = {
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+            /* signed = */ false, /* bigEndian = */ false)
+          val pcm = Array.tabulate[Byte](64)(i => ((id + i) % 256).toByte)
+          val st = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, 64L)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(st,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          out.toByteArray
+        }
+        val bytes = (id % 4) match {
+          case 0 => valid
+          case 1 => Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+          case 2 => valid.take(30)
+          case _ => wav8bit
+        }
+        ops.Multimodal.AudioRow(id, bytes)
+      })
+      ops.Multimodal.decodeAudio(audio)
+        .select(col("media_id").as("doc_id"), col("ok"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_amp"), 6).as("mean_amp"),
+          round(col("mean_abs"), 6).as("mean_abs"))
+    },
+
     // ---- multimodal: REAL video path (MJPEG-AVI, JDK JPEG codec) --------
     // One 8-frame MJPEG-AVI is synthesized per doc_id — frame i is solid
     // gray 32*((i+id)%8)+16, JPEG-encoded by the ACTUAL codec, wrapped in
@@ -2516,6 +2556,24 @@ object SparkEntry {
         |  CAST(4000 AS INTEGER) AS sample_rate, CAST(2 AS INTEGER) AS channels,
         |  CAST(32 AS BIGINT) AS n_frames, round(CAST(8.0 AS DOUBLE), 6) AS duration_ms,
         |  round(ma, 6) AS mean_amp, round(mabs, 6) AS mean_abs
+        |FROM m""".stripMargin,
+
+    // q98: the undecodable-audio mix in closed form — only doc_id % 4 == 0
+    // decodes; junk, truncated, and non-PCM16 classes surface as ok=false
+    // with zeroed stats under the hash gate
+    "q98_audio_robustness" ->
+      """WITH fs AS (SELECT unnest(range(0, 64)) AS i),
+        |m AS (SELECT d.doc_id,
+        |        avg(CAST((d.doc_id * 31 + fs.i * 17) % 65536 - 32768 AS DOUBLE)) AS ma,
+        |        avg(abs(CAST((d.doc_id * 31 + fs.i * 17) % 65536 - 32768 AS DOUBLE))) AS mabs
+        |      FROM documents d CROSS JOIN fs GROUP BY d.doc_id)
+        |SELECT m.doc_id, (m.doc_id % 4 = 0) AS ok,
+        |  CAST(CASE WHEN m.doc_id % 4 = 0 THEN 8000 ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN m.doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN m.doc_id % 4 = 0 THEN 64 ELSE 0 END AS BIGINT) AS n_frames,
+        |  round(CASE WHEN m.doc_id % 4 = 0 THEN 8.0 ELSE 0 END, 6) AS duration_ms,
+        |  round(CASE WHEN m.doc_id % 4 = 0 THEN ma ELSE 0 END, 6) AS mean_amp,
+        |  round(CASE WHEN m.doc_id % 4 = 0 THEN mabs ELSE 0 END, 6) AS mean_abs
         |FROM m""".stripMargin,
 
     // q89: stride-2 sampling of the 8-frame MJPEG-AVI keeps frames
