@@ -1673,6 +1673,40 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     },
 
+    // ---- multimodal: undecodable-VIDEO contract under the HASH gate -----
+    // completes the robustness triad (q93 image, q98 audio) — doc_id % 4:
+    // 0 = valid MJPEG-AVI (q89's closed form), 1 = junk bytes and
+    // 2 = truncated container (both: ONE frame_idx=-1 ok=false row),
+    // 3 = intact container whose frames are garbage bytes (the walk
+    // succeeds; each sampled frame decodes to an ok=false row). The
+    // oracle enumerates all three shapes in closed form.
+    "q99_video_robustness" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val videos = ids.mapPartitions(_.map { id =>
+        def goodFrames = (0 until 8).map { i =>
+          val v = 32 * ((i + id) % 8).toInt + 16
+          ops.Multimodal.encodeJpeg(16, 16)((_, _) => (v << 16) | (v << 8) | v)
+        }
+        def junkFrames = (0 until 8).map(i =>
+          Array.tabulate[Byte](32)(j => ((id + i * 7 + j) % 251).toByte))
+        val bytes = (id % 4) match {
+          case 0 => ops.Multimodal.encodeMjpegAvi(16, 16, 10, goodFrames)
+          case 1 => Array[Byte](9, 9, 9, 9)
+          // header-level cut (< the 12-byte RIFF/AVI magic) — a MID-STREAM
+          // cut deliberately salvages the fully-contained frames instead
+          // (VideoCodecSpec pins that), which would be mix-0-shaped here
+          case 2 => ops.Multimodal.encodeMjpegAvi(16, 16, 10, goodFrames).take(10)
+          case _ => ops.Multimodal.encodeMjpegAvi(16, 16, 10, junkFrames)
+        }
+        ops.Multimodal.VideoRow(id, bytes)
+      })
+      ops.Multimodal.sampleVideoFrames(videos, 2)
+        .select(col("media_id").as("doc_id"), col("frame_idx"), col("ok"),
+          col("width"), col("height"), col("level").as("gray_level"))
+    },
+
     // ---- LLM pipeline: Bloom-prefiltered decontamination ------------------
     // same question and SAME ORACLE as q51: the Bloom filter over
     // xxhash64(gram) prunes the corpus gram stream (codegen'd might_contain,
@@ -2602,6 +2636,25 @@ object SparkEntry {
         |  round(CASE WHEN m.doc_id % 4 = 0 THEN CAST((m.doc_id * 7) % 256 AS DOUBLE) ELSE 0 END, 6) AS mean_g,
         |  round(CASE WHEN m.doc_id % 4 = 0 THEN mb ELSE 0 END, 6) AS mean_b
         |FROM m""".stripMargin,
+
+    // q99: the undecodable-video mix — valid frames / broken container
+    // (one frame_idx=-1 row) / garbage frames (per-sample ok=false rows),
+    // each shape in closed form from the doc_id % 4 rule
+    "q99_video_robustness" ->
+      """WITH fs AS (SELECT unnest(range(0, 8, 2)) AS i),
+        |ok0 AS (SELECT d.doc_id, CAST(fs.i AS INTEGER) AS frame_idx, true AS ok,
+        |          CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |          CAST((fs.i + d.doc_id) % 8 AS INTEGER) AS gray_level
+        |        FROM documents d CROSS JOIN fs WHERE d.doc_id % 4 = 0),
+        |bad AS (SELECT d.doc_id, CAST(-1 AS INTEGER) AS frame_idx, false AS ok,
+        |          CAST(-1 AS INTEGER) AS width, CAST(-1 AS INTEGER) AS height,
+        |          CAST(-1 AS INTEGER) AS gray_level
+        |        FROM documents d WHERE d.doc_id % 4 IN (1, 2)),
+        |badf AS (SELECT d.doc_id, CAST(fs.i AS INTEGER) AS frame_idx, false AS ok,
+        |          CAST(-1 AS INTEGER) AS width, CAST(-1 AS INTEGER) AS height,
+        |          CAST(-1 AS INTEGER) AS gray_level
+        |        FROM documents d CROSS JOIN fs WHERE d.doc_id % 4 = 3)
+        |SELECT * FROM ok0 UNION ALL SELECT * FROM bad UNION ALL SELECT * FROM badf""".stripMargin,
 
     // q73 is the bloom-prefiltered path to the exact same answer as q51 —
     // one oracle text, two physical strategies under test

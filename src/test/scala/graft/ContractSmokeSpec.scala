@@ -38,6 +38,7 @@ class ContractSmokeSpec extends AnyFunSuite {
       "q77_stream_sessionize" -> 300, // >= one session per user, ~gap-bound
       "q82_stream_exact_dedup" -> 30, // one row per DISTINCT text (~10% of docs)
       "q89_video_frames" -> 1200,     // 4 sampled frames per doc
+      "q99_video_robustness" -> 700,  // 4 + 1 + 1 + 4 rows per 4-doc cycle
       "q90_incremental_ann" -> 20,    // 5 queries x k=5 at 500 embeddings
       "q91_bucketed_join" -> 3,       // one row per order priority (5)
       "q92_bucketed_funnel" -> 10,    // one row per user, like q03
