@@ -82,6 +82,22 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(through.bytes.toSeq === junk.bytes.toSeq)
   }
 
+  test("real but non-PCM16 audio (8-bit unsigned WAV) is declined as ok=false data") {
+    import spark.implicits._
+    // a parseable container the decoder must DECLINE, not misinterpret:
+    // dropping the PCM16 gate would read the 8-bit bytes as garbage shorts
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcm = Array.tabulate[Byte](64)(i => (i * 3 % 256).toByte)
+    val st = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 64L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(st,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val meta = Multimodal.decodeAudio(
+      Seq(Multimodal.AudioRow(13L, out.toByteArray)).toDS()).collect().head
+    assert(!meta.ok && meta.sample_rate === 0 && meta.n_frames === 0L)
+  }
+
   test("AU container (big-endian PCM16) decodes through the same operator") {
     import spark.implicits._
     // write big-endian PCM16 into an AU container with the JDK writer;
