@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Layout stress-run: measures what the q92 bucketed-events lever actually
+  * buys at scale — the same `window_funnel` aggregation over (a) plain
+  * parquet (partial agg → SHUFFLE of every user's packed event buffer →
+  * final) and (b) the user_id-bucketed table (scan → partial → final, zero
+  * exchanges). The write cost of the layout is paid once and excluded; the
+  * timings are query-only, which is the amortized regime the layout exists
+  * for. Prints one JSON line.
+  */
+object LayoutStress {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val users = 100000L
+    val nBuckets = 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.behavioral.BehavioralFunctions.register(spark)
+
+    // the Stress.scala event synth: ~100 events/user, 4 types
+    val events = spark.range(n).select(
+      (col("id") % users).as("user_id"),
+      timestamp_micros(lit(1704067200000000L)
+        + expr(s"id div $users") * 300000000L
+        + pmod(xxhash64(col("id")), lit(299000000L))).as("ts"),
+      element_at(array(lit("view"), lit("click"), lit("purchase"), lit("error")),
+        (pmod(xxhash64(col("id") + 7), lit(4)) + 1).cast("int")).as("event_type"))
+
+    val tmp = graft.sources.Sinks.scratchDir("layout_stress")
+    events.write.mode("overwrite").parquet(s"$tmp/plain")
+    val table = graft.sources.Sinks.sessionTable(spark, "layout_stress_events")
+    graft.sources.Sinks.writeBucketed(
+      spark.read.parquet(s"$tmp/plain"), table, s"$tmp/bucketed",
+      nBuckets = nBuckets, "user_id")
+
+    def funnel(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id"))
+        .agg(graft.behavioral.BehavioralFunctions.window_funnel(
+          expr("INTERVAL '1' HOUR"), col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("steps"))
+
+    def time(label: String, df: => org.apache.spark.sql.DataFrame): Double = {
+      // min of 2 runs, noop sink forces full evaluation
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(f"[layout] $label%-9s ${secs.min}%8.2f s (runs: ${secs.map(s => f"$s%.2f").mkString(", ")})")
+      secs.min
+    }
+
+    val plainSec = time("plain", funnel(spark.read.parquet(s"$tmp/plain")))
+    val bucketedSec = time("bucketed", funnel(graft.sources.Sinks.readBucketed(spark, table)))
+
+    // sanity: identical answers and the bucketed plan really has no exchange
+    val p = funnel(graft.sources.Sinks.readBucketed(spark, table))
+      .queryExecution.executedPlan.toString
+    require(!p.contains("Exchange hashpartitioning"),
+      s"bucketed funnel still shuffles:\n$p")
+    val a = funnel(spark.read.parquet(s"$tmp/plain"))
+      .agg(sum("steps"), count(lit(1))).collect()(0)
+    val b = funnel(graft.sources.Sinks.readBucketed(spark, table))
+      .agg(sum("steps"), count(lit(1))).collect()(0)
+    require(a == b, s"layout changed the answer: $a vs $b")
+
+    def jf(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
+      java.lang.Double.valueOf(v))
+    println(s"""{"metric":"layout_funnel","rows":$n,"users":$users,"plain_sec":${jf(plainSec)},"bucketed_sec":${jf(bucketedSec)}}""")
+    spark.stop()
+  }
+}

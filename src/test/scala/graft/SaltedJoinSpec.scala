@@ -76,6 +76,28 @@ class SaltedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("property: salted join equals plain join on random skewed tables") {
+    import spark.implicits._
+    // deterministic pseudo-random trials over varied skew shapes and salt
+    // counts — row multisets must match the plain join exactly every time
+    for (trial <- 1 to 5) {
+      val rnd = new scala.util.Random(trial * 7919)
+      val nLeft = 50 + rnd.nextInt(300)
+      val keySpace = 1 + rnd.nextInt(12)
+      val left = (0 until nLeft)
+        .map(i => (rnd.nextInt(keySpace).toLong, i)).toDF("k", "v")
+      val right = (0 until keySpace).filter(_ => rnd.nextBoolean())
+        .map(i => (i.toLong, s"r$i")).toDF("rk", "name")
+      val salts = 1 + rnd.nextInt(6)
+      val plain = left.join(right, col("k") === col("rk"))
+        .select("k", "v", "rk", "name")
+      val salted = Skew.saltedEquiJoin(left, right, "k", "rk", salts)
+        .select("k", "v", "rk", "name")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"trial $trial (nLeft=$nLeft keySpace=$keySpace salts=$salts): rows differ")
+    }
+  }
+
   test("salts = 1 degenerates to the plain join; reserved column rejected") {
     val (left, right) = skewed()
     // only the heavy key matches (tail keys 901..1000 exceed the dim's 50)
