@@ -208,6 +208,19 @@ object Drive {
       joined.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items")).orderBy("o_orderpriority").show(5, false)
 
+      println("-- date-partitioned events: 7-day slice prunes day-directories:")
+      val dpTmp = graft.sources.Sinks.scratchDir("drive_datepart")
+      graft.sources.Sinks.writeDatePartitioned(
+        graft.sources.Tables.events(spark, sfDir)
+          .select("user_id", "ts", "event_type"), s"$dpTmp/events", "ts")
+      val dayDirs = new java.io.File(s"$dpTmp/events").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("event_date="))
+      val sliced = graft.sources.Sinks.readDatePartitioned(spark, s"$dpTmp/events")
+        .filter(col("event_date").between(lit("2024-01-01"), lit("2024-01-07")))
+      println(s"   $dayDirs day-directories on disk; slice reads " +
+        s"${sliced.select(countDistinct(col("event_date"))).collect()(0).getLong(0)} of them " +
+        s"(${sliced.count()} events)")
+
       println("-- salted skew join (placement-only: same rollup as plain):")
       graft.ops.Skew.saltedEquiJoin(
           graft.sources.Tables.load(spark, sfDir, "lineitem")
