@@ -113,6 +113,32 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Compact a fragmented parquet directory in place: incremental ingest
+    * (digest/MinHash/SimHash/IVF appends) accretes one small file batch at
+    * a time, and at 100 TB the listing + per-file open cost of thousands
+    * of KB-sized files eventually dominates the probe itself. Rewrites
+    * the data into `targetPartitions` files in a sibling temp directory,
+    * VERIFIES the row count survived, then swaps — the swap is the only
+    * non-atomic window, and a verification failure leaves the original
+    * untouched. Returns the row count. */
+  def compactParquet(spark: SparkSession, path: String,
+      targetPartitions: Int): Long = {
+    require(targetPartitions > 0,
+      s"targetPartitions must be positive, got $targetPartitions")
+    val before = spark.read.parquet(path)
+    val n = before.count()
+    val tmp = path.stripSuffix("/") + ".compact_tmp"
+    deleteRecursive(java.nio.file.Paths.get(tmp))
+    before.repartition(targetPartitions).write.mode("overwrite").parquet(tmp)
+    val nAfter = spark.read.parquet(tmp).count()
+    require(nAfter == n,
+      s"compaction row count changed ($n -> $nAfter); original left untouched at $path")
+    val dst = java.nio.file.Paths.get(path)
+    deleteRecursive(dst)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
+    n
+  }
+
   /** Session-unique catalog name for a scratch table: stable across
     * re-executions within one SparkContext (so overwrites land on the
     * same table) but distinct across sessions — fixed names would collide

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** `Sinks.compactParquet`: the maintenance op for incrementally-ingested
+  * indexes — many small appended files rewritten into few, rows and
+  * values bit-identical, original preserved on verification failure.
+  */
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import graft.sources.Sinks
+
+  private def parquetFiles(path: String): Int =
+    new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  test("compaction reduces file count, preserves every row, and reports the count") {
+    import spark.implicits._
+    val dir = Sinks.scratchDir("compact_spec") + "/idx"
+    // simulate 12 incremental append batches -> >= 12 small files
+    for (b <- 0 until 12)
+      (0 until 50).map(i => (b * 1000L + i, s"digest_${b}_$i"))
+        .toDF("doc_id", "digest")
+        .write.mode("append").parquet(dir)
+    val filesBefore = parquetFiles(dir)
+    assert(filesBefore >= 12, s"fixture not fragmented: $filesBefore files")
+    val before = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+
+    val n = Sinks.compactParquet(spark, dir, targetPartitions = 2)
+    assert(n === 600L)
+    val filesAfter = parquetFiles(dir)
+    assert(filesAfter <= 2, s"still fragmented after compaction: $filesAfter files")
+    assert(filesAfter < filesBefore)
+    val after = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+    assert(after === before, "compaction changed the data")
+    // no leftover temp directory
+    assert(!new java.io.File(dir + ".compact_tmp").exists())
+  }
+
+  test("a compacted incremental index answers probes identically") {
+    import spark.implicits._
+    // the q76-style shape: digest index probed by a batch — compaction is
+    // pure layout, the probe answer must be identical
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"text body number ${i % 60}")).toDF("doc_id", "text")
+    val dir = Sinks.scratchDir("compact_spec") + "/digest"
+    for (half <- 0 to 1)
+      graft.ops.Dedup.exactDigestIndex(
+          docs.filter(col("doc_id") % 2 === half))
+        .write.mode("append").parquet(dir)
+    val batch = docs.filter(col("doc_id") < 40)
+    val beforeRows = graft.ops.Dedup.exactDupAgainst(
+      batch, spark.read.parquet(dir)).orderBy("new_id").collect().toSeq
+    Sinks.compactParquet(spark, dir, targetPartitions = 1)
+    val afterRows = graft.ops.Dedup.exactDupAgainst(
+      batch, spark.read.parquet(dir)).orderBy("new_id").collect().toSeq
+    assert(afterRows === beforeRows)
+  }
+}
