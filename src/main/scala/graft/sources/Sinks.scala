@@ -120,7 +120,12 @@ object Sinks {
     * the data into `targetPartitions` files in a sibling temp directory,
     * VERIFIES the row count survived, then swaps — the swap is the only
     * non-atomic window, and a verification failure leaves the original
-    * untouched. Returns the row count. */
+    * untouched. Returns the row count.
+    *
+    * The swap uses local-filesystem moves; on an object store (S3/GCS)
+    * replace it with the store's atomic-rename or a table format's commit
+    * (Iceberg/Delta rewrite-files) — the verify-then-swap contract is the
+    * part that carries over. */
   def compactParquet(spark: SparkSession, path: String,
       targetPartitions: Int): Long = {
     require(targetPartitions > 0,
