@@ -1575,6 +1575,38 @@ object SparkEntry {
           round(col("mean_abs"), 6).as("mean_abs"))
     },
 
+    // ---- multimodal: robustness mix through the RESIZE path -------------
+    // composes two seams under one hash: resizeImages must pass
+    // undecodable rows THROUGH unchanged (junk / truncated / bomb-header
+    // from the q93 mix), and the downstream decode must then flow them as
+    // ok=false — while valid rows carry q86's resized closed form. A
+    // regression in either seam (resize throwing on bad bytes, or
+    // passthrough mangling them into accidental decodability) flips rows.
+    "q100_resize_robustness" -> { (s, dir) =>
+      prep(s, dir)
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val images = ids.mapPartitions(_.map { id =>
+        def valid = ops.Multimodal.encodePng(32, 16) { (x, _) =>
+          (((id % 256).toInt) << 16) | (((id * 7 % 256).toInt) << 8) |
+            ((x + id) % 256).toInt
+        }
+        val bytes = (id % 4) match {
+          case 0 => valid
+          case 1 => Array[Byte](1, 2, 3, 4, 5)
+          case 2 => valid.take(40)
+          case _ => ops.Multimodal.bombHeaderPng(16384, 16384)
+        }
+        ops.Multimodal.ImageRow(id, bytes)
+      })
+      ops.Multimodal.decodeImages(ops.Multimodal.resizeImages(images, 8, 4))
+        .select(col("media_id").as("doc_id"), col("ok"),
+          col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    },
+
     // ---- multimodal: undecodable-AUDIO contract under the HASH gate -----
     // q93's principle for the audio path — doc_id % 4: 0 = valid PCM16
     // WAV (q87's closed form), 1 = junk bytes (no parser claims them),
@@ -2590,6 +2622,21 @@ object SparkEntry {
         |  CAST(4000 AS INTEGER) AS sample_rate, CAST(2 AS INTEGER) AS channels,
         |  CAST(32 AS BIGINT) AS n_frames, round(CAST(8.0 AS DOUBLE), 6) AS duration_ms,
         |  round(ma, 6) AS mean_amp, round(mabs, 6) AS mean_abs
+        |FROM m""".stripMargin,
+
+    // q100: the q93 mix through resize — valid rows carry q86's 8x4
+    // closed form, every other class survives passthrough and decodes
+    // ok=false
+    "q100_resize_robustness" ->
+      """WITH xs AS (SELECT unnest(range(0, 8)) AS x),
+        |m AS (SELECT d.doc_id, avg(CAST((4 * xs.x + d.doc_id) % 256 AS DOUBLE)) AS mb
+        |      FROM documents d CROSS JOIN xs GROUP BY d.doc_id)
+        |SELECT m.doc_id, (m.doc_id % 4 = 0) AS ok,
+        |  CAST(CASE WHEN m.doc_id % 4 = 0 THEN 8 ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN m.doc_id % 4 = 0 THEN 4 ELSE 0 END AS INTEGER) AS height,
+        |  round(CASE WHEN m.doc_id % 4 = 0 THEN CAST(m.doc_id % 256 AS DOUBLE) ELSE 0 END, 6) AS mean_r,
+        |  round(CASE WHEN m.doc_id % 4 = 0 THEN CAST((m.doc_id * 7) % 256 AS DOUBLE) ELSE 0 END, 6) AS mean_g,
+        |  round(CASE WHEN m.doc_id % 4 = 0 THEN mb ELSE 0 END, 6) AS mean_b
         |FROM m""".stripMargin,
 
     // q98: the undecodable-audio mix in closed form — only doc_id % 4 == 0

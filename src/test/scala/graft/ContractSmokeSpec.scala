@@ -31,7 +31,8 @@ class ContractSmokeSpec extends AnyFunSuite {
     "q28_simhash", "q83_stream_simhash_dedup",
     "q85_image_decode", "q86_image_resize",
     "q87_audio_decode", "q88_audio_downsample",
-    "q93_media_robustness", "q94_audio_stereo", "q98_audio_robustness")
+    "q93_media_robustness", "q94_audio_stereo", "q98_audio_robustness",
+    "q100_resize_robustness")
   private val rowFloors: Map[String, Int] =
     perUser.map(_ -> 10).toMap ++ perDoc.map(_ -> 300).toMap ++ Map(
       "q01_sessionize" -> 800,        // one row per event
