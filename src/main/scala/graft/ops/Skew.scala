@@ -36,13 +36,21 @@ object Skew {
     val saltCol = "__graft_salt"
     require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
       s"column name $saltCol is reserved by saltedEquiJoin")
-    // per-row salt: xxhash64 of a per-partition-unique id. The id is not
-    // stable across runs, but the salt never reaches the output and an
-    // inner join's ROWS are salt-invariant — only their task placement
-    // moves. hash(leftKey) alone would be useless: every copy of the
-    // heavy key would get the SAME salt.
+    // per-row salt: xxhash64 over the row's CONTENT (every left column).
+    // A row's salt is then a pure function of its values — identical
+    // across runs AND across task recomputations, so a fetch-failure
+    // retry at scale replays one map task instead of forcing Spark's
+    // indeterminate-stage rollback of the whole downstream stage set
+    // (the monotonically_increasing_id alternative is correct but
+    // indeterminate: the id depends on per-partition row order). The
+    // heavy key still spreads because its rows differ in payload;
+    // rows identical in EVERY column share a salt — acceptable residual
+    // skew (exact duplicates are the degenerate case, and `salts`-way
+    // spreading of distinct payloads is the point). hash(leftKey) alone
+    // would be useless: every copy of the heavy key would get the SAME
+    // salt.
     val saltedLeft = left.withColumn(saltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
     val replicatedRight = right.withColumn(saltCol,
       explode(lit((0L until salts.toLong).toArray)))
     saltedLeft.join(replicatedRight,

@@ -21,18 +21,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sinks {
 
-  /** Fixed per-JVM scratch directory for layout experiments (bucketed
+  /** Fixed per-PROCESS scratch directory for layout experiments (bucketed
     * copies, stress indexes). A fresh `createTempDirectory` per execution
     * accumulates unbounded /tmp residue when the bench harness runs a
     * query several times — instead each name maps to ONE stable path that
-    * is cleared of any previous JVM's residue on first use, overwritten
-    * (not duplicated) by repeated runs, and recursively deleted at JVM
-    * exit. Safe to call from concurrent query executions. */
+    * is overwritten (not duplicated) by repeated runs within the JVM and
+    * recursively deleted at JVM exit. The root is scoped by pid so two
+    * concurrently running harness JVMs (bench + verify, or two users on
+    * one host) never share — and therefore never wipe — each other's live
+    * scratch data; residue from a crashed (kill -9) sibling is reaped on
+    * first use by checking its pid is no longer alive. Safe to call from
+    * concurrent query executions. */
   def scratchDir(name: String): String =
     scratchRoots.computeIfAbsent(name, _ => {
-      val p = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_scratch", name)
-      deleteRecursive(p)
+      val p = processScratchRoot.resolve(name)
       java.nio.file.Files.createDirectories(p)
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursive(p)))
       p
@@ -41,6 +43,36 @@ object Sinks {
   private val scratchRoots =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** `<tmpdir>/graft_scratch/pid_<pid>` — created once per JVM; on first
+    * use, sibling `pid_*` roots whose process is gone (crashed without
+    * running its shutdown hooks) are deleted so abnormal exits don't
+    * accumulate residue the way the old clear-on-first-use did, without
+    * the old scheme's cross-process wipe hazard. */
+  private lazy val processScratchRoot: java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch")
+    val pid = ProcessHandle.current().pid()
+    if (java.nio.file.Files.isDirectory(base)) {
+      val sibs = base.toFile.listFiles()
+      if (sibs != null) sibs.foreach { f =>
+        val n = f.getName
+        if (n.startsWith("pid_") && n != s"pid_$pid" &&
+            n.stripPrefix("pid_").toLongOption.exists { sibPid =>
+              val h = ProcessHandle.of(sibPid)
+              !(h.isPresent && h.get.isAlive)
+            })
+          deleteRecursive(f.toPath)
+      }
+    }
+    val p = base.resolve(s"pid_$pid")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  /** Best-effort recursive delete: per-file IOExceptions are swallowed —
+    * right for shutdown-hook cleanup and stale-residue reaping, where a
+    * locked file must not abort the JVM exit or the caller. Paths whose
+    * continued existence the caller depends on (the compaction swap) use
+    * [[deleteRecursiveStrict]] instead. */
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -49,6 +81,21 @@ object Sinks {
           case _: java.io.IOException => ()
         })
     }
+
+  /** Recursive delete that SURFACES failure: if any entry survives, throws
+    * with the leftover paths instead of returning with the directory
+    * half-deleted — a caller about to move something into `p`'s place must
+    * know `p` is really gone, not discover it via a confusing
+    * DirectoryNotEmpty from the subsequent move. */
+  private def deleteRecursiveStrict(p: java.nio.file.Path): Unit = {
+    deleteRecursive(p)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val left = java.nio.file.Files.walk(p).iterator().asScala.take(5).toSeq
+      throw new java.io.IOException(
+        s"could not fully delete $p; leftovers include: ${left.mkString(", ")}")
+    }
+  }
 
   /** Write `df` as a bucketed external parquet table at `path`, replacing
     * any previous table of the same name. Keys order matters: joins
@@ -118,29 +165,59 @@ object Sinks {
     * a time, and at 100 TB the listing + per-file open cost of thousands
     * of KB-sized files eventually dominates the probe itself. Rewrites
     * the data into `targetPartitions` files in a sibling temp directory,
-    * VERIFIES the row count survived, then swaps — the swap is the only
-    * non-atomic window, and a verification failure leaves the original
-    * untouched. Returns the row count.
+    * VERIFIES the row count survived, then swaps via MOVE-ASIDE:
+    * `path -> path.compact_old`, `tmp -> path`, delete `.compact_old`.
+    * A crash between ANY two steps leaves a complete copy of the data at
+    * `path` or at `path.compact_old` (CompactionSpec injects a failure at
+    * every step boundary and asserts exactly that) — delete-then-move
+    * would instead leave a window where `path` is simply absent. A
+    * verification failure leaves the original untouched. Returns the row
+    * count.
     *
     * The swap uses local-filesystem moves; on an object store (S3/GCS)
     * replace it with the store's atomic-rename or a table format's commit
     * (Iceberg/Delta rewrite-files) — the verify-then-swap contract is the
     * part that carries over. */
   def compactParquet(spark: SparkSession, path: String,
-      targetPartitions: Int): Long = {
+      targetPartitions: Int): Long =
+    compactParquet(spark, path, targetPartitions, _ => ())
+
+  /** `onStep` is a fault-injection seam for CompactionSpec: called with a
+    * step name at each swap-step boundary ("verified", "moved-aside",
+    * "swapped") so a test can simulate a crash at every point and check
+    * the recovery invariant. Production callers use the 3-arg overload. */
+  private[graft] def compactParquet(spark: SparkSession, path: String,
+      targetPartitions: Int, onStep: String => Unit): Long = {
     require(targetPartitions > 0,
       s"targetPartitions must be positive, got $targetPartitions")
+    val tmp = path.stripSuffix("/") + ".compact_tmp"
+    val oldPath = path.stripSuffix("/") + ".compact_old"
+    // a leftover .compact_old means a previous compaction crashed mid-swap;
+    // if `path` also exists the swap completed (or never started) and the
+    // leftover is pure residue — reap it. If `path` does NOT exist the
+    // previous crash landed between move-aside and swap: recover by
+    // restoring the old copy before reading anything.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(oldPath))) {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        deleteRecursiveStrict(java.nio.file.Paths.get(oldPath))
+      else
+        java.nio.file.Files.move(java.nio.file.Paths.get(oldPath),
+          java.nio.file.Paths.get(path))
+    }
     val before = spark.read.parquet(path)
     val n = before.count()
-    val tmp = path.stripSuffix("/") + ".compact_tmp"
-    deleteRecursive(java.nio.file.Paths.get(tmp))
+    deleteRecursiveStrict(java.nio.file.Paths.get(tmp))
     before.repartition(targetPartitions).write.mode("overwrite").parquet(tmp)
     val nAfter = spark.read.parquet(tmp).count()
     require(nAfter == n,
       s"compaction row count changed ($n -> $nAfter); original left untouched at $path")
+    onStep("verified")
     val dst = java.nio.file.Paths.get(path)
-    deleteRecursive(dst)
+    java.nio.file.Files.move(dst, java.nio.file.Paths.get(oldPath))
+    onStep("moved-aside")
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
+    onStep("swapped")
+    deleteRecursiveStrict(java.nio.file.Paths.get(oldPath))
     n
   }
 

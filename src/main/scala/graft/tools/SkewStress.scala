@@ -58,11 +58,26 @@ object SkewStress {
     }
     require(plainRows == saltedRows,
       s"row mismatch: plain=$plainRows salted=$saltedRows")
+    // third variant: the SAME plain join with AQE's native skew-join split
+    // re-enabled — the planner-dependent alternative to the explicit salt.
+    // Where AQE is available AND the join is sort-merge AND runtime stats
+    // surface the skew, this is the zero-code path; the salt remains the
+    // option when the probe side must stay hash-partitioned (a stored
+    // bucketed layout) or AQE is off. Measured here so SCALE.md can state
+    // when each applies with numbers instead of folklore.
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    val (_, aqeSec, aqeRows) = time("aqe_skew") {
+      fact.join(dim, col("k") === col("rk"))
+        .agg(sum(col("v") * col("w")), count(lit(1))).collect()(0).getLong(1)
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    require(plainRows == aqeRows,
+      s"row mismatch: plain=$plainRows aqe=$aqeRows")
     // Locale.ROOT: the f-interpolator's default-locale decimals break JSON
     // under comma-decimal locales (same fix as Bench)
     def jf(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
       java.lang.Double.valueOf(v))
-    println(s"""{"metric":"skew_join","rows":$n,"heavy_frac":$heavyFrac,"salts":$salts,"plain_sec":${jf(plainSec)},"salted_sec":${jf(saltedSec)},"joined_rows":$plainRows}""")
+    println(s"""{"metric":"skew_join","rows":$n,"heavy_frac":$heavyFrac,"salts":$salts,"plain_sec":${jf(plainSec)},"salted_sec":${jf(saltedSec)},"aqe_skew_sec":${jf(aqeSec)},"joined_rows":$plainRows}""")
     spark.stop()
   }
 }

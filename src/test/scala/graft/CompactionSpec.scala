@@ -38,6 +38,43 @@ class CompactionSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".compact_tmp").exists())
   }
 
+  test("a crash at ANY swap-step boundary leaves a complete directory at path or path.compact_old") {
+    import spark.implicits._
+    // inject a simulated crash (exception) after each swap step in turn;
+    // after every crash, EITHER `path` or `path.compact_old` must hold the
+    // complete original data — the invariant that makes the swap
+    // recoverable. Then a fresh compactParquet on the same path must
+    // self-recover from the crashed state and finish the job.
+    for (crashAt <- Seq("verified", "moved-aside", "swapped")) {
+      val dir = Sinks.scratchDir("compact_crash") + s"/idx_$crashAt"
+      for (b <- 0 until 6)
+        (0 until 50).map(i => (b * 1000L + i, s"digest_${b}_$i"))
+          .toDF("doc_id", "digest")
+          .write.mode("append").parquet(dir)
+      val expected = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+
+      val e = intercept[RuntimeException] {
+        Sinks.compactParquet(spark, dir, targetPartitions = 2,
+          onStep = s => if (s == crashAt) throw new RuntimeException(s"boom at $s"))
+      }
+      assert(e.getMessage.contains(crashAt))
+      // the recovery invariant: a COMPLETE copy at path or path.compact_old
+      val survivor = Seq(dir, dir + ".compact_old")
+        .find(p => new java.io.File(p).isDirectory)
+        .getOrElse(fail(s"crash at '$crashAt' left neither $dir nor .compact_old"))
+      val rows = spark.read.parquet(survivor).orderBy("doc_id").collect().toSeq
+      assert(rows === expected,
+        s"crash at '$crashAt': survivor $survivor is not the complete data")
+
+      // and the next compaction self-recovers and completes
+      val n = Sinks.compactParquet(spark, dir, targetPartitions = 2)
+      assert(n === 300L)
+      assert(spark.read.parquet(dir).orderBy("doc_id").collect().toSeq === expected)
+      assert(!new java.io.File(dir + ".compact_old").exists())
+      assert(!new java.io.File(dir + ".compact_tmp").exists())
+    }
+  }
+
   test("a compacted incremental index answers probes identically") {
     import spark.implicits._
     // the q76-style shape: digest index probed by a batch — compaction is

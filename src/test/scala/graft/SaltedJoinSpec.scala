@@ -98,6 +98,39 @@ class SaltedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("salt assignment is deterministic: identical task placement across runs") {
+    // the salt is a pure function of row content (xxhash64 over every left
+    // column), so a row's shuffle partition must be IDENTICAL across two
+    // independent executions — the property that keeps a fetch-failure
+    // retry at 100 TB task-local instead of triggering Spark's
+    // indeterminate-stage rollback. Probe via the output rows' physical
+    // partition ids (broadcast + AQE coalesce disabled, as above, so the
+    // ids reflect the (key, salt) hash exchange).
+    val (left, right) = skewed()
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      def placement(): Map[(Long, Int), Int] =
+        Skew.saltedEquiJoin(left, right, "k", "rk", salts = 8)
+          .select(col("k").cast("long"), col("v").cast("int"),
+            org.apache.spark.sql.functions.spark_partition_id().as("p"))
+          .as[(Long, Int, Int)].collect()
+          .map { case (k, v, p) => (k, v) -> p }.toMap
+      val first = placement()
+      val second = placement()
+      assert(first === second,
+        "row -> shuffle partition placement changed between runs — salt is not content-deterministic")
+      // and the placement is a real spread, not all-one-partition
+      assert(first.values.toSet.size > 1, s"all rows in one partition: $first")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("salts = 1 degenerates to the plain join; reserved column rejected") {
     val (left, right) = skewed()
     // only the heavy key matches (tail keys 901..1000 exceed the dim's 50)
