@@ -395,6 +395,41 @@ object SparkEntry {
           col("event_type") === "purchase").as("steps"))
     },
 
+    // ---- compacted incremental index under the HASH gate ----------------
+    // the maintenance closing of the incremental family: q76's digest
+    // index built by INCREMENTAL APPENDS instead of one shot — four
+    // id-ordered batches through appendExactDigestIndex (first-writer-
+    // wins, which under id-ordered ingest equals the one-shot min(doc_id)
+    // build) — then compactParquet'd from the accreted small files into
+    // exactly 4, then probed by the q76 batch. Same oracle as q76:
+    // neither the append path nor the compaction may change the answer,
+    // and the in-query file-count check pins that the compaction
+    // demonstrably ran (q92/q96/q97's standard, applied to maintenance).
+    "q101_compacted_index" -> { (s, dir) =>
+      prep(s, dir)
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val idxDir = sources.Sinks.scratchDir("q101_exact_idx") + "/idx"
+      sources.Sinks.clearDir(idxDir) // appends accumulate otherwise
+      val maxId = corpus.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+      var lo = -1L
+      for (i <- 1 to 4) {
+        val hi = if (i == 4) maxId else maxId * i / 4
+        ops.Dedup.appendExactDigestIndex(
+          corpus.filter(col("doc_id") > lo && col("doc_id") <= hi), idxDir)
+        lo = hi
+      }
+      val target = 4
+      sources.Sinks.compactParquet(s, idxDir, target)
+      val nFiles = new java.io.File(idxDir).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      require(nFiles == target,
+        s"compaction left $nFiles parquet files, expected $target")
+      ops.Dedup.exactDupAgainst(
+        d.filter(col("doc_id") % 10 === 0), s.read.parquet(idxDir))
+        .select(col("new_id"), col("is_dup"), col("keep_id"))
+    },
+
     // ---- LLM pipeline: exact dedup -------------------------------------
     "q11_dedup_exact" -> { (s, dir) =>
       prep(s, dir)
@@ -2906,6 +2941,17 @@ object SparkEntry {
     // digest join and raw-text join agree whenever sha256 is injective on
     // the corpus (a collision would equally break q11's grouping)
     "q76_incremental_exact" ->
+      """WITH idx AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id
+        |             FROM documents WHERE doc_id % 10 <> 0 GROUP BY text)
+        |SELECT d.doc_id AS new_id, idx.keep_id IS NOT NULL AS is_dup, idx.keep_id
+        |FROM documents d LEFT JOIN idx ON d.text = idx.text
+        |WHERE d.doc_id % 10 = 0""".stripMargin,
+
+    // q101: same oracle as q76 — the index grown by id-ordered incremental
+    // appends and then compacted must answer the probe exactly like the
+    // one-shot build (first-writer-wins == global min under id order;
+    // compaction is pure layout)
+    "q101_compacted_index" ->
       """WITH idx AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id
         |             FROM documents WHERE doc_id % 10 <> 0 GROUP BY text)
         |SELECT d.doc_id AS new_id, idx.keep_id IS NOT NULL AS is_dup, idx.keep_id

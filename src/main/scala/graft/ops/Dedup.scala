@@ -190,6 +190,34 @@ object Dedup {
       .select(col("new_id"), col("keep_id").isNotNull.as("is_dup"),
         col("keep_id"))
 
+  /** Append a NEW batch to a STORED `exactDigestIndex` at `path`: digests
+    * already present keep their stored representative (first-writer-wins —
+    * the incremental-ingest contract: the earliest-ingested document owns
+    * its text); only previously-unseen digests land, as one appended file
+    * batch. When batches arrive in id order (the normal ingest stream),
+    * first-writer-wins coincides with the global `min(doc_id)` the
+    * one-shot `exactDigestIndex` build produces, so an index grown by this
+    * function answers probes identically (q101 pins that under the q76
+    * oracle, through a `compactParquet` of the accreted files).
+    *
+    * Scale shape: digest the batch, LEFT ANTI join against the stored
+    * digests (32-byte keys, corpus bodies never read), append O(new)
+    * rows. The anti-join result is materialized BEFORE the write so the
+    * append never races its own scan of `path`. */
+  def appendExactDigestIndex(newDocs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val batchIdx = exactDigestIndex(newDocs, idCol, textCol)
+    val toAppend =
+      if (new java.io.File(path).isDirectory)
+        batchIdx.join(spark.read.parquet(path).select("text_hash"),
+          Seq("text_hash"), "left_anti").persist()
+      else batchIdx
+    toAppend.count() // materialize off the stored files before appending
+    toAppend.write.mode("append").parquet(path)
+    toAppend.unpersist()
+  }
+
   /** Per-document cross-corpus repeated-passage statistics at word-n-gram
     * ("chunk") granularity — the passage-level analog of exact dedup, in
     * the deduplicating-training-data tradition (Lee et al. '22): a chunk

@@ -221,6 +221,13 @@ object Sinks {
     n
   }
 
+  /** Reset a scratch dataset directory (recursive delete, SURFACING
+    * failure): the rebuild companion for incrementally-appended indexes —
+    * a fresh append-driven build (q101) must start from empty, or the
+    * appends of successive runs accumulate. */
+  def clearDir(path: String): Unit =
+    deleteRecursiveStrict(java.nio.file.Paths.get(path))
+
   /** Session-unique catalog name for a scratch table: stable across
     * re-executions within one SparkContext (so overwrites land on the
     * same table) but distinct across sessions — fixed names would collide

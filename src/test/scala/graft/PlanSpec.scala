@@ -85,15 +85,35 @@ class PlanSpec extends AnyFunSuite {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
       assert(scans.nonEmpty, df2.queryExecution.executedPlan.toString)
-      // the layout really is one directory per day on disk...
-      val dayDirs = new java.io.File(
-          graft.sources.Sinks.scratchDir("q96_datepart"), "events")
-        .listFiles().count(f => f.isDirectory && f.getName.startsWith("event_date="))
-      assert(dayDirs == 30, s"expected 30 day-partitions on disk, found $dayDirs")
-      // ...and the 7-day slice reads strictly fewer files than exist
+      // the layout really is one directory per DISTINCT event date in the
+      // fixture (derived from the data, not hard-coded — a different sf's
+      // time span must not fail this without a pruning regression) ...
+      val expectedDays = graft.sources.Tables.load(spark, sfDir, "events")
+        .select(org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")))).head().getLong(0)
+      val root = new java.io.File(
+        graft.sources.Sinks.scratchDir("q96_datepart"), "events")
+      val dayDirList = root.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      assert(dayDirList.length.toLong == expectedDays,
+        s"expected $expectedDays day-partitions on disk, found ${dayDirList.length}")
+      assert(expectedDays > 7, s"fixture spans only $expectedDays days — pruning unobservable")
+      // ...and the 7-day slice reads EXACTLY the files of the 7 in-range
+      // day directories, strictly fewer than exist (files-per-day scales
+      // with writer parallelism, so compare against the actual on-disk
+      // counts rather than an absolute number)
+      def pq(f: java.io.File): Long = f.listFiles()
+        .count(x => x.isFile && x.getName.endsWith(".parquet")).toLong
+      val inRange = dayDirList.filter { f =>
+        val d = f.getName.stripPrefix("event_date=")
+        d >= "2024-01-01" && d <= "2024-01-07"
+      }
+      val prunedExpected = inRange.map(pq).sum
+      val totalFiles = dayDirList.map(pq).sum
       val numFiles = scans.map(_.metrics("numFiles").value).sum
-      assert(numFiles > 0 && numFiles <= 10 && numFiles < dayDirs,
-        s"expected <= 10 of >= $dayDirs files after pruning, scan read $numFiles")
+      assert(numFiles == prunedExpected && numFiles > 0 && numFiles < totalFiles,
+        s"expected exactly $prunedExpected of $totalFiles files after pruning, scan read $numFiles")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
