@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. An untimed warmup (tiny session-init query) runs
   * first so JVM/classloader/codegen startup is not charged to whichever
-  * query happens to run first; queries are timed in sorted name order.
+  * query happens to run first; each query then gets one DISCARDED warmup
+  * execution of its own before its timed samples, so per-query codegen /
+  * JIT / listing costs never appear in a reported number; queries are
+  * timed in sorted name order.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,7 +67,20 @@ object Bench {
     // artifact is visibly suspect instead of silently wrong.
     val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "3.0").toDouble
     val results = selected.map { case (name, fn) =>
-      var times = (0 until runs).map(_ => timedRun(name, fn)).filterNot(_.isNaN)
+      // DISCARDED warmup execution first: the initial run of a query pays
+      // codegen compilation, JIT warmup, scratch-layout builds, and file
+      // listing — deterministic one-time costs that are NOT the query.
+      // Rounds 10/11 charged them to sample 1 of 2, so any co-running
+      // process during sample 2 doubled the reported min on unchanged
+      // code (q18 2.6 -> 4.4 s, q30 2.2 -> 4.9 s in r11 with untouched
+      // plans). With the warmup off the books, every timed sample
+      // measures a warm-process cold-cache run and the spread reflects
+      // contention alone. A warmup failure records the error and skips
+      // the timed runs (a broken query must not cost runs × timeout).
+      val warm = timedRun(name, fn)
+      var times =
+        if (errors.contains(name)) Seq.empty[Double]
+        else (0 until runs).map(_ => timedRun(name, fn)).filterNot(_.isNaN)
       // heavy queries get one extra sample: a contention burst that spans
       // both of two samples inflates the min SILENTLY (spread stays under
       // the rerun limit even though both numbers are wrong — observed
@@ -80,17 +96,25 @@ object Bench {
       val sec = if (errors.contains(name) || times.isEmpty) Double.NaN else times.min
       val mn = if (times.isEmpty) Double.NaN else times.min
       val mx = if (times.isEmpty) Double.NaN else times.max
-      // the final instability verdict drops the single largest sample: the
-      // first run always pays codegen/listing, so including it would flag
-      // nearly every fast query; a genuine sustained burst inflates several
-      // samples and still exceeds the limit after trimming
+      // trimmed median alongside min: a robust location estimate the
+      // round-over-round comparison can fall back on when a burst does
+      // slip past the warmup + rerun defenses
+      val med = if (times.isEmpty) Double.NaN else {
+        val s = times.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      // the final instability verdict drops the single largest sample —
+      // warmup already absorbed the deterministic first-run cost, so what
+      // this trims is a lone contention spike; a genuine sustained burst
+      // inflates several samples and still exceeds the limit after
+      // trimming
       val trimmed = if (times.size >= 3) times.sorted.dropRight(1) else times
       val unstable = trimmed.size >= 2 &&
         trimmed.max / math.max(trimmed.min, 1e-9) > spreadLimit
-      System.err.println(f"[bench] $name $sec%.2f s (min $mn%.2f / max $mx%.2f" +
+      System.err.println(f"[bench] $name $sec%.2f s (warm $warm%.2f, min $mn%.2f / med $med%.2f / max $mx%.2f" +
         (if (rerun) ", rerun" else "") + (if (unstable) ", UNSTABLE" else "") + ")" +
         errors.get(name).map(m => s" ERROR: $m").getOrElse(""))
-      (name, sec, mn, mx, unstable)
+      (name, sec, mn, mx, med, unstable)
     }
     // JSON numeric formatting MUST be locale-independent: the f-interpolator
     // delegates to String.format under the JVM default locale, which emits
@@ -98,22 +122,23 @@ object Bench {
     def jf(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
     def num(v: Double): String = if (v.isNaN) "-1" else v.toString
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + num(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, mn, mx, unstable) =>
-      s"\"" + k + "\":{\"min\":" + num(mn) + ",\"max\":" + num(mx) +
+    val runsJson = results.map { case (k, _, mn, mx, med, unstable) =>
+      s"\"" + k + "\":{\"min\":" + num(mn) + ",\"med\":" + num(med) +
+        ",\"max\":" + num(mx) +
         (if (unstable) ",\"unstable\":true" else "") + "}"
     }.mkString(",\"runs\":{", ",", "}")
-    val good = results.collect { case (_, v, _, _, _) if !v.isNaN => v }
+    val good = results.collect { case (_, v, _, _, _, _) if !v.isNaN => v }
     val total = good.sum
     // contention self-diagnosis: q12_text_stats is a pure no-shuffle
     // codegen'd scan — its time is the host's per-query floor. Each query's
     // floor-ratio is scale-invariant across hosts, so a run where EVERY
     // ratio looks normal but the floor itself is 4x is contended, and a run
     // where one query's ratio exploded is a code regression.
-    val floor = results.collectFirst { case ("q12_text_stats", s, _, _, _) if s > 0 => s }
+    val floor = results.collectFirst { case ("q12_text_stats", s, _, _, _, _) if s > 0 => s }
     val ratios = floor.map { f =>
-      results.map { case (k, v, _, _, _) =>
+      results.map { case (k, v, _, _, _, _) =>
         s"\"" + k + "\":" + (if (v.isNaN) "-1" else jf("%.2f", v / f))
       }.mkString(",\"floor_sec\":" + jf("%.4f", f) + ",\"floor_ratios\":{", ",", "}")
     }.getOrElse("")
@@ -135,18 +160,18 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     def short(n: String) = n.takeWhile(_ != '_')
     def num2(v: Double): String = if (v.isNaN) "-1" else jf("%.2f", v)
-    val cQs = results.map { case (k, v, _, _, _) => "\"" + short(k) + "\":" + num2(v) }
+    val cQs = results.map { case (k, v, _, _, _, _) => "\"" + short(k) + "\":" + num2(v) }
       .mkString("{", ",", "}")
     // spread only for the OUTLIERS (max/min > 1.5, or errored): a spread
     // <= 1.5 means max ~ min ~ the reported sec, and omitting those keeps
     // the compact line inside the driver's 2000-char tail even as the
     // query count grows — the whole point of this line
-    val cSpread = results.collect { case (k, _, mn, mx, _)
+    val cSpread = results.collect { case (k, _, mn, mx, _, _)
         if mn.isNaN || mx.isNaN || mn <= 0 || mx / mn > 1.5 =>
       val r = if (mn.isNaN || mx.isNaN || mn <= 0) -1.0 else mx / mn
       "\"" + short(k) + "\":" + (if (r < 0) "-1" else jf("%.1f", r))
     }.mkString("{", ",", "}")
-    val cUnstable = results.collect { case (k, _, _, _, true) => "\"" + short(k) + "\"" }
+    val cUnstable = results.collect { case (k, _, _, _, _, true) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val cErr =
       if (errors.isEmpty) ""
