@@ -79,6 +79,10 @@ object Stress {
         """SELECT user_id, sequence_count('(?1)(?2)', ts,
           |  event_type='view', event_type='click')
           |FROM stress_events GROUP BY user_id""".stripMargin),
+      time("sequence_match_events",
+        """SELECT user_id, sequence_match_events('(?1).*(?2)', ts,
+          |  event_type='view', event_type='purchase')
+          |FROM stress_events GROUP BY user_id""".stripMargin),
       time("sequence_next_node",
         """SELECT user_id, sequence_next_node('forward', 'head', ts, event_type,
           |  event_type='view', event_type='view')
