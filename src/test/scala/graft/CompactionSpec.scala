@@ -75,6 +75,49 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("appendExactDigestIndex: a digest seen in an earlier batch never re-appends") {
+    import spark.implicits._
+    // engineered so EVERY batch-2 digest already exists in batch 1 — the
+    // exact case the anti-join exists for. (The q101==q76 pin below
+    // cannot see this on the sf0.001 fixture: no duplicated text there
+    // happens to span both an id-quartile boundary and the probe split,
+    // so a lost anti-join survived it in mutation batch 24 — AP241.)
+    val docs = (0 until 200).map(i => (i.toLong, s"body ${i % 40}"))
+      .toDF("doc_id", "text")
+    val dir = graft.sources.Sinks.scratchDir("append_idx") + "/d"
+    graft.sources.Sinks.clearDir(dir)
+    graft.ops.Dedup.appendExactDigestIndex(docs.filter(col("doc_id") < 100), dir)
+    graft.ops.Dedup.appendExactDigestIndex(docs.filter(col("doc_id") >= 100), dir)
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() === 40, "re-appended digests duplicated in the index")
+    // first-writer-wins with id-ordered batches == global min doc_id
+    val keeps = idx.orderBy("keep_id").select(col("keep_id").cast("long"))
+      .as[Long].collect().toSeq
+    assert(keeps === (0L until 40L))
+    // and the probe emits exactly one verdict per new doc (no fan-out)
+    val probe = graft.ops.Dedup.exactDupAgainst(
+      docs.filter(col("doc_id") < 50), spark.read.parquet(dir))
+    assert(probe.count() === 50)
+    assert(probe.filter(!col("is_dup")).count() === 0)
+  }
+
+  test("q101 (append-built, compacted index) answers exactly like q76 (one-shot build)") {
+    // the local twin of the driver's oracle gate: the index grown by four
+    // id-ordered appendExactDigestIndex batches and then compacted must
+    // give the probe the SAME rows as q76's one-shot groupBy build — a
+    // lost anti-join (duplicate digests in the index would fan out the
+    // left join), a broken batch boundary, or a lossy swap all change the
+    // row multiset here
+    val dir = "/root/testdata/sf0.001"
+    val q101 = SparkEntry.queries("q101_compacted_index")(spark, dir)
+      .orderBy("new_id").collect().toSeq
+    val q76 = SparkEntry.queries("q76_incremental_exact")(spark, dir)
+      .orderBy("new_id").collect().toSeq
+    assert(q101.nonEmpty)
+    assert(q101 === q76,
+      "append-built + compacted index diverges from the one-shot build")
+  }
+
   test("a compacted incremental index answers probes identically") {
     import spark.implicits._
     // the q76-style shape: digest index probed by a batch — compaction is

@@ -119,12 +119,27 @@ class SaltedJoinSpec extends AnyFunSuite {
             org.apache.spark.sql.functions.spark_partition_id().as("p"))
           .as[(Long, Int, Int)].collect()
           .map { case (k, v, p) => (k, v) -> p }.toMap
+      def placementFrom(l: org.apache.spark.sql.DataFrame): Map[(Long, Int), Int] =
+        Skew.saltedEquiJoin(l, right, "k", "rk", salts = 8)
+          .select(col("k").cast("long"), col("v").cast("int"),
+            org.apache.spark.sql.functions.spark_partition_id().as("p"))
+          .as[(Long, Int, Int)].collect()
+          .map { case (k, v, p) => (k, v) -> p }.toMap
       val first = placement()
       val second = placement()
       assert(first === second,
         "row -> shuffle partition placement changed between runs — salt is not content-deterministic")
       // and the placement is a real spread, not all-one-partition
       assert(first.values.toSet.size > 1, s"all rows in one partition: $first")
+      // stronger: the salt must depend ONLY on row content, so re-laying
+      // the left input out (a round-robin repartition moves every row to
+      // a different task and position) must not move any OUTPUT row's
+      // partition — an id- or position-derived salt fails exactly here,
+      // which is the local stand-in for "a task recomputation reassigns
+      // salts" (unobservable directly in a single-JVM test)
+      val relaid = placementFrom(left.repartition(7))
+      assert(relaid === first,
+        "input layout changed output placement — salt is position-derived, not content-derived")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
