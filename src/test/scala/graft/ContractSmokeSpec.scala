@@ -81,6 +81,14 @@ class ContractSmokeSpec extends AnyFunSuite {
     val after2 = fileCount(scratch)
     assert(after2 <= after1,
       s"repeated q91 runs grew the scratch dir: $after1 -> $after2 files")
+    // q101 APPENDS to its scratch index across batches — repeated runs
+    // must clear and rebuild, not accrete (the in-query clearDir)
+    SparkEntry.queries("q101_compacted_index")(spark, sfDir).collect()
+    val after3 = fileCount(scratch)
+    SparkEntry.queries("q101_compacted_index")(spark, sfDir).collect()
+    val after4 = fileCount(scratch)
+    assert(after4 <= after3,
+      s"repeated q101 runs grew the scratch dir: $after3 -> $after4 files")
     // and nothing lands under the legacy per-execution temp pattern
     val legacy = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
       .filter(f => f.getName.startsWith("graft_bucketed") && f.isDirectory)
