@@ -101,6 +101,56 @@ class CompactionSpec extends AnyFunSuite {
     assert(probe.filter(!col("is_dup")).count() === 0)
   }
 
+  test("property: ANY id-ordered batch split builds the same index as one shot") {
+    import spark.implicits._
+    // random corpora with heavy text duplication, random ordered split
+    // points: the append-built index must equal exactDigestIndex over the
+    // whole corpus row-for-row — the invariant q101 rides on
+    for (trial <- 1 to 4) {
+      val rnd = new scala.util.Random(trial * 104729)
+      val n = 80 + rnd.nextInt(200)
+      val nTexts = 1 + rnd.nextInt(30)
+      val docs = (0 until n)
+        .map(i => (i.toLong, s"t${rnd.nextInt(nTexts)}")).toDF("doc_id", "text")
+      docs.cache().count() // freeze the random fixture across reuses
+      val cuts = (Seq(n) ++ Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(n)))
+        .distinct.sorted
+      val dir = graft.sources.Sinks.scratchDir("append_prop") + s"/t$trial"
+      graft.sources.Sinks.clearDir(dir)
+      var lo = -1L
+      for (hi <- cuts) {
+        graft.ops.Dedup.appendExactDigestIndex(
+          docs.filter(col("doc_id") > lo && col("doc_id") <= hi), dir)
+        lo = hi
+      }
+      val appended = spark.read.parquet(dir)
+        .orderBy("text_hash").collect().toSeq
+      val oneShot = graft.ops.Dedup.exactDigestIndex(docs)
+        .orderBy("text_hash").collect().toSeq
+      assert(appended === oneShot,
+        s"trial $trial (n=$n texts=$nTexts cuts=$cuts): append-built index diverges")
+      docs.unpersist()
+    }
+  }
+
+  test("out-of-order batches keep the FIRST writer, not the global min id") {
+    import spark.implicits._
+    // the documented incremental contract: the earliest-INGESTED doc owns
+    // its text. Ingest high ids first, then a smaller id with the same
+    // text — keep_id must stay the first batch's id (a merge-style
+    // min-rewrite would change it, and would also no longer be an append)
+    val dir = graft.sources.Sinks.scratchDir("append_order") + "/d"
+    graft.sources.Sinks.clearDir(dir)
+    graft.ops.Dedup.appendExactDigestIndex(
+      Seq((100L, "shared text")).toDF("doc_id", "text"), dir)
+    graft.ops.Dedup.appendExactDigestIndex(
+      Seq((5L, "shared text"), (6L, "fresh text")).toDF("doc_id", "text"), dir)
+    val idx = spark.read.parquet(dir).orderBy("keep_id")
+      .select(col("keep_id").cast("long")).as[Long].collect().toSeq
+    assert(idx === Seq(6L, 100L),
+      s"expected first-writer-wins (6, 100), got $idx")
+  }
+
   test("q101 (append-built, compacted index) answers exactly like q76 (one-shot build)") {
     // the local twin of the driver's oracle gate: the index grown by four
     // id-ordered appendExactDigestIndex batches and then compacted must
