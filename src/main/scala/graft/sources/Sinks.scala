@@ -55,12 +55,16 @@ object Sinks {
       val sibs = base.toFile.listFiles()
       if (sibs != null) sibs.foreach { f =>
         val n = f.getName
-        if (n.startsWith("pid_") && n != s"pid_$pid" &&
-            n.stripPrefix("pid_").toLongOption.exists { sibPid =>
-              val h = ProcessHandle.of(sibPid)
-              !(h.isPresent && h.get.isAlive)
-            })
-          deleteRecursive(f.toPath)
+        val deadSibling = n.startsWith("pid_") && n != s"pid_$pid" &&
+          n.stripPrefix("pid_").toLongOption.exists { sibPid =>
+            val h = ProcessHandle.of(sibPid)
+            !(h.isPresent && h.get.isAlive)
+          }
+        // non-pid entries are residue of the pre-pid flat layout (older
+        // builds wrote <base>/<name> directly); no current process writes
+        // them, so they are always safe to reap
+        val legacy = !n.startsWith("pid_")
+        if (deadSibling || legacy) deleteRecursive(f.toPath)
       }
     }
     val p = base.resolve(s"pid_$pid")

@@ -73,8 +73,12 @@ class ContractSmokeSpec extends AnyFunSuite {
       try s.filter(java.nio.file.Files.isRegularFile(_)).count()
       finally s.close()
     }
+    // scope to THIS process's scratch root: a concurrently running
+    // harness JVM (bench beside tests) writes its own pid_* sibling, and
+    // counting that would fail this test without any leak here
     val scratch = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_scratch")
+      sys.props("java.io.tmpdir"), "graft_scratch",
+      s"pid_${ProcessHandle.current().pid()}")
     SparkEntry.queries("q91_bucketed_join")(spark, sfDir).collect()
     val after1 = fileCount(scratch)
     SparkEntry.queries("q91_bucketed_join")(spark, sfDir).collect()
