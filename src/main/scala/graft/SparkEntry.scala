@@ -430,6 +430,28 @@ object SparkEntry {
         .select(col("new_id"), col("is_dup"), col("keep_id"))
     },
 
+    // ---- SORT-ELIDING layout: sessionize with zero exchanges AND zero
+    // sorts. q92 deletes the window path's shuffle; this layout (one
+    // sorted file per bucket) additionally deletes its SORT — for the
+    // sort-dominated sessionize (the sort is ~all of its cost at 100M
+    // rows) the per-query sort becomes a one-time write-side cost.
+    // PlanSpec pins both absences; the oracle is q01's sessionize SQL —
+    // layout must not change the answer (tied timestamps share their
+    // session id, so the on-disk reorder is hash-invariant).
+    "q102_sorted_sessionize" -> { (s, dir) =>
+      val ev = events(s, dir).select("user_id", "ts")
+      val tmp = sources.Sinks.scratchDir("q102_sorted")
+      val tEvents = sources.Sinks.sessionTable(s, "graft_sb_events")
+      sources.Sinks.writeBucketedSortedSingleFile(ev, tEvents,
+        s"$tmp/events", nBuckets = 8, "user_id", "ts")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      sources.Sinks.readBucketedSorted(s, tEvents)
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          BehavioralFunctions.sessionize(col("ts"),
+            expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
+    },
+
     // ---- LLM pipeline: exact dedup -------------------------------------
     "q11_dedup_exact" -> { (s, dir) =>
       prep(s, dir)
@@ -2957,6 +2979,18 @@ object SparkEntry {
         |SELECT d.doc_id AS new_id, idx.keep_id IS NOT NULL AS is_dup, idx.keep_id
         |FROM documents d LEFT JOIN idx ON d.text = idx.text
         |WHERE d.doc_id % 10 = 0""".stripMargin,
+
+    // q102: q01's oracle — the sort-eliding layout must not change the
+    // sessionize answer (tied ts rows share a session id, so the on-disk
+    // reorder is invisible to the output multiset)
+    "q102_sorted_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM l""".stripMargin,
 
     // q75: the q41 Hamming computation restricted to cross-split pairs,
     // oriented (new, idx) — band join and pigeonhole change the plan, not

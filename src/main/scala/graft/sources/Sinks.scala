@@ -126,6 +126,57 @@ object Sinks {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** The SORT-ELIDING event layout: exactly ONE file per bucket, each
+    * sorted by (bucketKey, sortKeys...). `writeBucketed` already deletes
+    * the exchange from key-clustered plans; with one sorted file per
+    * bucket the scan additionally reports its sort order, so a window or
+    * sort-consuming aggregate over (bucketKey, sortKeys...) plans with
+    * ZERO exchanges AND ZERO sorts — for sort-dominated behavioral
+    * queries (sessionize: the sort is ~all of its 100M-row cost) the
+    * layout replaces the whole per-query sort with one at write time.
+    *
+    * Mechanics: `repartition(nBuckets, bucketKey)` aligns write tasks
+    * with bucket ids (both are murmur3-pmod on the key), so each bucket's
+    * rows land in exactly one task → one file; enforced post-write. The
+    * scan-side ordering claim is gated by Spark behind
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (planner default
+    * changed in 3.0 because multi-file buckets would need a merge);
+    * [[readBucketedSorted]] enables it — Spark still claims ordering ONLY
+    * for single-file buckets, so leaving the conf on is safe for every
+    * other scan in the session.
+    *
+    * The trade vs `writeBucketed`: write parallelism is capped at
+    * `nBuckets` (one task per bucket) and buckets must fit a task — size
+    * `nBuckets` to the cluster, same rule as shuffle partitions. */
+  def writeBucketedSortedSingleFile(df: DataFrame, table: String,
+      path: String, nBuckets: Int, bucketKey: String,
+      sortKeys: String*): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketKey))
+      .write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketKey)
+      .sortBy(bucketKey, sortKeys: _*)
+      .saveAsTable(table)
+    val files = new java.io.File(path).listFiles()
+    val nFiles = if (files == null) 0
+      else files.count(f => f.isFile && f.getName.endsWith(".parquet"))
+    require(nFiles <= nBuckets,
+      s"expected <= $nBuckets files (one per bucket), found $nFiles at $path" +
+        " — the repartition/bucket hash alignment broke; the scan would" +
+        " silently stop claiming its sort order")
+  }
+
+  /** Read a [[writeBucketedSortedSingleFile]] table with the scan-side
+    * ordering claim enabled (see there for why the conf is safe to leave
+    * on session-wide). */
+  def readBucketedSorted(spark: SparkSession, table: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.table(table)
+  }
+
   /** Write `df` date-partitioned on `to_date(tsCol)` — the standard
     * event-log layout: one directory per day, so any time-sliced query
     * (the dominant access pattern for behavioral data) PRUNES whole

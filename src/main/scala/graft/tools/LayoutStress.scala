@@ -76,9 +76,41 @@ object LayoutStress {
       .agg(sum("steps"), count(lit(1))).collect()(0)
     require(a == b, s"layout changed the answer: $a vs $b")
 
+    // ---- sort-eliding layout: sessionize (q102's lever) ----------------
+    // sessionize is the sort-DOMINATED behavioral row (the window sort is
+    // ~all of its cost at 100M rows); one sorted file per bucket moves
+    // that sort to write time. Timings are query-only, same amortized
+    // regime as the funnel comparison above.
+    val sortedTable = graft.sources.Sinks.sessionTable(spark, "layout_stress_sorted")
+    graft.sources.Sinks.writeBucketedSortedSingleFile(
+      spark.read.parquet(s"$tmp/plain"), sortedTable, s"$tmp/sorted",
+      nBuckets = nBuckets, "user_id", "ts")
+
+    def sess(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      df.select(col("user_id"),
+        graft.behavioral.BehavioralFunctions.sessionize(
+          col("ts"), expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
+    }
+
+    val plainSessSec = time("sess_plain", sess(spark.read.parquet(s"$tmp/plain")))
+    val sortedSessSec = time("sess_sorted",
+      sess(graft.sources.Sinks.readBucketedSorted(spark, sortedTable)))
+
+    val ps = sess(graft.sources.Sinks.readBucketedSorted(spark, sortedTable))
+      .queryExecution.executedPlan.toString
+    require(!ps.contains("Exchange hashpartitioning") && !ps.contains("+- Sort "),
+      s"sorted-bucketed sessionize still shuffles or sorts:\n$ps")
+    val sa = sess(spark.read.parquet(s"$tmp/plain"))
+      .agg(sum("session_id"), count(lit(1))).collect()(0)
+    val sb = sess(graft.sources.Sinks.readBucketedSorted(spark, sortedTable))
+      .agg(sum("session_id"), count(lit(1))).collect()(0)
+    require(sa == sb, s"sorted layout changed the answer: $sa vs $sb")
+
     def jf(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
       java.lang.Double.valueOf(v))
-    println(s"""{"metric":"layout_funnel","rows":$n,"users":$users,"plain_sec":${jf(plainSec)},"bucketed_sec":${jf(bucketedSec)}}""")
+    println(s"""{"metric":"layout_funnel","rows":$n,"users":$users,"plain_sec":${jf(plainSec)},"bucketed_sec":${jf(bucketedSec)},"sess_plain_sec":${jf(plainSessSec)},"sess_sorted_sec":${jf(sortedSessSec)}}""")
     spark.stop()
   }
 }

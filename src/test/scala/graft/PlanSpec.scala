@@ -132,6 +132,20 @@ class PlanSpec extends AnyFunSuite {
       s"combined layout still shuffles:\n$p")
   }
 
+  test("q102: sorted single-file buckets serve sessionize with ZERO exchanges AND ZERO sorts") {
+    // q92's layout deletes the window's shuffle but still sorts within
+    // partitions; the one-sorted-file-per-bucket layout deletes the sort
+    // too — the scan itself satisfies (user_id, ts) ordering. Both
+    // operators must be absent from the plan.
+    val p = plan("q102_sorted_sessionize")
+    assert(p.contains("Window"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"sorted-bucketed sessionize still shuffles:\n$p")
+    assert(!p.contains("+- Sort "),
+      s"sorted-bucketed sessionize still sorts:\n$p")
+  }
+
   test("bucketed events also serve the WINDOW path shuffle-free (sessionize)") {
     // the aggregate path is pinned by q92; the window functions
     // (sessionize et al run PARTITION BY user_id) use the same
