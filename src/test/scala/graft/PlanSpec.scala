@@ -146,6 +146,36 @@ class PlanSpec extends AnyFunSuite {
       s"sorted-bucketed sessionize still sorts:\n$p")
   }
 
+  test("sorted single-file layout holds from MANY input partitions") {
+    // the q102 fixture reads as ONE partition at sf0.001, so a missing
+    // write-side repartition is invisible there (mutation SB251's
+    // first-run survival) — with 16 input partitions an unaligned write
+    // makes files-per-bucket = partitions and the sink's one-file
+    // invariant must catch it
+    import org.apache.spark.sql.functions._
+    val df = spark.range(20000).repartition(16)
+      .select((col("id") % 500).as("user_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts"))
+    val tmp = graft.sources.Sinks.scratchDir("sorted_multi")
+    val table = graft.sources.Sinks.sessionTable(spark, "graft_sorted_multi")
+    graft.sources.Sinks.writeBucketedSortedSingleFile(
+      df, table, s"$tmp/t", nBuckets = 4, "user_id", "ts")
+    val nFiles = new java.io.File(s"$tmp/t").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(nFiles <= 4, s"expected <= 4 files (one per bucket), found $nFiles")
+    // and the ordering claim engages: window plan has neither op
+    import org.apache.spark.sql.expressions.Window
+    graft.behavioral.BehavioralFunctions.register(spark)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val p = graft.sources.Sinks.readBucketedSorted(spark, table)
+      .select(col("user_id"),
+        graft.behavioral.BehavioralFunctions.sessionize(col("ts"),
+          expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("+- Sort "), p)
+  }
+
   test("bucketed events also serve the WINDOW path shuffle-free (sessionize)") {
     // the aggregate path is pinned by q92; the window functions
     // (sessionize et al run PARTITION BY user_id) use the same
