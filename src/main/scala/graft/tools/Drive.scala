@@ -221,6 +221,36 @@ object Drive {
         s"${sliced.select(countDistinct(col("event_date"))).collect()(0).getLong(0)} of them " +
         s"(${sliced.count()} events)")
 
+      println("-- sort-eliding layout: sessionize straight off the scan:")
+      val sbTmp = graft.sources.Sinks.scratchDir("drive_sorted")
+      val sbTable = graft.sources.Sinks.sessionTable(spark, "drive_sb_events")
+      graft.sources.Sinks.writeBucketedSortedSingleFile(
+        graft.sources.Tables.events(spark, sfDir).select("user_id", "ts"),
+        sbTable, s"$sbTmp/events", nBuckets = 4, "user_id", "ts")
+      val sbw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val sbdf = graft.sources.Sinks.readBucketedSorted(spark, sbTable)
+        .select(col("user_id"),
+          graft.behavioral.BehavioralFunctions.sessionize(
+            col("ts"), expr("INTERVAL '30' MINUTE")).over(sbw).as("session_id"))
+      val sbPlan = sbdf.queryExecution.executedPlan.toString
+      println(s"   plan has exchange=${sbPlan.contains("Exchange hashpartitioning")} " +
+        s"sort=${sbPlan.contains("+- Sort ")}; " +
+        s"${sbdf.agg(max(col("session_id"))).collect()(0).get(0)} max sessions/user")
+
+      println("-- incremental digest append + crash-safe compaction + probe:")
+      val ciTmp = graft.sources.Sinks.scratchDir("drive_compact") + "/idx"
+      graft.sources.Sinks.clearDir(ciTmp)
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      for (half <- Seq(0, 1))
+        graft.ops.Dedup.appendExactDigestIndex(
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 2 === half), ciTmp)
+      val compacted = graft.sources.Sinks.compactParquet(spark, ciTmp, 2)
+      val dup = graft.ops.Dedup.exactDupAgainst(
+        docs.filter(col("doc_id") % 10 === 0), spark.read.parquet(ciTmp))
+      println(s"   $compacted index rows compacted to 2 files; probe: " +
+        s"${dup.filter(col("is_dup")).count()} dups / ${dup.count()} new docs")
+
       println("-- salted skew join (placement-only: same rollup as plain):")
       graft.ops.Skew.saltedEquiJoin(
           graft.sources.Tables.load(spark, sfDir, "lineitem")
