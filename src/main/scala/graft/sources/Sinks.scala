@@ -160,9 +160,12 @@ object Sinks {
       .bucketBy(nBuckets, bucketKey)
       .sortBy(bucketKey, sortKeys: _*)
       .saveAsTable(table)
-    val files = new java.io.File(path).listFiles()
-    val nFiles = if (files == null) 0
-      else files.count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // Hadoop FS listing, not java.io: this sink is a production path and
+    // must verify its invariant on hdfs:// and s3a:// locations too
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val nFiles = fs.listStatus(hp)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     require(nFiles <= nBuckets,
       s"expected <= $nBuckets files (one per bucket), found $nFiles at $path" +
         " — the repartition/bucket hash alignment broke; the scan would" +
