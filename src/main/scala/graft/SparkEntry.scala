@@ -452,6 +452,30 @@ object SparkEntry {
             expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
     },
 
+    // ---- the layout carries the WHOLE session pipeline: sessionize +
+    // per-session statistics on one scan. The window's output keeps the
+    // scan's HashPartitioning(user_id), which satisfies the aggregate's
+    // (user_id, session_id) clustering (partitioning on a SUBSET of the
+    // group keys co-locates every group), so scan -> window -> aggregate
+    // runs with zero exchanges and zero sorts end to end — the
+    // session-analytics composite a behavioral warehouse serves all day.
+    "q103_session_stats" -> { (s, dir) =>
+      val ev = events(s, dir).select("user_id", "ts")
+      val tmp = sources.Sinks.scratchDir("q103_sorted")
+      val tEvents = sources.Sinks.sessionTable(s, "graft_ss_events")
+      sources.Sinks.writeBucketedSortedSingleFile(ev, tEvents,
+        s"$tmp/events", nBuckets = 8, "user_id", "ts")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      sources.Sinks.readBucketedSorted(s, tEvents)
+        .select(col("user_id"), col("ts"),
+          BehavioralFunctions.sessionize(col("ts"),
+            expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"))
+    },
+
     // ---- LLM pipeline: exact dedup -------------------------------------
     "q11_dedup_exact" -> { (s, dir) =>
       prep(s, dir)
@@ -2979,6 +3003,22 @@ object SparkEntry {
         |SELECT d.doc_id AS new_id, idx.keep_id IS NOT NULL AS is_dup, idx.keep_id
         |FROM documents d LEFT JOIN idx ON d.text = idx.text
         |WHERE d.doc_id % 10 = 0""".stripMargin,
+
+    // q103: the q01 session assignment aggregated per (user, session) —
+    // layout-independent SQL; the Spark side must produce it from one
+    // sorted scan with no exchange and no sort
+    "q103_session_stats" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM l)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     // q102: q01's oracle — the sort-eliding layout must not change the
     // sessionize answer (tied ts rows share a session id, so the on-disk

@@ -146,6 +146,19 @@ class PlanSpec extends AnyFunSuite {
       s"sorted-bucketed sessionize still sorts:\n$p")
   }
 
+  test("q103: window + per-session aggregate run on ONE scan — zero exchanges, zero sorts") {
+    // the window preserves the scan's HashPartitioning(user_id), which
+    // satisfies the aggregate's (user_id, session_id) clustering — the
+    // whole session pipeline must plan without a single exchange or sort
+    val p = plan("q103_session_stats")
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"session-stats pipeline still shuffles:\n$p")
+    assert(!p.contains("+- Sort "),
+      s"session-stats pipeline still sorts:\n$p")
+  }
+
   test("sorted single-file layout holds from MANY input partitions") {
     // the q102 fixture reads as ONE partition at sf0.001, so a missing
     // write-side repartition is invisible there (mutation SB251's
