@@ -476,6 +476,39 @@ object SparkEntry {
             .as("duration_us"))
     },
 
+    // ---- the sorted layout's INGEST CYCLE: deltas land in staging
+    // (O(delta), no sort), each compaction folds them into a fresh
+    // generation, and the final table still serves sessionize with the
+    // zero-exchange/zero-sort plan (SortedIngestSpec pins the plan and
+    // the crash-recovery invariants; this row pins the ANSWER — three
+    // interleaved deltas folded through three generations must match the
+    // one-shot oracle exactly). Same maintainable-store standard q101
+    // set for the digest index, applied to the event layout.
+    "q104_sorted_ingest" -> { (s, dir) =>
+      val ev = events(s, dir).select("user_id", "ts")
+      val tmp = sources.Sinks.scratchDir("q104_sorted")
+      val base = s"$tmp/events"
+      val staging = s"$tmp/staging"
+      sources.Sinks.clearDir(base) // generations accumulate otherwise
+      sources.Sinks.clearDir(staging)
+      val tEvents = sources.Sinks.sessionTable(s, "graft_si_events")
+      // deltas interleave in time (worst case for the merge: every
+      // compaction re-sorts, nothing is append-ordered)
+      for (slice <- 0 to 2) {
+        sources.Sinks.stageSortedDelta(
+          ev.filter(pmod(unix_micros(col("ts")), lit(3)) === slice),
+          staging)
+        sources.Sinks.compactSortedBucketed(s, tEvents, base, staging,
+          nBuckets = 8, "user_id", "ts")
+      }
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      sources.Sinks.readBucketedSorted(s, tEvents)
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          BehavioralFunctions.sessionize(col("ts"),
+            expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
+    },
+
     // ---- LLM pipeline: exact dedup -------------------------------------
     "q11_dedup_exact" -> { (s, dir) =>
       prep(s, dir)
@@ -3024,6 +3057,18 @@ object SparkEntry {
     // sessionize answer (tied ts rows share a session id, so the on-disk
     // reorder is invisible to the output multiset)
     "q102_sorted_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM l""".stripMargin,
+
+    // q104: q01's oracle again — the generational ingest cycle (stage ->
+    // fold -> new generation, three times) must be invisible to the
+    // sessionize answer, exactly like q102's one-shot layout
+    "q104_sorted_ingest" ->
       """WITH l AS (
         |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |  FROM events)

@@ -180,6 +180,176 @@ object Sinks {
     spark.table(table)
   }
 
+  // --------------------------------------------------------------------
+  // INGEST CYCLE for the sort-eliding layout. The layout's invariant
+  // (one sorted file per bucket) cannot absorb appends in place — a
+  // second file per bucket silently forfeits the scan's ordering claim
+  // and the per-query sort returns. So ingest works the way every
+  // LSM/snapshot store's does:
+  //   1. deltas LAND cheaply via [[stageSortedDelta]] — plain parquet
+  //      append into a staging directory; no shuffle, no sort, arrival
+  //      cost O(delta);
+  //   2. readers between compactions use [[readSortedWithStaging]] —
+  //      the ANSWER stays exact, the PLAN degrades gracefully (the
+  //      union drops the scan's partitioning/ordering claims, so the
+  //      per-query exchange+sort return until the next compaction);
+  //   3. [[compactSortedBucketed]] folds staging into a new GENERATION
+  //      directory (`gen_<k+1>` under the base dir) and re-points the
+  //      table — one shuffle+sort, amortized over every query until the
+  //      next delta. Generations make the rewrite crash-safe without
+  //      ever overwriting the directory a reader may be scanning: a
+  //      generation is visible only once its `_GEN_COMMITTED` marker
+  //      exists, and the marker records which staged files it folded so
+  //      a crash between "new gen committed" and "staging cleared"
+  //      cannot double-fold a delta on the next run. Single compactor
+  //      at a time (the usual table-maintenance contract); readers are
+  //      safe concurrently with it on stores with atomic marker
+  //      creation.
+  // --------------------------------------------------------------------
+
+  /** Land a delta batch in the staging directory. O(delta): no shuffle,
+    * no sort — the cost of making it queryable moves to the next
+    * [[compactSortedBucketed]]. */
+  def stageSortedDelta(delta: DataFrame, stagingDir: String): Unit =
+    delta.write.mode("append").parquet(stagingDir)
+
+  /** Merge-on-read view: the sorted main table plus any not-yet-folded
+    * staging rows. Exact answers at any point in the ingest cycle; the
+    * zero-exchange/zero-sort plan claim only holds again after the next
+    * compaction (the union erases the scan's layout guarantees). */
+  def readSortedWithStaging(spark: SparkSession, table: String,
+      stagingDir: String): DataFrame = {
+    val main = readBucketedSorted(spark, table)
+    if (stagingParquetFiles(spark, stagingDir).nonEmpty)
+      main.unionByName(
+        spark.read.schema(main.schema).parquet(stagingDir))
+    else main
+  }
+
+  def compactSortedBucketed(spark: SparkSession, table: String,
+      baseDir: String, stagingDir: String, nBuckets: Int,
+      bucketKey: String, sortKeys: String*): Long =
+    compactSortedBucketed(spark, table, baseDir, stagingDir, nBuckets,
+      bucketKey, sortKeys, _ => ())
+
+  /** Fold staging into a fresh generation of the sorted-bucketed layout
+    * and re-point `table` at it. Returns the new generation's row count.
+    *
+    * Crash-ordering (each step leaves a recoverable state; `onStep` is
+    * the fault-injection seam SortedIngestSpec drives):
+    *   recover  — reap uncommitted generation dirs (partial writes) and
+    *              older committed generations (crash before cleanup);
+    *              delete staged files the latest committed generation's
+    *              marker says it already folded (crash before staging
+    *              clear) — this is what makes re-running idempotent;
+    *   written  — gen_<k+1> data + table registration complete, counts
+    *              verified against main+staging; marker NOT yet written,
+    *              so a crash here makes the next run reap it and redo;
+    *   committed— `_GEN_COMMITTED` written with the folded staging file
+    *              names; the generation is now the truth;
+    *   cleaned  — folded staging files and the previous generation
+    *              removed.
+    * The filesystem (not the catalog) is the source of truth: a crash
+    * between `writeBucketedSortedSingleFile`'s DROP TABLE and its
+    * saveAsTable leaves the table unregistered, but the committed
+    * generation survives and the next compaction re-registers it. */
+  private[graft] def compactSortedBucketed(spark: SparkSession,
+      table: String, baseDir: String, stagingDir: String, nBuckets: Int,
+      bucketKey: String, sortKeys: Seq[String],
+      onStep: String => Unit): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(hconf)
+    // -- recover -------------------------------------------------------
+    val gens =
+      if (fs.exists(base))
+        fs.listStatus(base).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen_"))
+          .flatMap(st => st.getPath.getName.stripPrefix("gen_").toLongOption
+            .map(_ -> st.getPath))
+      else Seq.empty
+    val committed = gens.filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_GEN_COMMITTED")) }
+    // partial writes (no marker) are garbage from a crashed run
+    gens.filterNot(committed.contains).foreach { case (_, p) =>
+      fs.delete(p, true) }
+    val latest = committed.sortBy(_._1).lastOption
+    // older committed gens survive only a crash before step "cleaned"
+    committed.filter(g => latest.exists(_._1 > g._1)).foreach { case (_, p) =>
+      fs.delete(p, true) }
+    latest.foreach { case (_, p) =>
+      foldedFiles(fs, p).foreach { name =>
+        fs.delete(new org.apache.hadoop.fs.Path(stagingDir, name), false) } }
+    onStep("recovered")
+    // -- fold ----------------------------------------------------------
+    val stagedNow = stagingParquetFiles(spark, stagingDir)
+    val main = latest.map { case (_, p) => spark.read.parquet(p.toString) }
+    if (stagedNow.isEmpty && main.isDefined &&
+        spark.catalog.tableExists(table))
+      return main.get.count() // nothing to fold; table already current
+    require(stagedNow.nonEmpty || main.isDefined,
+      s"nothing to compact: no staging data at $stagingDir and no " +
+        s"committed generation under $baseDir")
+    val staged = if (stagedNow.isEmpty) None else Some {
+      val schema = main.map(_.schema)
+      schema.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(stagingDir)
+    }
+    val all = (main, staged) match {
+      case (Some(m), Some(s)) => m.unionByName(s)
+      case (Some(m), None)    => m
+      case (None, Some(s))    => s
+      case (None, None)       => sys.error("unreachable")
+    }
+    val expected = main.map(_.count()).getOrElse(0L) +
+      staged.map(_.count()).getOrElse(0L)
+    val nextGen = latest.map(_._1 + 1).getOrElse(0L)
+    val genPath = new org.apache.hadoop.fs.Path(base, s"gen_$nextGen")
+    writeBucketedSortedSingleFile(all, table, genPath.toString, nBuckets,
+      bucketKey, sortKeys: _*)
+    val written = spark.read.parquet(genPath.toString).count()
+    require(written == expected,
+      s"generation rewrite changed the row count ($expected -> $written);" +
+        s" gen_$nextGen left uncommitted, previous state intact")
+    onStep("written")
+    // -- commit --------------------------------------------------------
+    val marker = new org.apache.hadoop.fs.Path(genPath, "_GEN_COMMITTED")
+    val out = fs.create(marker, false)
+    try out.write(stagedNow.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    onStep("committed")
+    // -- clean ---------------------------------------------------------
+    stagedNow.foreach { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(stagingDir, name), false) }
+    latest.foreach { case (_, p) => fs.delete(p, true) }
+    onStep("cleaned")
+    expected
+  }
+
+  /** Staged parquet file NAMES (not paths) — the unit the commit marker
+    * records and the clean step deletes. */
+  private def stagingParquetFiles(spark: SparkSession,
+      stagingDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted
+  }
+
+  private def foldedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path): Seq[String] = {
+    val marker = new org.apache.hadoop.fs.Path(genPath, "_GEN_COMMITTED")
+    if (!fs.exists(marker)) Seq.empty
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
   /** Write `df` date-partitioned on `to_date(tsCol)` — the standard
     * event-log layout: one directory per day, so any time-sliced query
     * (the dominant access pattern for behavioral data) PRUNES whole

@@ -238,6 +238,29 @@ object Drive {
         s"sort=${sbPlan.contains("+- Sort ")}; " +
         s"${sbdf.agg(max(col("session_id"))).collect()(0).get(0)} max sessions/user")
 
+      println("-- sorted-layout ingest cycle: stage -> fold -> generation:")
+      val siTmp = graft.sources.Sinks.scratchDir("drive_sorted_ingest")
+      graft.sources.Sinks.clearDir(siTmp)
+      val siTable = graft.sources.Sinks.sessionTable(spark, "drive_si_events")
+      val siEv = graft.sources.Tables.events(spark, sfDir)
+        .select("user_id", "ts")
+      for (slice <- 0 to 1) {
+        graft.sources.Sinks.stageSortedDelta(
+          siEv.filter(pmod(unix_micros(col("ts")), lit(2)) === slice),
+          s"$siTmp/staging")
+        val nFolded = graft.sources.Sinks.compactSortedBucketed(spark,
+          siTable, s"$siTmp/events", s"$siTmp/staging",
+          nBuckets = 4, "user_id", "ts")
+        println(s"   delta $slice folded: generation now holds $nFolded rows")
+      }
+      val siPlan = graft.sources.Sinks.readBucketedSorted(spark, siTable)
+        .select(col("user_id"),
+          graft.behavioral.BehavioralFunctions.sessionize(
+            col("ts"), expr("INTERVAL '30' MINUTE")).over(sbw).as("session_id"))
+        .queryExecution.executedPlan.toString
+      println(s"   post-ingest plan has exchange=${siPlan.contains("Exchange hashpartitioning")} " +
+        s"sort=${siPlan.contains("+- Sort ")}")
+
       println("-- incremental digest append + crash-safe compaction + probe:")
       val ciTmp = graft.sources.Sinks.scratchDir("drive_compact") + "/idx"
       graft.sources.Sinks.clearDir(ciTmp)

@@ -108,9 +108,53 @@ object LayoutStress {
       .agg(sum("session_id"), count(lit(1))).collect()(0)
     require(sa == sb, s"sorted layout changed the answer: $sa vs $sb")
 
+    // ---- ingest cycle (q104's lever): the sorted layout as a LIVE store.
+    // A daily-sized delta (1% of the table) lands in staging (O(delta),
+    // no sort), queries between compactions pay merge-on-read (the union
+    // forfeits the layout claims, the per-query sort returns), and the
+    // fold rewrites one generation to restore the zero-sort plan. The
+    // numbers quantify the LSM trade: fold cost ~= one plain-layout
+    // build, amortized over every query until the next delta.
+    def wall(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[layout] $label%-9s $s%8.2f s (wall, 1 run)")
+      s
+    }
+    val ingTable = graft.sources.Sinks.sessionTable(spark, "layout_stress_ingest")
+    val ingBase = s"$tmp/ingest/events"
+    val ingStaging = s"$tmp/ingest/staging"
+    graft.sources.Sinks.clearDir(s"$tmp/ingest")
+    graft.sources.Sinks.stageSortedDelta(
+      spark.read.parquet(s"$tmp/plain"), ingStaging)
+    val buildSec = wall("ing_build") {
+      graft.sources.Sinks.compactSortedBucketed(spark, ingTable, ingBase,
+        ingStaging, nBuckets, "user_id", "ts") }
+    val delta = spark.range(n, n + n / 100).select(
+      (col("id") % users).as("user_id"),
+      timestamp_micros(lit(1704067200000000L)
+        + expr(s"id div $users") * 300000000L
+        + pmod(xxhash64(col("id")), lit(299000000L))).as("ts"),
+      element_at(array(lit("view"), lit("click"), lit("purchase"), lit("error")),
+        (pmod(xxhash64(col("id") + 7), lit(4)) + 1).cast("int")).as("event_type"))
+    val stageSec = wall("ing_stage") {
+      graft.sources.Sinks.stageSortedDelta(delta, ingStaging) }
+    val morSec = time("sess_mor", sess(
+      graft.sources.Sinks.readSortedWithStaging(spark, ingTable, ingStaging)))
+    val foldSec = wall("ing_fold") {
+      graft.sources.Sinks.compactSortedBucketed(spark, ingTable, ingBase,
+        ingStaging, nBuckets, "user_id", "ts") }
+    val postSec = time("sess_post",
+      sess(graft.sources.Sinks.readBucketedSorted(spark, ingTable)))
+    val pp = sess(graft.sources.Sinks.readBucketedSorted(spark, ingTable))
+      .queryExecution.executedPlan.toString
+    require(!pp.contains("Exchange hashpartitioning") && !pp.contains("+- Sort "),
+      s"post-fold sessionize still shuffles or sorts:\n$pp")
+
     def jf(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
       java.lang.Double.valueOf(v))
-    println(s"""{"metric":"layout_funnel","rows":$n,"users":$users,"plain_sec":${jf(plainSec)},"bucketed_sec":${jf(bucketedSec)},"sess_plain_sec":${jf(plainSessSec)},"sess_sorted_sec":${jf(sortedSessSec)}}""")
+    println(s"""{"metric":"layout_funnel","rows":$n,"users":$users,"plain_sec":${jf(plainSec)},"bucketed_sec":${jf(bucketedSec)},"sess_plain_sec":${jf(plainSessSec)},"sess_sorted_sec":${jf(sortedSessSec)},"ingest_build_sec":${jf(buildSec)},"ingest_stage_sec":${jf(stageSec)},"ingest_mor_sec":${jf(morSec)},"ingest_fold_sec":${jf(foldSec)},"ingest_post_sec":${jf(postSec)}}""")
     spark.stop()
   }
 }
