@@ -85,6 +85,20 @@ class SortedIngestSpec extends AnyFunSuite {
     assert(!plan.contains("Sort"), s"ingested layout still sorts:\n$plan")
   }
 
+  test("two deltas staged back-to-back fold together in one compaction") {
+    // staging must ACCUMULATE (parquet append): a landing delta can never
+    // clobber one already waiting for the next fold
+    val (base, staging, t) = fresh("multistage")
+    val ds = deltas()
+    Sinks.stageSortedDelta(ds(0), staging)
+    Sinks.stageSortedDelta(ds(1), staging)
+    val n = Sinks.compactSortedBucketed(spark, t, base, staging,
+      nBuckets = 4, "user_id", "ts")
+    val expected = (collected(ds(0)) ++ collected(ds(1))).sorted
+    assert(n === expected.size.toLong)
+    assert(collected(Sinks.readBucketedSorted(spark, t)) === expected)
+  }
+
   test("merge-on-read answers exactly while a delta is still staged") {
     val (base, staging, t) = fresh("mor")
     val ds = deltas()
