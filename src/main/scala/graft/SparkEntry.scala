@@ -509,6 +509,55 @@ object SparkEntry {
             expr("INTERVAL '30' MINUTE")).over(w).as("session_id"))
     },
 
+    // ---- MERGEABLE RETENTION ROLLUP: the raw log is folded ONCE into a
+    // per-(user, day) table of 8-byte retention_state partials; the
+    // dashboard query OR-merges states from that table — O(users x days)
+    // input instead of O(events), exact because OR is associative. The
+    // oracle is q02's raw-scan retention SQL: the rollup must not change
+    // the answer, the same standard the layout rows (q92/q96/q97/q104)
+    // meet for storage, applied to pre-aggregation.
+    "q105_retention_rollup" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val conds = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+        .map(d => to_date(col("ts")) === lit(d))
+      val rollupPath = sources.Sinks.scratchDir("q105_rollup") + "/rollup"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.retention_state(conds: _*).as("state"))
+        .write.mode("overwrite").parquet(rollupPath)
+      s.read.parquet(rollupPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.retention_merge(col("state"), 3).as("r"))
+        .select(col("user_id"),
+          get(col("r"), lit(0)).as("d1"),
+          get(col("r"), lit(1)).as("d2"),
+          get(col("r"), lit(2)).as("d3"))
+    },
+
+    // ---- INCREMENTAL SESSIONIZE: the log folds in one time-ordered
+    // batch at a time (three ten-day slices here); each batch pays a
+    // window over ITSELF plus a join against the O(users) stitch state,
+    // never a rescan of history. The accumulated per-event ids must match
+    // q01's full-scan oracle exactly — session ids are append-stable, so
+    // the incremental decomposition is exact, not approximate
+    // (IncrementalSessionSpec pins the crash-recovery invariants; this
+    // row pins the answer).
+    "q106_incremental_sessionize" -> { (s, dir) =>
+      val ev = events(s, dir).select("user_id", "ts")
+      val base = sources.Sinks.scratchDir("q106_incsess") + "/sess"
+      sources.Sinks.clearDir(base) // committed batches accumulate otherwise
+      val slices = Seq(
+        to_date(col("ts")) <= lit("2024-01-10"),
+        to_date(col("ts")) > lit("2024-01-10") &&
+          to_date(col("ts")) <= lit("2024-01-20"),
+        to_date(col("ts")) > lit("2024-01-20"))
+      for (slice <- slices)
+        ops.IncrementalSession.appendBatch(ev.filter(slice), base,
+          "user_id", "ts", 1800000000L)
+      ops.IncrementalSession.read(s, base)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("session_id"))
+    },
+
     // ---- LLM pipeline: exact dedup -------------------------------------
     "q11_dedup_exact" -> { (s, dir) =>
       prep(s, dir)
@@ -3069,6 +3118,29 @@ object SparkEntry {
     // fold -> new generation, three times) must be invisible to the
     // sessionize answer, exactly like q102's one-shot layout
     "q104_sorted_ingest" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM l""".stripMargin,
+
+    // q105: q02's raw-scan retention SQL — the per-(user, day) rollup of
+    // mergeable states must be invisible to the answer (OR-merge of
+    // partials == one scan), like the layout rows' oracles
+    "q105_retention_rollup" ->
+      """SELECT user_id,
+        |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false) AS d1,
+        |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false)
+        |    AND coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-02'), false) AS d2,
+        |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false)
+        |    AND coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-03'), false) AS d3
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // q106: q01's full-scan sessionize SQL — the batch-at-a-time fold plus
+    // O(users) stitch state must reproduce the global ids exactly
+    "q106_incremental_sessionize" ->
       """WITH l AS (
         |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |  FROM events)

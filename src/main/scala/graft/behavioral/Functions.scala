@@ -36,6 +36,17 @@ object BehavioralFunctions {
   def retention(conds: Column*): Column =
     agg(RetentionAgg(conds.map(e)))
 
+  /** Mergeable retention partial (BIGINT) for pre-aggregated rollups; fold
+    * with [[retention_merge]] — see RetentionStateAgg's scaladoc. */
+  def retention_state(conds: Column*): Column =
+    agg(RetentionStateAgg(conds.map(e)))
+
+  /** Fold [[retention_state]] partials into `retention`'s ARRAY<BOOLEAN>;
+    * `nConds` is the condition count the states were built with. */
+  def retention_merge(state: Column, nConds: Int): Column =
+    agg(RetentionMergeAgg(Seq(e(state),
+      org.apache.spark.sql.catalyst.expressions.Literal(nConds))))
+
   def window_funnel(window: Column, ts: Column, conds: Column*): Column =
     agg(WindowFunnelAgg(e(window) +: e(ts) +: conds.map(e)))
 
@@ -72,6 +83,10 @@ object BehavioralFunctions {
       exprs => SessionizeWindow(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("retention",
       exprs => RetentionAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("retention_state",
+      exprs => RetentionStateAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("retention_merge",
+      exprs => RetentionMergeAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("window_funnel",
       exprs => WindowFunnelAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("sequence_match",

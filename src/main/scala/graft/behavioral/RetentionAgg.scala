@@ -29,19 +29,8 @@ case class RetentionAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  // (1..32 boolean conditions; validated lazily — constructor bodies must stay
-  // empty because Java deserialization re-runs superclass init with null fields)
-  private final val SeenBit = 1L << 62
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    // reference FFI enforces 2..32 conditions (ffi/retention.rs:21-24)
-    if (children.size < 2 || children.size > 32)
-      TypeCheckFailure(s"retention takes 2..32 boolean conditions, got ${children.size}")
-    else if (children.exists(_.dataType != BooleanType))
-      TypeCheckFailure("retention conditions must be BOOLEAN")
-    else TypeCheckSuccess
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    RetentionBits.checkConds(children, prettyName)
 
   override def createAggregationBuffer(): Array[Long] = Array(0L)
 
@@ -50,14 +39,7 @@ case class RetentionAgg(
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(children.toIndexedSeq)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    val row = inputProj(input)
-    var mask = 0L
-    var i = 0
-    while (i < children.size) {
-      if (!row.isNullAt(i) && row.getBoolean(i)) mask |= 1L << i
-      i += 1
-    }
-    buf(0) |= mask | SeenBit
+    buf(0) |= RetentionBits.maskOf(inputProj(input), children.size)
     buf
   }
 
@@ -66,19 +48,8 @@ case class RetentionAgg(
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    val bits = buf(0)
-    if ((bits & SeenBit) == 0) return new GenericArrayData(Array.empty[Any])
-    val anchor = (bits & 1L) != 0
-    val out = new Array[Any](children.size)
-    out(0) = anchor
-    var i = 1
-    while (i < children.size) {
-      out(i) = anchor && ((bits >>> i) & 1L) != 0
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def eval(buf: Array[Long]): Any =
+    RetentionBits.evalBits(buf(0), children.size)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8)
@@ -92,6 +63,181 @@ case class RetentionAgg(
   override def dataType: DataType = ArrayType(BooleanType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "retention"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** Shared bitmask encoding for [[RetentionAgg]] and its rollup twins.
+  * Layout: bit 62 = "saw at least one row", bits 0..31 = per-condition
+  * ever-true mask. The encoding IS the mergeable partial: OR is
+  * associative, so any regrouping of rows — map-side combine, a per-day
+  * rollup table, a multi-level cube — produces the same final bits. */
+private[behavioral] object RetentionBits {
+  final val SeenBit = 1L << 62
+
+  def checkConds(children: Seq[Expression],
+      name: String): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    // reference FFI enforces 2..32 conditions (ffi/retention.rs:21-24)
+    if (children.size < 2 || children.size > 32)
+      TypeCheckFailure(s"$name takes 2..32 boolean conditions, got ${children.size}")
+    else if (children.exists(_.dataType != BooleanType))
+      TypeCheckFailure(s"$name conditions must be BOOLEAN")
+    else TypeCheckSuccess
+  }
+
+  /** Per-row contribution: NULL condition values count as false
+    * (`src/ffi/retention.rs:84-86`). */
+  def maskOf(row: InternalRow, n: Int): Long = {
+    var mask = SeenBit
+    var i = 0
+    while (i < n) {
+      if (!row.isNullAt(i) && row.getBoolean(i)) mask |= 1L << i
+      i += 1
+    }
+    mask
+  }
+
+  /** Final answer from merged bits: empty group → empty array; the anchor
+    * (condition 1) gates every slot (`src/retention.rs:4-11,90-106`). */
+  def evalBits(bits: Long, n: Int): GenericArrayData = {
+    if ((bits & SeenBit) == 0) return new GenericArrayData(Array.empty[Any])
+    val anchor = (bits & 1L) != 0
+    val out = new Array[Any](n)
+    out(0) = anchor
+    var i = 1
+    while (i < n) {
+      out(i) = anchor && ((bits >>> i) & 1L) != 0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `retention_state(cond1, ..., condN) -> BIGINT` — the MERGEABLE HALF of
+  * `retention`, for pre-aggregated rollups.
+  *
+  * At 100 TB nobody re-scans the raw event log for every retention
+  * dashboard query: the log is folded ONCE into a per-(user, day) rollup
+  * of these 8-byte states, and every subsequent query OR-merges states
+  * with [[RetentionMergeAgg]] — same answer (OR is associative), input
+  * shrunk from O(events) to O(users x days). The split is exact, not
+  * approximate: q105 pins the rollup path against `retention`'s own
+  * oracle. No reference analogue (the reference always scans raw rows);
+  * this is the Spark-native scale complement, same category as the
+  * bucketed layouts. */
+case class RetentionStateAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    RetentionBits.checkConds(children, prettyName)
+
+  override def createAggregationBuffer(): Array[Long] = Array(0L)
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(children.toIndexedSeq)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    buf(0) |= RetentionBits.maskOf(inputProj(input), children.size)
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    buf(0) |= other(0)
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = buf(0)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8)
+    bb.putLong(buf(0))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Array(java.nio.ByteBuffer.wrap(bytes).getLong)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "retention_state"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** `retention_merge(state BIGINT, n INT) -> ARRAY<BOOLEAN>` — folds
+  * [[RetentionStateAgg]] partials back into `retention`'s answer. `n` must
+  * be a literal: it is the condition count the states were built with (the
+  * output array's length — a state value cannot carry it). NULL states
+  * (e.g. from an outer join against the rollup) contribute nothing, like
+  * rows contribute nothing to an aggregate they're absent from. */
+case class RetentionMergeAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size != 2)
+      TypeCheckFailure(s"retention_merge takes (state BIGINT, nConds INT), got ${children.size} args")
+    else if (children(0).dataType != LongType)
+      TypeCheckFailure(s"retention_merge state must be BIGINT, got ${children(0).dataType}")
+    else if (!children(1).foldable || nConds < 2 || nConds > 32)
+      TypeCheckFailure("retention_merge nConds must be a literal in 2..32")
+    else TypeCheckSuccess
+  }
+
+  private lazy val nConds: Int = children(1).eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case _ => -1
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array(0L)
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(children(0)))
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val row = inputProj(input)
+    if (!row.isNullAt(0)) buf(0) |= row.getLong(0)
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    buf(0) |= other(0)
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    RetentionBits.evalBits(buf(0), nConds)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8)
+    bb.putLong(buf(0))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Array(java.nio.ByteBuffer.wrap(bytes).getLong)
+
+  override def dataType: DataType = ArrayType(BooleanType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "retention_merge"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
     copy(mutableAggBufferOffset = newOffset)

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL sessionization: fold the event log one time-ordered batch
+  * (a day, an hour) at a time, producing per-event session ids IDENTICAL
+  * to a full-scan `sessionize` — without ever re-scanning history.
+  *
+  * Why this exists: at 100 TB the full-scan form re-sorts the entire log
+  * per run, but session ids are append-stable — a new event can only
+  * extend or follow the LAST session of its user, never relabel an old
+  * one. So the whole history collapses into an O(users) stitch state:
+  * (last event ts, sessions so far). Each new batch costs one window over
+  * the BATCH plus a join against that tiny state — O(day), not O(log).
+  * The same decomposition the q104 layout applies to storage, applied to
+  * the computation.
+  *
+  * Exactness argument (q106 pins it under the oracle hash): within a
+  * batch, local ids come from the same strictly-greater-gap rule as
+  * `sessionize` (`src/sessionize.rs:310-312`); across the boundary, the
+  * user's first batch event either continues the previous session
+  * (boundary gap <= threshold → all local ids shift by sessions-1) or
+  * opens a new one (shift by sessions). Events never arrive out of order
+  * across batches — enforced per user, not assumed — so no other seam
+  * exists.
+  *
+  * Storage contract (same generational style as Sinks.compactSortedBucketed):
+  * each batch k writes `batch_k/out` (the sessionized events), `batch_k/state`
+  * (the complete per-user stitch state AFTER the batch), then an atomic
+  * `_BATCH_COMMITTED` marker. Recovery reaps marker-less batch dirs, so a
+  * crashed append is invisible and re-running it is idempotent. Readers
+  * union committed `out` dirs; the marker-last ordering means they never
+  * see a partial batch.
+  */
+object IncrementalSession {
+
+  private val LastTsCol = "__graft_last_ts"
+  private val SessionsCol = "__graft_sessions"
+
+  /** Append one time-ordered batch; returns the batch's row count.
+    * `gap` follows `sessionize`'s rule: a strictly-greater inter-event gap
+    * (microseconds) opens a new session. Batches must not interleave in
+    * time per user (each user's new events at or after their last seen
+    * ts) — violated input fails loudly rather than mislabeling. */
+  def appendBatch(batch: DataFrame, baseDir: String, userCol: String,
+      tsCol: String, gapMicros: Long): Long =
+    appendBatch(batch, baseDir, userCol, tsCol, gapMicros, _ => ())
+
+  /** `onStep` is the fault-injection seam IncrementalSessionSpec drives:
+    * called at "recovered", "written", "committed". */
+  private[graft] def appendBatch(batch: DataFrame, baseDir: String,
+      userCol: String, tsCol: String, gapMicros: Long,
+      onStep: String => Unit): Long = {
+    require(gapMicros >= 0, s"gap must be >= 0 microseconds, got $gapMicros")
+    val spark = batch.sparkSession
+    val fs = fsOf(spark, baseDir)
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    // -- recover: reap marker-less (crashed) batch dirs ------------------
+    val committed = committedBatches(fs, base)
+    batchDirs(fs, base).filterNot(b => committed.exists(_._1 == b._1))
+      .foreach { case (_, p) => fs.delete(p, true) }
+    onStep("recovered")
+    val prev = committed.sortBy(_._1).lastOption
+    val k = prev.map(_._1 + 1).getOrElse(0L)
+    val batchPath = new org.apache.hadoop.fs.Path(base, s"batch_$k")
+    val state = prev.map { case (_, p) =>
+      spark.read.parquet(new org.apache.hadoop.fs.Path(p, "state").toString) }
+
+    // -- local session ids within the batch (the only window; over the
+    // batch alone, never history) ----------------------------------------
+    val u = col(userCol)
+    val ts = unix_micros(col(tsCol))
+    val w = Window.partitionBy(u).orderBy(col(tsCol))
+    val local = batch
+      .withColumn("__graft_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__graft_local",
+        sum(when(col("__graft_prev").isNull
+            || ts - unix_micros(col("__graft_prev")) > gapMicros, 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__graft_prev")
+    local.persist()
+    try {
+    val nBatch = local.count()
+    require(nBatch > 0, "empty batch: nothing to append")
+
+    // -- stitch: per-user batch summary joined against the O(users) state
+    val summary = local.groupBy(u.as("__u"))
+      .agg(min(ts).as("__first"), max(col(tsCol)).as("__last"),
+        max(col("__graft_local")).as("__n"))
+    val joined = state match {
+      case Some(st) => summary.join(st, summary("__u") === st(userCol), "left")
+      case None => summary.withColumn(LastTsCol, lit(null).cast("long"))
+        .withColumn(SessionsCol, lit(null).cast("long"))
+    }
+    val adjusted0 = joined.select(col("__u"), col("__last"),
+      coalesce(col(SessionsCol), lit(0L)).as("__base"),
+      when(col(LastTsCol).isNotNull &&
+        col("__first") - col(LastTsCol) <= gapMicros, 1L).otherwise(0L)
+        .as("__merged"),
+      col("__n"),
+      // a batch event BEFORE the user's last seen ts would have needed to
+      // relabel history — reject the batch instead of mislabeling it
+      (col(LastTsCol).isNotNull && col("__first") < col(LastTsCol))
+        .as("__violates"))
+    val adjusted = adjusted0.persist()
+    try {
+    val bad = adjusted.filter(col("__violates")).limit(1)
+      .select(col("__u")).collect()
+    require(bad.isEmpty,
+      s"batch interleaves in time with history for user ${bad.headOption.map(_.get(0))}; " +
+        "incremental sessionize requires per-user time-ordered batches")
+
+    // -- write out + new state, verify, then commit ----------------------
+    val outPath = new org.apache.hadoop.fs.Path(batchPath, "out")
+    local.join(adjusted.select(col("__u"), col("__base"), col("__merged")),
+        u === col("__u"))
+      .withColumn("session_id",
+        col("__graft_local") + col("__base") - col("__merged"))
+      .drop("__u", "__base", "__merged", "__graft_local")
+      .write.mode("overwrite").parquet(outPath.toString)
+    val updated = adjusted.select(col("__u").as(userCol),
+      unix_micros(col("__last")).as(LastTsCol),
+      (col("__base") - col("__merged") + col("__n")).as(SessionsCol))
+    val newState = state match {
+      case Some(st) => updated.unionByName(
+        st.join(updated.select(col(userCol).as("__u")),
+          st(userCol) === col("__u"), "left_anti"))
+      case None => updated
+    }
+    newState.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(batchPath, "state").toString)
+    val written = spark.read.parquet(outPath.toString).count()
+    require(written == nBatch,
+      s"sessionized batch changed the row count ($nBatch -> $written); " +
+        s"batch_$k left uncommitted, previous state intact")
+    onStep("written")
+    fs.create(new org.apache.hadoop.fs.Path(batchPath, "_BATCH_COMMITTED"),
+      false).close()
+    onStep("committed")
+    nBatch
+    } finally adjusted.unpersist()
+    } finally local.unpersist()
+  }
+
+  /** All committed sessionized events (the union never sees a crashed
+    * batch — the marker is written last). */
+  def read(spark: SparkSession, baseDir: String): DataFrame = {
+    val fs = fsOf(spark, baseDir)
+    val outs = committedBatches(fs, new org.apache.hadoop.fs.Path(baseDir))
+      .sortBy(_._1)
+      .map { case (_, p) => new org.apache.hadoop.fs.Path(p, "out").toString }
+    require(outs.nonEmpty, s"no committed batches under $baseDir")
+    spark.read.parquet(outs: _*)
+  }
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
+      .flatMap(st => st.getPath.getName.stripPrefix("batch_").toLongOption
+        .map(_ -> st.getPath))
+
+  private def committedBatches(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    batchDirs(fs, base).filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_BATCH_COMMITTED")) }
+}
