@@ -421,8 +421,13 @@ object SparkEntry {
       }
       val target = 4
       sources.Sinks.compactParquet(s, idxDir, target)
-      val nFiles = new java.io.File(idxDir).listFiles()
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      // Hadoop FS listing, not java.io: the pin must hold on hdfs://
+      // and s3a:// index locations too (same standard as the sink's
+      // one-file-per-bucket check)
+      val hp = new org.apache.hadoop.fs.Path(idxDir)
+      val nFiles = hp.getFileSystem(s.sessionState.newHadoopConf())
+        .listStatus(hp)
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       require(nFiles == target,
         s"compaction left $nFiles parquet files, expected $target")
       ops.Dedup.exactDupAgainst(

@@ -402,9 +402,13 @@ object Sinks {
     * verification failure leaves the original untouched. Returns the row
     * count.
     *
-    * The swap uses local-filesystem moves; on an object store (S3/GCS)
-    * replace it with the store's atomic-rename or a table format's commit
-    * (Iceberg/Delta rewrite-files) — the verify-then-swap contract is the
+    * The swap goes through the Hadoop FileSystem API (like
+    * [[writeBucketedSortedSingleFile]]'s file-count check), so the same
+    * code runs on `file://`, `hdfs://`, and `s3a://` locations. On HDFS a
+    * directory rename is atomic and the crash invariant holds exactly as
+    * on a local disk; on S3A rename is copy+delete (not atomic), so for
+    * object stores a table format's commit (Iceberg/Delta rewrite-files)
+    * remains the production answer — the verify-then-swap contract is the
     * part that carries over. */
   def compactParquet(spark: SparkSession, path: String,
       targetPartitions: Int): Long =
@@ -418,36 +422,52 @@ object Sinks {
       targetPartitions: Int, onStep: String => Unit): Long = {
     require(targetPartitions > 0,
       s"targetPartitions must be positive, got $targetPartitions")
-    val tmp = path.stripSuffix("/") + ".compact_tmp"
-    val oldPath = path.stripSuffix("/") + ".compact_old"
+    val dst = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact_old")
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     // a leftover .compact_old means a previous compaction crashed mid-swap;
     // if `path` also exists the swap completed (or never started) and the
     // leftover is pure residue — reap it. If `path` does NOT exist the
     // previous crash landed between move-aside and swap: recover by
     // restoring the old copy before reading anything.
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(oldPath))) {
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-        deleteRecursiveStrict(java.nio.file.Paths.get(oldPath))
-      else
-        java.nio.file.Files.move(java.nio.file.Paths.get(oldPath),
-          java.nio.file.Paths.get(path))
+    if (fs.exists(old)) {
+      if (fs.exists(dst)) hadoopDeleteStrict(fs, old)
+      else hadoopRename(fs, old, dst)
     }
-    val before = spark.read.parquet(path)
+    val before = spark.read.parquet(dst.toString)
     val n = before.count()
-    deleteRecursiveStrict(java.nio.file.Paths.get(tmp))
-    before.repartition(targetPartitions).write.mode("overwrite").parquet(tmp)
-    val nAfter = spark.read.parquet(tmp).count()
+    hadoopDeleteStrict(fs, tmp)
+    before.repartition(targetPartitions).write.mode("overwrite")
+      .parquet(tmp.toString)
+    val nAfter = spark.read.parquet(tmp.toString).count()
     require(nAfter == n,
       s"compaction row count changed ($n -> $nAfter); original left untouched at $path")
     onStep("verified")
-    val dst = java.nio.file.Paths.get(path)
-    java.nio.file.Files.move(dst, java.nio.file.Paths.get(oldPath))
+    hadoopRename(fs, dst, old)
     onStep("moved-aside")
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
+    hadoopRename(fs, tmp, dst)
     onStep("swapped")
-    deleteRecursiveStrict(java.nio.file.Paths.get(oldPath))
+    hadoopDeleteStrict(fs, old)
     n
   }
+
+  /** Rename that SURFACES failure: Hadoop's `FileSystem.rename` reports
+    * most failure modes (missing source, existing destination on some
+    * stores) by returning false, and a swap step that silently didn't
+    * happen would break the crash invariant the caller documents. */
+  private def hadoopRename(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+
+  /** Recursive delete that SURFACES failure, Hadoop-FS edition of
+    * [[deleteRecursiveStrict]]: a caller about to move something into
+    * `p`'s place must know `p` is really gone. */
+  private def hadoopDeleteStrict(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(p) && (!fs.delete(p, true) || fs.exists(p)))
+      throw new java.io.IOException(s"could not fully delete $p")
 
   /** Reset a scratch dataset directory (recursive delete, SURFACING
     * failure): the rebuild companion for incrementally-appended indexes —
