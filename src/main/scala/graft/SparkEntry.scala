@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.behavioral.BehavioralFunctions
@@ -558,6 +558,45 @@ object SparkEntry {
       for (slice <- slices)
         ops.IncrementalSession.appendBatch(ev.filter(slice), base,
           "user_id", "ts", 1800000000L)
+      ops.IncrementalSession.read(s, base)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("session_id"))
+    },
+
+    // ---- the incremental store's MAINTENANCE cycle: append, COMPACT,
+    // append more (including an EMPTY delta — a quiet day must commit as
+    // a no-op), compact again. The generational fold bounds the read
+    // path's directory list at daily-ingest horizons — without it q106's
+    // store unions one dir per ingest forever, the small-files wall the
+    // sorted layout's ingest cycle (q104) already solved for storage.
+    // In-query pins: the live batch-dir count actually DROPS at each
+    // compaction; the oracle (q01's full-scan SQL) pins that none of the
+    // maintenance changed a single session id.
+    "q107_incsess_compacted" -> { (s, dir) =>
+      val ev = events(s, dir).select("user_id", "ts")
+      val base = sources.Sinks.scratchDir("q107_incsess") + "/sess"
+      sources.Sinks.clearDir(base) // committed batches accumulate otherwise
+      val slices = Seq(
+        to_date(col("ts")) <= lit("2024-01-08"),
+        to_date(col("ts")) > lit("2024-01-08") &&
+          to_date(col("ts")) <= lit("2024-01-16"),
+        to_date(col("ts")) > lit("2024-01-16") &&
+          to_date(col("ts")) <= lit("2024-01-24"),
+        to_date(col("ts")) > lit("2024-01-24"))
+      def live = ops.IncrementalSession.liveBatchCount(s, base)
+      def add(slice: Column): Long = ops.IncrementalSession.appendBatch(
+        ev.filter(slice), base, "user_id", "ts", 1800000000L)
+      slices.take(2).foreach(add)
+      require(live == 2, s"expected 2 batch dirs before compaction, got $live")
+      ops.IncrementalSession.compactBatches(s, base, targetPartitions = 8)
+      require(live == 1, s"compaction left $live batch dirs, expected 1")
+      val quiet = add(lit(false))
+      require(quiet == 0L && live == 1,
+        s"empty delta was not a no-op (rows $quiet, dirs $live)")
+      slices.drop(2).foreach(add)
+      require(live == 3, s"expected 3 batch dirs before recompaction, got $live")
+      ops.IncrementalSession.compactBatches(s, base, targetPartitions = 8)
+      require(live == 1, s"recompaction left $live batch dirs, expected 1")
       ops.IncrementalSession.read(s, base)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("session_id"))
@@ -3142,6 +3181,18 @@ object SparkEntry {
         |  coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-01'), false)
         |    AND coalesce(bool_or(CAST(ts AS DATE) = DATE '2024-01-03'), false) AS d3
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // q107: q01's full-scan sessionize SQL once more — append/compact/
+    // append/compact (with an empty mid-cycle delta) is pure maintenance;
+    // the per-event ids must not move
+    "q107_incsess_compacted" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |       CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM l""".stripMargin,
 
     // q106: q01's full-scan sessionize SQL — the batch-at-a-time fold plus
     // O(users) stitch state must reproduce the global ids exactly

@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   * crashed append is invisible and re-running it is idempotent. Readers
   * union committed `out` dirs; the marker-last ordering means they never
   * see a partial batch.
+  *
+  * Daily ingest accretes one `batch_k` dir per run forever — the same
+  * small-files problem the storage layout solves with its generational
+  * fold — so [[compactBatches]] periodically folds all committed batches
+  * into ONE: pure layout (the union of `out` data plus the latest
+  * `state`, byte-equal answers), crash-safe the same way the append is.
+  * The compacted batch's `_BATCH_COMMITTED` marker records WHICH batch
+  * dirs it folded (an empty marker = a normal append), so a crash between
+  * commit and cleanup cannot double-count a folded batch: readers and
+  * recovery treat marker-listed dirs as gone even while they still exist.
   */
 object IncrementalSession {
 
@@ -57,10 +67,9 @@ object IncrementalSession {
     val spark = batch.sparkSession
     val fs = fsOf(spark, baseDir)
     val base = new org.apache.hadoop.fs.Path(baseDir)
-    // -- recover: reap marker-less (crashed) batch dirs ------------------
-    val committed = committedBatches(fs, base)
-    batchDirs(fs, base).filterNot(b => committed.exists(_._1 == b._1))
-      .foreach { case (_, p) => fs.delete(p, true) }
+    // -- recover: reap marker-less (crashed) batch dirs, plus dirs a
+    // committed compaction folded but crashed before deleting ------------
+    val committed = recover(fs, base)
     onStep("recovered")
     val prev = committed.sortBy(_._1).lastOption
     val k = prev.map(_._1 + 1).getOrElse(0L)
@@ -84,7 +93,10 @@ object IncrementalSession {
     local.persist()
     try {
     val nBatch = local.count()
-    require(nBatch > 0, "empty batch: nothing to append")
+    // an empty delta is a NORMAL day, not an error: commit a no-op (no
+    // batch dir, state untouched) so a quiet-day nightly run succeeds and
+    // subsequent batches are unaffected
+    if (nBatch == 0) { onStep("committed"); return 0L }
 
     // -- stitch: per-user batch summary joined against the O(users) state
     val summary = local.groupBy(u.as("__u"))
@@ -145,11 +157,86 @@ object IncrementalSession {
     } finally local.unpersist()
   }
 
+  def compactBatches(spark: SparkSession, baseDir: String,
+      targetPartitions: Int = 32): Long =
+    compactBatches(spark, baseDir, targetPartitions, _ => ())
+
+  /** Fold every committed batch into ONE — the store's generational
+    * maintenance op, run after every N appends so the read path unions a
+    * bounded directory list instead of one-per-ingest-forever. Pure
+    * layout: the compacted batch's `out` is the union of the folded
+    * `out`s (repartitioned to `targetPartitions` files — the small-file
+    * fix), its `state` is the latest batch's state verbatim, so answers
+    * and subsequent appends are byte-identical.
+    *
+    * Crash-ordering (the `Sinks.compactSortedBucketed` cycle; `onStep` is
+    * IncrementalSessionSpec's fault-injection seam):
+    *   recovered — crashed appends/compactions reaped, previously-folded
+    *               dirs deleted;
+    *   written   — `batch_<k+1>/out` + `/state` complete, count verified;
+    *               no marker yet, so a crash here is invisible;
+    *   committed — `_BATCH_COMMITTED` written listing the folded batch
+    *               dir names: the compacted batch is now the truth, and
+    *               readers stop seeing the folded dirs even though they
+    *               still exist;
+    *   cleaned   — folded dirs deleted.
+    * Returns the compacted row count (0 with nothing to fold). */
+  private[graft] def compactBatches(spark: SparkSession, baseDir: String,
+      targetPartitions: Int, onStep: String => Unit): Long = {
+    require(targetPartitions > 0,
+      s"targetPartitions must be positive, got $targetPartitions")
+    val fs = fsOf(spark, baseDir)
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val committed = recover(fs, base).sortBy(_._1)
+    onStep("recovered")
+    if (committed.isEmpty) return 0L
+    if (committed.size == 1)
+      return spark.read.parquet(
+        new org.apache.hadoop.fs.Path(committed.head._2, "out").toString).count()
+    val outs = committed.map { case (_, p) =>
+      spark.read.parquet(new org.apache.hadoop.fs.Path(p, "out").toString) }
+    val all = outs.reduce(_ unionByName _)
+    val expected = outs.map(_.count()).sum
+    val k = committed.last._1 + 1
+    val batchPath = new org.apache.hadoop.fs.Path(base, s"batch_$k")
+    all.repartition(targetPartitions).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(batchPath, "out").toString)
+    // the latest state IS the post-fold state: it already reflects every
+    // folded batch (each append writes the COMPLETE per-user state)
+    spark.read.parquet(
+        new org.apache.hadoop.fs.Path(committed.last._2, "state").toString)
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(batchPath, "state").toString)
+    val written = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(batchPath, "out").toString).count()
+    require(written == expected,
+      s"compaction changed the row count ($expected -> $written); " +
+        s"batch_$k left uncommitted, folded batches intact")
+    onStep("written")
+    val marker = fs.create(
+      new org.apache.hadoop.fs.Path(batchPath, "_BATCH_COMMITTED"), false)
+    try marker.write(committed.map(_._2.getName).mkString("\n").getBytes("UTF-8"))
+    finally marker.close()
+    onStep("committed")
+    committed.foreach { case (_, p) => fs.delete(p, true) }
+    onStep("cleaned")
+    expected
+  }
+
+  /** Committed, not-yet-reaped batch dirs the store should serve. How many
+    * directories a reader's union spans — q107 pins that compaction
+    * actually shrinks it. */
+  def liveBatchCount(spark: SparkSession, baseDir: String): Int = {
+    val fs = fsOf(spark, baseDir)
+    liveBatches(fs, new org.apache.hadoop.fs.Path(baseDir)).size
+  }
+
   /** All committed sessionized events (the union never sees a crashed
-    * batch — the marker is written last). */
+    * batch — the marker is written last — nor a batch a committed
+    * compaction already folded, even if its dir still exists). */
   def read(spark: SparkSession, baseDir: String): DataFrame = {
     val fs = fsOf(spark, baseDir)
-    val outs = committedBatches(fs, new org.apache.hadoop.fs.Path(baseDir))
+    val outs = liveBatches(fs, new org.apache.hadoop.fs.Path(baseDir))
       .sortBy(_._1)
       .map { case (_, p) => new org.apache.hadoop.fs.Path(p, "out").toString }
     require(outs.nonEmpty, s"no committed batches under $baseDir")
@@ -172,4 +259,39 @@ object IncrementalSession {
       base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
     batchDirs(fs, base).filter { case (_, p) =>
       fs.exists(new org.apache.hadoop.fs.Path(p, "_BATCH_COMMITTED")) }
+
+  /** Batch dir names every committed compaction marker says it folded —
+    * dead even if the dir still exists (crash before cleanup). */
+  private def foldedDirs(fs: org.apache.hadoop.fs.FileSystem,
+      committed: Seq[(Long, org.apache.hadoop.fs.Path)]): Set[String] =
+    committed.flatMap { case (_, p) =>
+      val marker = new org.apache.hadoop.fs.Path(p, "_BATCH_COMMITTED")
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }.toSet
+
+  /** Committed minus folded: what a read-only caller may serve. */
+  private def liveBatches(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val committed = committedBatches(fs, base)
+    val dead = foldedDirs(fs, committed)
+    committed.filterNot { case (_, p) => dead.contains(p.getName) }
+  }
+
+  /** Mutating recovery (append/compact only — readers use [[liveBatches]]):
+    * delete marker-less (crashed) dirs and folded-but-not-yet-cleaned
+    * dirs; returns the live batches. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val committed = committedBatches(fs, base)
+    batchDirs(fs, base).filterNot(b => committed.exists(_._1 == b._1))
+      .foreach { case (_, p) => fs.delete(p, true) }
+    val dead = foldedDirs(fs, committed)
+    val (folded, live) = committed.partition { case (_, p) =>
+      dead.contains(p.getName) }
+    folded.foreach { case (_, p) => fs.delete(p, true) }
+    live
+  }
 }

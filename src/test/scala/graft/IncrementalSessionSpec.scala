@@ -148,15 +148,92 @@ class IncrementalSessionSpec extends AnyFunSuite {
     assert(incremental(base).values.toSet === Set(1L))
   }
 
-  test("empty batch is rejected; missing base dir reads fail loudly") {
+  test("empty batch is a committed no-op; missing base dir reads fail loudly") {
     val base = fresh("empty")
+    // a quiet day BEFORE any data: succeeds, stores nothing
+    assert(IncrementalSession.appendBatch(
+      df(Seq((1L, 0L))).filter(col("user_id") === 99), base,
+      "user_id", "ts", GapUs) === 0L)
     intercept[IllegalArgumentException] {
-      IncrementalSession.appendBatch(
-        df(Seq((1L, 0L))).filter(col("user_id") === 99), base,
-        "user_id", "ts", GapUs)
+      IncrementalSession.read(spark, base) // still no committed batches
     }
+    // data lands, then another quiet day, then more data: the no-op is
+    // invisible — the final ids match the full scan over the real batches
+    IncrementalSession.appendBatch(df(Seq((1L, 0 * M))), base,
+      "user_id", "ts", GapUs)
+    assert(IncrementalSession.appendBatch(
+      df(Seq((1L, 0L))).filter(col("user_id") === 99), base,
+      "user_id", "ts", GapUs) === 0L)
+    IncrementalSession.appendBatch(df(Seq((1L, 40 * M))), base,
+      "user_id", "ts", GapUs)
+    assert(incremental(base) ===
+      fullScan(df(Seq((1L, 0 * M), (1L, 40 * M)))))
     intercept[IllegalArgumentException] {
       IncrementalSession.read(spark, base + "/nope")
     }
+  }
+
+  // ---- compaction: the generational fold of the batch directories ------
+
+  test("compaction folds every batch into one dir and changes nothing observable") {
+    val base = fresh("compact")
+    val b0 = Seq((1L, 0 * M), (1L, 5 * M), (2L, 0 * M))
+    val b1 = Seq((1L, 15 * M), (2L, 31 * M), (3L, 0 * M))
+    val b2 = Seq((1L, 135 * M), (4L, 0 * M))
+    for (b <- Seq(b0, b1, b2))
+      IncrementalSession.appendBatch(df(b), base, "user_id", "ts", GapUs)
+    assert(IncrementalSession.liveBatchCount(spark, base) === 3)
+    val before = incremental(base)
+    val n = IncrementalSession.compactBatches(spark, base, targetPartitions = 2)
+    assert(n === (b0 ++ b1 ++ b2).size.toLong)
+    assert(IncrementalSession.liveBatchCount(spark, base) === 1)
+    assert(incremental(base) === before, "compaction changed the answer")
+    // the stitch state survived verbatim: the next append still merges /
+    // splits across the boundary exactly as without compaction
+    val b3 = Seq((1L, 140 * M), (2L, 200 * M), (5L, 0 * M))
+    IncrementalSession.appendBatch(df(b3), base, "user_id", "ts", GapUs)
+    assert(incremental(base) === fullScan(df(b0 ++ b1 ++ b2 ++ b3)))
+    assert(IncrementalSession.liveBatchCount(spark, base) === 2)
+    IncrementalSession.compactBatches(spark, base, targetPartitions = 2)
+    assert(IncrementalSession.liveBatchCount(spark, base) === 1)
+    // compacting a single-batch store is a no-op, not an error
+    IncrementalSession.compactBatches(spark, base, targetPartitions = 2)
+    assert(IncrementalSession.liveBatchCount(spark, base) === 1)
+    assert(incremental(base) === fullScan(df(b0 ++ b1 ++ b2 ++ b3)))
+  }
+
+  test("a crash at every compaction step boundary loses nothing and double-counts nothing") {
+    for (failAt <- Seq("recovered", "written", "committed")) {
+      val base = fresh(s"compact_crash_$failAt")
+      val batches = Seq(
+        Seq((1L, 0 * M), (2L, 0 * M)),
+        Seq((1L, 10 * M), (2L, 60 * M)),
+        Seq((1L, 200 * M)))
+      for (b <- batches)
+        IncrementalSession.appendBatch(df(b), base, "user_id", "ts", GapUs)
+      val expected = fullScan(df(batches.flatten))
+      intercept[RuntimeException] {
+        IncrementalSession.compactBatches(spark, base, 2,
+          step => if (step == failAt) sys.error(s"injected crash at $failAt"))
+      }
+      // reads stay exact THROUGH the crash window (in particular after
+      // "committed": folded dirs still on disk must not be double-served)
+      assert(incremental(base) === expected,
+        s"crash at '$failAt' changed what readers see")
+      // re-running self-recovers and finishes the fold
+      IncrementalSession.compactBatches(spark, base, 2)
+      assert(IncrementalSession.liveBatchCount(spark, base) === 1)
+      assert(incremental(base) === expected)
+      // and ingest continues unharmed on the compacted store
+      IncrementalSession.appendBatch(df(Seq((1L, 230 * M))), base,
+        "user_id", "ts", GapUs)
+      assert(incremental(base) ===
+        fullScan(df(batches.flatten :+ (1L, 230 * M))))
+    }
+  }
+
+  test("compacting an empty store is a harmless no-op") {
+    val base = fresh("compact_empty")
+    assert(IncrementalSession.compactBatches(spark, base) === 0L)
   }
 }
