@@ -67,6 +67,11 @@ object IncrementalSession {
     val spark = batch.sparkSession
     val fs = fsOf(spark, baseDir)
     val base = new org.apache.hadoop.fs.Path(baseDir)
+    // append and compact share the store's single-writer lease: both pick
+    // the next batch number off the committed list, so any two concurrent
+    // writers race it (readers need no lease — the marker protocol keeps
+    // them exact throughout)
+    graft.sources.Sinks.withSingleWriterLease(fs, leasePath(base)) {
     // -- recover: reap marker-less (crashed) batch dirs, plus dirs a
     // committed compaction folded but crashed before deleting ------------
     val committed = recover(fs, base)
@@ -155,6 +160,7 @@ object IncrementalSession {
     nBatch
     } finally adjusted.unpersist()
     } finally local.unpersist()
+    }
   }
 
   def compactBatches(spark: SparkSession, baseDir: String,
@@ -187,6 +193,7 @@ object IncrementalSession {
       s"targetPartitions must be positive, got $targetPartitions")
     val fs = fsOf(spark, baseDir)
     val base = new org.apache.hadoop.fs.Path(baseDir)
+    graft.sources.Sinks.withSingleWriterLease(fs, leasePath(base)) {
     val committed = recover(fs, base).sortBy(_._1)
     onStep("recovered")
     if (committed.isEmpty) return 0L
@@ -221,7 +228,11 @@ object IncrementalSession {
     committed.foreach { case (_, p) => fs.delete(p, true) }
     onStep("cleaned")
     expected
+    }
   }
+
+  private def leasePath(base: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(base, "_WRITER_LEASE")
 
   /** Committed, not-yet-reaped batch dirs the store should serve. How many
     * directories a reader's union spans — q107 pins that compaction

@@ -202,9 +202,11 @@ object Sinks {
   //      exists, and the marker records which staged files it folded so
   //      a crash between "new gen committed" and "staging cleared"
   //      cannot double-fold a delta on the next run. Single compactor
-  //      at a time (the usual table-maintenance contract); readers are
-  //      safe concurrently with it on stores with atomic marker
-  //      creation.
+  //      at a time (the usual table-maintenance contract) — ENFORCED by
+  //      the create-exclusive `_COMPACT_LEASE` marker (see
+  //      withSingleWriterLease: fail-fast on contention, stale takeover
+  //      on a crashed holder); readers are safe concurrently with it on
+  //      stores with atomic marker creation.
   // --------------------------------------------------------------------
 
   /** Land a delta batch in the staging directory. O(delta): no shuffle,
@@ -260,6 +262,11 @@ object Sinks {
     val hconf = spark.sessionState.newHadoopConf()
     val base = new org.apache.hadoop.fs.Path(baseDir)
     val fs = base.getFileSystem(hconf)
+    // the whole recover->fold->commit->clean cycle runs under the
+    // single-writer lease: two concurrent compactors would both pass
+    // recovery and race the generation number
+    withSingleWriterLease(fs,
+      new org.apache.hadoop.fs.Path(base, "_COMPACT_LEASE")) {
     // -- recover -------------------------------------------------------
     val gens =
       if (fs.exists(base))
@@ -324,6 +331,7 @@ object Sinks {
     latest.foreach { case (_, p) => fs.delete(p, true) }
     onStep("cleaned")
     expected
+    }
   }
 
   /** Staged parquet file NAMES (not paths) — the unit the commit marker
@@ -426,6 +434,11 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact_old")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    // single-writer lease as a SIBLING (not inside `dst` — the swap
+    // renames that directory away mid-cycle and would carry the lease
+    // with it): two concurrent compactions would race the three-way swap
+    withSingleWriterLease(fs,
+      new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact_lease")) {
     // a leftover .compact_old means a previous compaction crashed mid-swap;
     // if `path` also exists the swap completed (or never started) and the
     // leftover is pure residue — reap it. If `path` does NOT exist the
@@ -450,6 +463,72 @@ object Sinks {
     onStep("swapped")
     hadoopDeleteStrict(fs, old)
     n
+    }
+  }
+
+  /** Run `body` holding a SINGLE-WRITER lease: an atomic create-exclusive
+    * marker file recording pid + host + start time. The maintenance
+    * cycles document "one compactor at a time" — two concurrent
+    * compactions could both pass recovery and race the generation
+    * number — and this enforces it: a second writer finds the marker and
+    * fails fast with a clear error instead of corrupting the store.
+    *
+    * Takeover: a lease whose holder is provably gone (its pid is dead,
+    * checked only when the lease was taken on THIS host) or older than
+    * `staleMs` is stale — a crashed compactor must not wedge the store
+    * forever. The takeover itself re-runs the atomic create, so two
+    * simultaneous takeover attempts still end with exactly one winner.
+    *
+    * `FileSystem.create(overwrite = false)` is atomic on HDFS and a
+    * local FS; on S3A it is conditional-put-backed on recent Hadoop —
+    * where it isn't, use an external lock service (the contract carried
+    * over is lease-then-write). */
+  private[graft] def withSingleWriterLease[T](
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path,
+      staleMs: Long = 60L * 60 * 1000)(body: => T): T = {
+    val pid = ProcessHandle.current().pid()
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        try out.write(s"pid=$pid\nhost=$host\nstart_ms=${System.currentTimeMillis()}\n"
+          .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def holder(): Option[Map[String, String]] =
+      if (!fs.exists(lease)) None
+      else {
+        val in = fs.open(lease)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .flatMap(_.split("=", 2) match {
+            case Array(k, v) => Some(k -> v); case _ => None
+          }).toMap)
+        finally in.close()
+      }
+    if (!tryAcquire()) {
+      val h = holder()
+      val stale = h match {
+        case None => true // holder released between our create and read
+        case Some(m) =>
+          val deadPid = m.get("host").contains(host) &&
+            m.get("pid").flatMap(_.toLongOption).exists { p =>
+              val ph = ProcessHandle.of(p)
+              !(ph.isPresent && ph.get.isAlive)
+            }
+          val expired = m.get("start_ms").flatMap(_.toLongOption)
+            .exists(System.currentTimeMillis() - _ > staleMs)
+          deadPid || expired
+      }
+      if (stale) fs.delete(lease, false)
+      if (!stale || !tryAcquire())
+        throw new IllegalStateException(
+          s"another compactor holds the lease at $lease" +
+            h.map(m => s" ($m)").getOrElse("") +
+            "; the maintenance cycle runs one writer at a time")
+    }
+    try body finally fs.delete(lease, false)
   }
 
   /** Rename that SURFACES failure: Hadoop's `FileSystem.rename` reports

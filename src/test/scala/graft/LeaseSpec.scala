@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import graft.sources.Sinks
+
+/** The single-writer lease (`Sinks.withSingleWriterLease`) that enforces
+  * the maintenance cycles' documented "one compactor at a time"
+  * invariant: a second concurrent compactor must LOSE CLEANLY (clear
+  * error, store untouched), a crashed holder must not wedge the store
+  * (dead-pid / expiry takeover), and a completed or crashed run must
+  * always release.
+  */
+class LeaseSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def fs = new Path("/tmp").getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  private def fresh(name: String): String = {
+    val p = Sinks.scratchDir("lease_spec") + s"/$name"
+    Sinks.clearDir(p)
+    p
+  }
+
+  private def writeLease(p: Path, pid: Long, host: String,
+      startMs: Long): Unit = {
+    val out = fs.create(p, false)
+    try out.write(s"pid=$pid\nhost=$host\nstart_ms=$startMs\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def deadPid(): Long = {
+    val proc = new ProcessBuilder("true").start()
+    proc.waitFor()
+    proc.pid()
+  }
+
+  private def localHost: String =
+    java.net.InetAddress.getLocalHost.getHostName
+
+  test("two concurrent compactors: the second loses cleanly, the first finishes") {
+    val dir = fresh("two_compactors")
+    val base = s"$dir/events"
+    val staging = s"$dir/staging"
+    val table = Sinks.sessionTable(spark, "graft_lease_events")
+    val delta = (0 until 100).map(i => (i.toLong % 7, i.toLong)).toDF("user_id", "ts")
+    Sinks.stageSortedDelta(delta, staging)
+    // compactor B starts while compactor A is mid-cycle (A's lease held):
+    // B must throw the contention error, and A must complete untouched
+    var bError: Option[IllegalStateException] = None
+    val n = Sinks.compactSortedBucketed(spark, table, base, staging, 4,
+      "user_id", Seq("ts"), onStep = step =>
+        if (step == "recovered")
+          bError = Some(intercept[IllegalStateException] {
+            Sinks.compactSortedBucketed(spark, table, base, staging, 4,
+              "user_id", Seq("ts"), _ => ())
+          }))
+    assert(n === 100L)
+    assert(bError.exists(_.getMessage.contains("lease")),
+      s"second compactor did not lose on the lease: $bError")
+    assert(spark.table(table).count() === 100L)
+    // A released on completion: a THIRD run (nothing to fold) acquires fine
+    Sinks.compactSortedBucketed(spark, table, base, staging, 4,
+      "user_id", Seq("ts"), _ => ())
+  }
+
+  test("a live same-host holder blocks every maintenance path with a clear error") {
+    // compactParquet (sibling lease)
+    val idx = fresh("held_parquet") + "/idx"
+    (0 until 20).map(i => (i.toLong, s"d$i")).toDF("doc_id", "digest")
+      .write.mode("append").parquet(idx)
+    writeLease(new Path(idx + ".compact_lease"),
+      ProcessHandle.current().pid(), localHost, System.currentTimeMillis())
+    val e1 = intercept[IllegalStateException] {
+      Sinks.compactParquet(spark, idx, 1)
+    }
+    assert(e1.getMessage.contains("lease"))
+    fs.delete(new Path(idx + ".compact_lease"), false)
+    assert(Sinks.compactParquet(spark, idx, 1) === 20L) // released -> runs
+
+    // IncrementalSession writers (shared _WRITER_LEASE in the base dir)
+    val sess = fresh("held_sess")
+    val batch = Seq((1L, 0L)).toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    writeLease(new Path(sess, "_WRITER_LEASE"),
+      ProcessHandle.current().pid(), localHost, System.currentTimeMillis())
+    val e2 = intercept[IllegalStateException] {
+      graft.ops.IncrementalSession.appendBatch(batch, sess, "user_id", "ts", 1L)
+    }
+    assert(e2.getMessage.contains("lease"))
+    val e3 = intercept[IllegalStateException] {
+      graft.ops.IncrementalSession.compactBatches(spark, sess)
+    }
+    assert(e3.getMessage.contains("lease"))
+    fs.delete(new Path(sess, "_WRITER_LEASE"), false)
+    graft.ops.IncrementalSession.appendBatch(batch, sess, "user_id", "ts", 1L)
+    assert(graft.ops.IncrementalSession.liveBatchCount(spark, sess) === 1)
+  }
+
+  test("a dead holder's lease is taken over; a live foreign one is respected until expiry") {
+    val dir = fresh("takeover")
+    // dead pid on THIS host: provably gone -> immediate takeover
+    val l1 = new Path(dir, "lease_dead")
+    writeLease(l1, deadPid(), localHost, System.currentTimeMillis())
+    var ran = false
+    Sinks.withSingleWriterLease(fs, l1) { ran = true }
+    assert(ran)
+    assert(!fs.exists(l1), "takeover run did not release")
+
+    // foreign host, fresh: pid liveness is unknowable -> must respect it
+    val l2 = new Path(dir, "lease_foreign")
+    writeLease(l2, 1L, "some-other-host", System.currentTimeMillis())
+    intercept[IllegalStateException] {
+      Sinks.withSingleWriterLease(fs, l2) { fail("must not run") }
+    }
+    // ...until it expires
+    Thread.sleep(60)
+    Sinks.withSingleWriterLease(fs, l2, staleMs = 50) { ran = false }
+    assert(!ran && !fs.exists(l2))
+  }
+
+  test("a crashed body still releases the lease") {
+    val dir = fresh("crash_release")
+    val l = new Path(dir, "lease")
+    intercept[RuntimeException] {
+      Sinks.withSingleWriterLease(fs, l) { sys.error("boom mid-compaction") }
+    }
+    assert(!fs.exists(l), "crashed run left the lease behind")
+    var ran = false
+    Sinks.withSingleWriterLease(fs, l) { ran = true }
+    assert(ran)
+  }
+}
