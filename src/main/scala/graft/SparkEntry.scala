@@ -538,6 +538,47 @@ object SparkEntry {
           get(col("r"), lit(2)).as("d3"))
     },
 
+    // ---- MERGEABLE FUNNEL ROLLUP: q105's pattern applied to the funnel
+    // family. The raw log folds ONCE into a per-(user, day) table of
+    // funnel_state partials (the serialized condition-event buffer — see
+    // the size trade in FunnelStateAgg's scaladoc); the dashboard query
+    // funnel_merges them with the window and mode supplied AT MERGE TIME,
+    // so one rollup serves every funnel variant. Exact, not approximate
+    // (the merge sees the identical event multiset a raw scan would);
+    // the oracle is q03's raw-scan funnel SQL.
+    "q108_funnel_rollup" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val rollupPath = sources.Sinks.scratchDir("q108_funnel") + "/rollup"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+        .write.mode("overwrite").parquet(rollupPath)
+      s.read.parquet(rollupPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
+    // ---- the SAME rollup serves a different funnel variant: strict mode
+    // over the q108-shaped per-(user, day) states — mode lives at merge
+    // time, so no second scan of the raw log. Oracle: q34's strict SQL.
+    "q109_funnel_rollup_strict" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val rollupPath = sources.Sinks.scratchDir("q109_funnel") + "/rollup"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+        .write.mode("overwrite").parquet(rollupPath)
+      s.read.parquet(rollupPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          "strict", col("state")).as("steps"))
+    },
+
     // ---- INCREMENTAL SESSIONIZE: the log folds in one time-ordered
     // batch at a time (three ten-day slices here); each batch pays a
     // window over ITSELF plus a join against the O(users) stitch state,
@@ -2152,7 +2193,14 @@ object SparkEntry {
       |    FROM walk w WHERE NOT w.done)
       |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // q108/q109: the per-(user, day) funnel_state rollup + funnel_merge
+    // must be INVISIBLE to the answer — the oracles ARE the raw-scan
+    // q03/q34 SQL they re-express (same standard as q105's reuse of q02)
+    "q108_funnel_rollup" -> oracleSqlBase("q03_window_funnel"),
+    "q109_funnel_rollup_strict" -> oracleSqlBase("q34_funnel_strict"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
 
     "q01_sessionize" ->
       """WITH l AS (

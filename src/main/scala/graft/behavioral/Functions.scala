@@ -47,6 +47,20 @@ object BehavioralFunctions {
     agg(RetentionMergeAgg(Seq(e(state),
       org.apache.spark.sql.catalyst.expressions.Literal(nConds))))
 
+  /** Mergeable funnel partial (BINARY: the serialized condition-filtered
+    * event buffer) for pre-aggregated rollups; fold with [[funnel_merge]],
+    * which is where window and mode go — see FunnelStateAgg's scaladoc
+    * for the size trade vs retention's 8-byte partial. */
+  def funnel_state(ts: Column, conds: Column*): Column =
+    agg(FunnelStateAgg(e(ts) +: conds.map(e)))
+
+  /** Fold [[funnel_state]] partials into `window_funnel`'s INT answer. */
+  def funnel_merge(window: Column, state: Column): Column =
+    agg(FunnelMergeAgg(Seq(e(window), e(state))))
+
+  def funnel_merge(window: Column, mode: String, state: Column): Column =
+    agg(FunnelMergeAgg(Seq(e(window), strLit(mode), e(state))))
+
   def window_funnel(window: Column, ts: Column, conds: Column*): Column =
     agg(WindowFunnelAgg(e(window) +: e(ts) +: conds.map(e)))
 
@@ -89,6 +103,10 @@ object BehavioralFunctions {
       exprs => RetentionMergeAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("window_funnel",
       exprs => WindowFunnelAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("funnel_state",
+      exprs => FunnelStateAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("funnel_merge",
+      exprs => FunnelMergeAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("sequence_match",
       exprs => SequenceMatchAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("sequence_count",

@@ -208,3 +208,198 @@ case class WindowFunnelAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
+
+/** Wire format shared by [[FunnelStateAgg]] (producer) and
+  * [[FunnelMergeAgg]] (consumer): 4-byte condition count + the
+  * [[EventBuf]] bytes. The count rides IN the partial because a merge
+  * over states built with a different condition list is meaningless —
+  * the consumer fails loudly on a mismatch instead of scanning garbage
+  * bitmasks. */
+private[behavioral] object FunnelPartial {
+  def encode(nConds: Int, buf: EventBuf): Array[Byte] = {
+    val body = buf.serialize()
+    val bb = java.nio.ByteBuffer.allocate(4 + body.length)
+    bb.putInt(nConds)
+    bb.put(body)
+    bb.array()
+  }
+
+  /** (nConds, events). */
+  def decode(bytes: Array[Byte]): (Int, EventBuf) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val rest = new Array[Byte](bytes.length - 4)
+    bb.get(rest)
+    (n, EventBuf.deserialize(rest))
+  }
+}
+
+/** `funnel_state(ts, cond1, ..., condN) -> BINARY` — the MERGEABLE HALF of
+  * `window_funnel`, for pre-aggregated rollups (q105's retention pattern
+  * applied to the funnel family): the raw log folds ONCE into per-(user,
+  * day) partials, and dashboard queries re-merge partials with
+  * [[FunnelMergeAgg]] instead of rescanning events.
+  *
+  * The partial is the serialized condition-filtered event buffer — the
+  * same state `window_funnel` itself shuffles between partial and final
+  * aggregation, and the same in-place extend the reference uses for its
+  * combine (`src/window_funnel.rs:285-303`) — so the split is exact for
+  * EVERY window length and mode: those live on the merge side, which sees
+  * the identical event multiset a raw scan would. One rollup table
+  * therefore serves all funnel windows/modes over its grain.
+  *
+  * The size trade vs retention's rollup: a retention partial is 8 bytes;
+  * a funnel partial is O(events with at least one true condition) at 12
+  * bytes each (no-condition events are dropped at state time, the
+  * reference's own pre-filter, `src/window_funnel.rs:249-254`). Roll up
+  * on a grain where that count is dashboard-sized (user x day of
+  * CONDITION events, not raw traffic). */
+case class FunnelStateAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[EventBuf] {
+
+  // children: ts, cond1..condN — window and mode are merge-side
+  private lazy val tsExpr = children.head
+  private lazy val condExprs: Array[Expression] = children.drop(1).toArray
+  private def numConds: Int = condExprs.length
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size < 3)
+      TypeCheckFailure("funnel_state needs (ts, cond1, cond2, ...)")
+    else if (numConds < 2 || numConds > 32) // reference FFI bound, ffi/window_funnel.rs:18-21
+      TypeCheckFailure(s"funnel_state takes 2..32 boolean conditions, got $numConds")
+    else if (condExprs.exists(_.dataType != BooleanType))
+      TypeCheckFailure("funnel_state conditions must be BOOLEAN")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): EventBuf = EventBuf.empty()
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(tsExpr +: condExprs.toIndexedSeq)
+
+  override def update(buf: EventBuf, input: InternalRow): EventBuf = {
+    val row = inputProj(input)
+    if (row.isNullAt(0)) return buf
+    var mask = 0
+    var i = 0
+    while (i < condExprs.length) {
+      if (!row.isNullAt(i + 1) && row.getBoolean(i + 1)) mask |= 1 << i
+      i += 1
+    }
+    if (mask != 0) buf.append(row.getLong(0), mask)
+    buf
+  }
+
+  override def merge(buf: EventBuf, other: EventBuf): EventBuf = {
+    buf.appendAll(other)
+    buf
+  }
+
+  override def eval(buf: EventBuf): Any = FunnelPartial.encode(numConds, buf)
+
+  override def serialize(buf: EventBuf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): EventBuf = EventBuf.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "funnel_state"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** [[FunnelMergeAgg]]'s buffer: the unioned events plus the condition
+  * count learned from the first non-NULL state (-1 until then). */
+private[behavioral] final class FunnelMergeBuf(var nConds: Int, val buf: EventBuf)
+
+/** `funnel_merge(window, [mode,] state) -> INT` — folds [[FunnelStateAgg]]
+  * partials back into `window_funnel`'s answer. Window and mode are
+  * supplied HERE, so one state table serves every funnel variant. NULL
+  * states (e.g. an outer join against the rollup) contribute nothing;
+  * a group with no states at all answers 0, like `window_funnel` over an
+  * empty group. States built with different condition counts cannot be
+  * merged meaningfully and fail loudly. */
+case class FunnelMergeAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FunnelMergeBuf] {
+
+  // children: window, [mode,] state
+  private lazy val hasMode = children.length > 2
+  private lazy val windowMicros = IntervalArg.micros(children.head, "funnel_merge window")
+  private lazy val mode: Int =
+    if (hasMode) FunnelMode.parse(IntervalArg.string(children(1), "funnel_merge mode"))
+    else FunnelMode.Default
+  private lazy val stateExpr = children.last
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size < 2 || children.size > 3)
+      TypeCheckFailure("funnel_merge needs (window, [mode,] state)")
+    else if (hasMode && children(1).dataType != StringType)
+      TypeCheckFailure("funnel_merge mode must be STRING")
+    else if (stateExpr.dataType != BinaryType)
+      TypeCheckFailure(s"funnel_merge state must be BINARY (from funnel_state), got ${stateExpr.dataType}")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): FunnelMergeBuf =
+    new FunnelMergeBuf(-1, EventBuf.empty())
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(stateExpr))
+
+  override def update(buf: FunnelMergeBuf, input: InternalRow): FunnelMergeBuf = {
+    val row = inputProj(input)
+    if (row.isNullAt(0)) return buf
+    val (n, events) = FunnelPartial.decode(row.getBinary(0))
+    require(buf.nConds < 0 || buf.nConds == n,
+      s"funnel_merge saw states built with different condition counts " +
+        s"(${buf.nConds} vs $n); merge only states from one funnel_state call site")
+    buf.nConds = n
+    buf.buf.appendAll(events)
+    buf
+  }
+
+  override def merge(buf: FunnelMergeBuf, other: FunnelMergeBuf): FunnelMergeBuf = {
+    if (other.nConds >= 0) {
+      require(buf.nConds < 0 || buf.nConds == other.nConds,
+        s"funnel_merge saw states built with different condition counts " +
+          s"(${buf.nConds} vs ${other.nConds})")
+      buf.nConds = other.nConds
+    }
+    buf.buf.appendAll(other.buf)
+    buf
+  }
+
+  override def eval(buf: FunnelMergeBuf): Any =
+    if (buf.nConds < 0) Integer.valueOf(0) // no states: empty group -> 0
+    else Integer.valueOf(FunnelScan.maxStep(buf.buf, windowMicros, mode, buf.nConds))
+
+  override def serialize(buf: FunnelMergeBuf): Array[Byte] =
+    FunnelPartial.encode(buf.nConds, buf.buf)
+  override def deserialize(bytes: Array[Byte]): FunnelMergeBuf = {
+    val (n, events) = FunnelPartial.decode(bytes)
+    new FunnelMergeBuf(n, events)
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "funnel_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
