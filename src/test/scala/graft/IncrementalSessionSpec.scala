@@ -217,7 +217,14 @@ class IncrementalSessionSpec extends AnyFunSuite {
           step => if (step == failAt) sys.error(s"injected crash at $failAt"))
       }
       // reads stay exact THROUGH the crash window (in particular after
-      // "committed": folded dirs still on disk must not be double-served)
+      // "committed": folded dirs still on disk must not be double-served).
+      // The count pin matters as much as the id map: a double-served
+      // batch duplicates (user, ts, sid) rows that a map-compare would
+      // silently collapse (mutation IS281 — read() serving committed
+      // instead of live batches survived the map-compare alone)
+      assert(IncrementalSession.read(spark, base).count()
+        === expected.size.toLong,
+        s"crash at '$failAt' changed the served row count")
       assert(incremental(base) === expected,
         s"crash at '$failAt' changed what readers see")
       // re-running self-recovers and finishes the fold
