@@ -51,6 +51,19 @@ object Drive {
         |                 CAST(ts AS DATE)=DATE'2024-01-03') AS r
         |FROM events""".stripMargin).show(false)
 
+    println("=== mergeable rollup twins via SQL: one per-(user, day) state table, many answers ===")
+    spark.sql(
+      """WITH st AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |              retention_state(CAST(ts AS DATE)=DATE'2024-01-01',
+        |                              CAST(ts AS DATE)=DATE'2024-01-02') AS rs,
+        |              funnel_state(ts, event_type='view', event_type='click',
+        |                           event_type='purchase') AS fs
+        |            FROM events GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT user_id, retention_merge(rs, 2) AS r,
+        |       funnel_merge(INTERVAL '1' HOUR, fs) AS steps,
+        |       funnel_merge(INTERVAL '1' HOUR, 'strict_order', fs) AS steps_strict
+        |FROM st GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin).show(false)
+
     println("=== sequence_match / count / events per user ===")
     spark.sql(
       """SELECT user_id,
