@@ -200,10 +200,12 @@ object IncrementalSession {
     if (committed.size == 1)
       return spark.read.parquet(
         new org.apache.hadoop.fs.Path(committed.head._2, "out").toString).count()
-    val outs = committed.map { case (_, p) =>
-      spark.read.parquet(new org.apache.hadoop.fs.Path(p, "out").toString) }
-    val all = outs.reduce(_ unionByName _)
-    val expected = outs.map(_.count()).sum
+    // ONE multi-path scan, not a reduce of unions: at daily-ingest
+    // horizons the fold may span hundreds of dirs, and a union chain
+    // that deep costs the analyzer per dir while this stays one node
+    val all = spark.read.parquet(committed.map { case (_, p) =>
+      new org.apache.hadoop.fs.Path(p, "out").toString }: _*)
+    val expected = all.count()
     val k = committed.last._1 + 1
     val batchPath = new org.apache.hadoop.fs.Path(base, s"batch_$k")
     all.repartition(targetPartitions).write.mode("overwrite")
