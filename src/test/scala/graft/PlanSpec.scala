@@ -30,6 +30,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("q108: funnel_merge over the rollup aggregates partially on the map side") {
+    // the merge side must keep q03's shape: ObjectHashAggregate with a
+    // partial pass before the single group-key shuffle — partials combine
+    // partials (EventBuf appendAll), so the shuffle carries one packed
+    // buffer per (user, mapper), not one row per state
+    val p = plan("q108_funnel_rollup")
+    assert(p.contains("partial_funnel_merge"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("q10: dimension table is broadcast, not shuffled") {
     val p = plan("q10_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
