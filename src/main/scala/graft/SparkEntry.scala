@@ -579,6 +579,60 @@ object SparkEntry {
           "strict", col("state")).as("steps"))
     },
 
+    // ---- the state table serves the SEQUENCE family too: funnel_state's
+    // partials are byte-identical to the buffer the sequence aggregates
+    // build (same update rules), so sequence_count over the rollup needs
+    // only the pattern at merge time. Oracle: q06's raw-scan count SQL.
+    "q110_seqcount_rollup" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val rollupPath = sources.Sinks.scratchDir("q110_seq") + "/rollup"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "purchase").as("state"))
+        .write.mode("overwrite").parquet(rollupPath)
+      s.read.parquet(rollupPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_count_merge("(?1)", col("state"))
+          .as("n"))
+    },
+
+    // ---- sequence_match over the rollup — wildcard chain across grain
+    // boundaries must still be found. Oracle: q04's raw-scan match SQL.
+    "q111_seqmatch_rollup" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val rollupPath = sources.Sinks.scratchDir("q111_seq") + "/rollup"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "purchase").as("state"))
+        .write.mode("overwrite").parquet(rollupPath)
+      s.read.parquet(rollupPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match_merge("(?1).*(?2)",
+          col("state")).as("matched"))
+    },
+
+    // ---- sequence_match_events over the rollup — ADJACENCY is relative
+    // to condition-bearing events only, and the state drops exactly the
+    // same non-condition events the raw aggregate does, so the first
+    // match's step timestamps survive the rollup. Oracle: q07's SQL.
+    "q112_seqevents_rollup" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val rollupPath = sources.Sinks.scratchDir("q112_seq") + "/rollup"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click").as("state"))
+        .write.mode("overwrite").parquet(rollupPath)
+      s.read.parquet(rollupPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match_events_merge("(?1)(?2)",
+          col("state")).as("r"))
+        .select(col("user_id"),
+          unix_micros(get(col("r"), lit(0))).as("ev1_us"),
+          unix_micros(get(col("r"), lit(1))).as("ev2_us"))
+    },
+
     // ---- INCREMENTAL SESSIONIZE: the log folds in one time-ordered
     // batch at a time (three ten-day slices here); each batch pays a
     // window over ITSELF plus a join against the O(users) stitch state,
@@ -2198,7 +2252,12 @@ object SparkEntry {
     // must be INVISIBLE to the answer — the oracles ARE the raw-scan
     // q03/q34 SQL they re-express (same standard as q105's reuse of q02)
     "q108_funnel_rollup" -> oracleSqlBase("q03_window_funnel"),
-    "q109_funnel_rollup_strict" -> oracleSqlBase("q34_funnel_strict"))
+    "q109_funnel_rollup_strict" -> oracleSqlBase("q34_funnel_strict"),
+    // q110-q112: the same state table answers the sequence family — the
+    // oracles ARE the raw-scan q06/q04/q07 SQL they re-express
+    "q110_seqcount_rollup" -> oracleSqlBase("q06_seq_count"),
+    "q111_seqmatch_rollup" -> oracleSqlBase("q04_seq_match_wild"),
+    "q112_seqevents_rollup" -> oracleSqlBase("q07_seq_match_events"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

@@ -70,6 +70,17 @@ object BehavioralFunctions {
         org.apache.spark.unsafe.types.UTF8String.fromString(mode),
         org.apache.spark.sql.types.StringType) +: e(ts) +: conds.map(e)))
 
+  /** `sequence_match` over merged [[funnel_state]] partials — the ONE
+    * state table serves the sequence family too (pattern at merge time). */
+  def sequence_match_merge(pattern: String, state: Column): Column =
+    agg(SequenceMatchMergeAgg(Seq(strLit(pattern), e(state))))
+
+  def sequence_count_merge(pattern: String, state: Column): Column =
+    agg(SequenceCountMergeAgg(Seq(strLit(pattern), e(state))))
+
+  def sequence_match_events_merge(pattern: String, state: Column): Column =
+    agg(SequenceMatchEventsMergeAgg(Seq(strLit(pattern), e(state))))
+
   def sequence_match(pattern: String, ts: Column, conds: Column*): Column =
     agg(SequenceMatchAgg(strLit(pattern) +: e(ts) +: conds.map(e)))
 
@@ -107,6 +118,12 @@ object BehavioralFunctions {
       exprs => FunnelStateAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("funnel_merge",
       exprs => FunnelMergeAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("sequence_match_merge",
+      exprs => SequenceMatchMergeAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("sequence_count_merge",
+      exprs => SequenceCountMergeAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("sequence_match_events_merge",
+      exprs => SequenceMatchEventsMergeAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("sequence_match",
       exprs => SequenceMatchAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("sequence_count",

@@ -127,6 +127,147 @@ case class SequenceCountAgg(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** Shared base for the sequence family's MERGE TWINS: consume
+  * `funnel_state` partials — the behavioral family's ONE mergeable state,
+  * since [[SequenceAggBase.update]] and the funnel's update apply
+  * identical rules — with the pattern supplied at merge time. A single
+  * per-(user, day) state table therefore answers `window_funnel` AND all
+  * three sequence functions, for any pattern, without rescanning events.
+  * Exact for the same reason as the funnel twin: the merged buffer is the
+  * identical event multiset the raw aggregate would build (condition
+  * ORDER must match between state build and pattern `(?N)` indices — the
+  * embedded condition count guards the arity, the order is the caller's
+  * contract, exactly as it is between a raw call's cond list and its
+  * pattern). */
+abstract class SequenceMergeBase extends TypedImperativeAggregate[FunnelMergeBuf] {
+  def children: Seq[Expression]
+
+  @transient protected lazy val compiledPattern: Array[PStep] =
+    PatternParser.parse(IntervalArg.string(children.head, s"$prettyName pattern")) match {
+      case Right(steps) => steps
+      case Left(_) => null // invalid pattern → NULL/empty result at eval
+    }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size != 2)
+      TypeCheckFailure(s"$prettyName needs (pattern, state)")
+    else if (children(1).dataType != BinaryType)
+      TypeCheckFailure(s"$prettyName state must be BINARY (from funnel_state), got ${children(1).dataType}")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): FunnelMergeBuf =
+    new FunnelMergeBuf(-1, EventBuf.empty())
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(children(1)))
+
+  override def update(buf: FunnelMergeBuf, input: InternalRow): FunnelMergeBuf = {
+    val row = inputProj(input)
+    if (!row.isNullAt(0))
+      FunnelPartial.updateInto(buf, row.getBinary(0), prettyName)
+    buf
+  }
+
+  override def merge(buf: FunnelMergeBuf, other: FunnelMergeBuf): FunnelMergeBuf = {
+    FunnelPartial.mergeInto(buf, other, prettyName)
+    buf
+  }
+
+  override def serialize(buf: FunnelMergeBuf): Array[Byte] =
+    FunnelPartial.encode(buf.nConds, buf.buf)
+  override def deserialize(bytes: Array[Byte]): FunnelMergeBuf = {
+    val (n, events) = FunnelPartial.decode(bytes)
+    new FunnelMergeBuf(n, events)
+  }
+}
+
+/** `sequence_match_merge(pattern, state) -> BOOLEAN` — `sequence_match`
+  * over merged `funnel_state` partials. */
+case class SequenceMatchMergeAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SequenceMergeBase {
+
+  override def eval(buf: FunnelMergeBuf): Any = {
+    if (compiledPattern == null) return null
+    buf.buf.sortByTs()
+    java.lang.Boolean.valueOf(
+      PatternExecutor.execute(compiledPattern, buf.buf, countAll = false) > 0)
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sequence_match_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** `sequence_count_merge(pattern, state) -> BIGINT` — `sequence_count`
+  * over merged `funnel_state` partials. */
+case class SequenceCountMergeAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SequenceMergeBase {
+
+  override def eval(buf: FunnelMergeBuf): Any = {
+    if (compiledPattern == null) return null
+    buf.buf.sortByTs()
+    java.lang.Long.valueOf(
+      PatternExecutor.execute(compiledPattern, buf.buf, countAll = true))
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sequence_count_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** `sequence_match_events_merge(pattern, state) -> ARRAY<TIMESTAMP>` —
+  * `sequence_match_events` over merged `funnel_state` partials. The
+  * element type is fixed TIMESTAMP (the state stores epoch micros and
+  * cannot carry the original column's TIMESTAMP vs TIMESTAMP_NTZ
+  * distinction the raw aggregate mirrors). */
+case class SequenceMatchEventsMergeAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SequenceMergeBase {
+
+  override def eval(buf: FunnelMergeBuf): Any = {
+    if (compiledPattern == null) return new GenericArrayData(Array.empty[Any])
+    buf.buf.sortByTs()
+    val got = PatternExecutor.executeCollect(compiledPattern, buf.buf)
+    if (got == null) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(got.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  override def dataType: DataType = ArrayType(TimestampType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "sequence_match_events_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 /** `sequence_match_events(pattern, ts, cond1..condN) -> ARRAY<TIMESTAMP>` —
   * the first match's per-`(?N)`-step timestamps in pattern order; `.`/`.*`
   * and time constraints contribute nothing; no match → empty list

@@ -232,6 +232,28 @@ private[behavioral] object FunnelPartial {
     bb.get(rest)
     (n, EventBuf.deserialize(rest))
   }
+
+  /** Fold one encoded state row into a consumer buffer, enforcing one
+    * consistent condition count across everything merged. Shared by every
+    * state consumer (funnel_merge + the sequence merge twins). */
+  def updateInto(buf: FunnelMergeBuf, bytes: Array[Byte], name: String): Unit = {
+    val (n, events) = decode(bytes)
+    require(buf.nConds < 0 || buf.nConds == n,
+      s"$name saw states built with different condition counts " +
+        s"(${buf.nConds} vs $n); merge only states from one funnel_state call site")
+    buf.nConds = n
+    buf.buf.appendAll(events)
+  }
+
+  def mergeInto(buf: FunnelMergeBuf, other: FunnelMergeBuf, name: String): Unit = {
+    if (other.nConds >= 0) {
+      require(buf.nConds < 0 || buf.nConds == other.nConds,
+        s"$name saw states built with different condition counts " +
+          s"(${buf.nConds} vs ${other.nConds})")
+      buf.nConds = other.nConds
+    }
+    buf.buf.appendAll(other.buf)
+  }
 }
 
 /** `funnel_state(ts, cond1, ..., condN) -> BINARY` — the MERGEABLE HALF of
@@ -246,7 +268,11 @@ private[behavioral] object FunnelPartial {
   * combine (`src/window_funnel.rs:285-303`) — so the split is exact for
   * EVERY window length and mode: those live on the merge side, which sees
   * the identical event multiset a raw scan would. One rollup table
-  * therefore serves all funnel windows/modes over its grain.
+  * therefore serves all funnel windows/modes over its grain — and the
+  * whole SEQUENCE family too: `SequenceAggBase.update` applies the same
+  * rules (NULL-ts skip, NULL conds false, no-condition events dropped,
+  * bitmask append), so the `sequence_*_merge` twins consume these same
+  * partials with the pattern supplied at merge time.
   *
   * The size trade vs retention's rollup: a retention partial is 8 bytes;
   * a funnel partial is O(events with at least one true condition) at 12
@@ -267,10 +293,13 @@ case class FunnelStateAgg(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (children.size < 3)
-      TypeCheckFailure("funnel_state needs (ts, cond1, cond2, ...)")
-    else if (numConds < 2 || numConds > 32) // reference FFI bound, ffi/window_funnel.rs:18-21
-      TypeCheckFailure(s"funnel_state takes 2..32 boolean conditions, got $numConds")
+    if (children.size < 2)
+      TypeCheckFailure("funnel_state needs (ts, cond1, ...)")
+    // 1..32: the SEQUENCE consumers accept a single condition (their FFI
+    // bound, ffi/sequence.rs) — window_funnel's own 2-condition minimum
+    // (ffi/window_funnel.rs:18-21) is enforced by funnel_merge at decode
+    else if (numConds < 1 || numConds > 32)
+      TypeCheckFailure(s"funnel_state takes 1..32 boolean conditions, got $numConds")
     else if (condExprs.exists(_.dataType != BooleanType))
       TypeCheckFailure("funnel_state conditions must be BOOLEAN")
     else TypeCheckSuccess
@@ -360,30 +389,25 @@ case class FunnelMergeAgg(
 
   override def update(buf: FunnelMergeBuf, input: InternalRow): FunnelMergeBuf = {
     val row = inputProj(input)
-    if (row.isNullAt(0)) return buf
-    val (n, events) = FunnelPartial.decode(row.getBinary(0))
-    require(buf.nConds < 0 || buf.nConds == n,
-      s"funnel_merge saw states built with different condition counts " +
-        s"(${buf.nConds} vs $n); merge only states from one funnel_state call site")
-    buf.nConds = n
-    buf.buf.appendAll(events)
+    if (!row.isNullAt(0))
+      FunnelPartial.updateInto(buf, row.getBinary(0), prettyName)
     buf
   }
 
   override def merge(buf: FunnelMergeBuf, other: FunnelMergeBuf): FunnelMergeBuf = {
-    if (other.nConds >= 0) {
-      require(buf.nConds < 0 || buf.nConds == other.nConds,
-        s"funnel_merge saw states built with different condition counts " +
-          s"(${buf.nConds} vs ${other.nConds})")
-      buf.nConds = other.nConds
-    }
-    buf.buf.appendAll(other.buf)
+    FunnelPartial.mergeInto(buf, other, prettyName)
     buf
   }
 
   override def eval(buf: FunnelMergeBuf): Any =
     if (buf.nConds < 0) Integer.valueOf(0) // no states: empty group -> 0
-    else Integer.valueOf(FunnelScan.maxStep(buf.buf, windowMicros, mode, buf.nConds))
+    else {
+      // window_funnel's own arity contract (ffi/window_funnel.rs:18-21),
+      // enforced here because the shared state producer accepts 1
+      require(buf.nConds >= 2,
+        s"funnel_merge needs states with 2..32 conditions, got ${buf.nConds}")
+      Integer.valueOf(FunnelScan.maxStep(buf.buf, windowMicros, mode, buf.nConds))
+    }
 
   override def serialize(buf: FunnelMergeBuf): Array[Byte] =
     FunnelPartial.encode(buf.nConds, buf.buf)
