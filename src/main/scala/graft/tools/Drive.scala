@@ -61,7 +61,9 @@ object Drive {
         |            FROM events GROUP BY user_id, CAST(ts AS DATE))
         |SELECT user_id, retention_merge(rs, 2) AS r,
         |       funnel_merge(INTERVAL '1' HOUR, fs) AS steps,
-        |       funnel_merge(INTERVAL '1' HOUR, 'strict_order', fs) AS steps_strict
+        |       funnel_merge(INTERVAL '1' HOUR, 'strict_order', fs) AS steps_strict,
+        |       sequence_match_merge('(?1).*(?3)', fs) AS seq_m,
+        |       sequence_count_merge('(?1)', fs) AS seq_n
         |FROM st GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin).show(false)
 
     println("=== sequence_match / count / events per user ===")
