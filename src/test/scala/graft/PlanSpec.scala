@@ -41,6 +41,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("q110: sequence_count_merge keeps the same partial-aggregation shape") {
+    // SequenceMergeBase is a separate class from FunnelMergeAgg — q108's
+    // pin would not notice this family losing its map-side partial pass
+    val p = plan("q110_seqcount_rollup")
+    assert(p.contains("partial_sequence_count_merge"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("q10: dimension table is broadcast, not shuffled") {
     val p = plan("q10_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
