@@ -50,6 +50,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sequence_next_node(direction, base, ts, value, baseCond, ev1, ...) - next/prev value") {
       exprs => SequenceNextNodeAgg(exprs)
     }
+    // the mergeable rollup twins — the same list the per-session
+    // register() path carries (the cluster path must not lag it: a rollup
+    // table built per-session is useless to a cluster that cannot merge it)
+    inject("retention_state",
+      "retention_state(cond1, ..., condN) - mergeable retention partial") {
+      exprs => RetentionStateAgg(exprs)
+    }
+    inject("retention_merge",
+      "retention_merge(state, nConds) - fold retention_state partials") {
+      exprs => RetentionMergeAgg(exprs)
+    }
+    inject("funnel_state",
+      "funnel_state(ts, cond1, ..., condN) - mergeable behavioral event state") {
+      exprs => FunnelStateAgg(exprs)
+    }
+    inject("funnel_merge",
+      "funnel_merge(window[, mode], state) - fold funnel_state partials") {
+      exprs => FunnelMergeAgg(exprs)
+    }
+    inject("sequence_match_merge",
+      "sequence_match_merge(pattern, state) - sequence_match over funnel_state partials") {
+      exprs => SequenceMatchMergeAgg(exprs)
+    }
+    inject("sequence_count_merge",
+      "sequence_count_merge(pattern, state) - sequence_count over funnel_state partials") {
+      exprs => SequenceCountMergeAgg(exprs)
+    }
+    inject("sequence_match_events_merge",
+      "sequence_match_events_merge(pattern, state) - sequence_match_events over funnel_state partials") {
+      exprs => SequenceMatchEventsMergeAgg(exprs)
+    }
 
     // the pipeline scalar kernels (sketches, winnowing, intersection,
     // dot product) share one builder list with the per-session

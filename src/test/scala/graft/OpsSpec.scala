@@ -308,6 +308,24 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         "sequence_match_events", "sequence_next_node")) {
       assert(spark.catalog.functionExists(f), f)
     }
+    // the rollup twins ride the cluster path too, end to end: build a
+    // state and fold it back in one SQL statement per family
+    val rolled = spark.sql(
+      """WITH st AS (SELECT funnel_state(ts, c1, c2) AS fs,
+        |                   retention_state(c1, c2) AS rs FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', true, false),
+        |  (TIMESTAMP '2024-01-01 00:10:00', false, true) AS t(ts, c1, c2))
+        |SELECT funnel_merge(INTERVAL '1' HOUR, fs) AS f,
+        |       retention_merge(rs, 2) AS r,
+        |       sequence_match_merge('(?1).*(?2)', fs) AS m,
+        |       sequence_count_merge('(?2)', fs) AS n,
+        |       size(sequence_match_events_merge('(?1)(?2)', fs)) AS ne
+        |FROM st""".stripMargin).collect()(0)
+    assert(rolled.getInt(0) === 2)
+    assert(rolled.getSeq[Boolean](1) === Seq(true, true))
+    assert(rolled.getBoolean(2) === true)
+    assert(rolled.getLong(3) === 1L)
+    assert(rolled.getInt(4) === 2)
   }
 }
 
