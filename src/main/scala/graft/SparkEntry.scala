@@ -633,6 +633,46 @@ object SparkEntry {
           unix_micros(get(col("r"), lit(1))).as("ev2_us"))
     },
 
+    // ---- next_node rollup: the LAST behavioral function gains its
+    // mergeable twin. sequence_next_node needs its own state (funnel_state
+    // drops condition-less events and carries no values; here ANY event's
+    // value can be the answer, so the state keeps every row with its
+    // dictionary-encoded value — the family's heaviest partial, see
+    // NextNodeStateAgg's scaladoc). Direction and base live at merge
+    // time: one per-(user, day) table serves all 8 variants. Oracle:
+    // q08's raw-scan forward/head SQL.
+    "q113_nextnode_rollup" -> { (s, dir) =>
+      val ev = assertTieFreePerUserTs(events(s, dir), "q113_nextnode_rollup", dir)
+      val rollupPath = sources.Sinks.scratchDir("q113_nextnode") + "/rollup"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.next_node_state(col("ts"), col("event_type"),
+          col("event_type") === "signup",
+          col("event_type") === "signup").as("state"))
+        .write.mode("overwrite").parquet(rollupPath)
+      s.read.parquet(rollupPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.next_node_merge("forward", "head",
+          col("state")).as("next_node"))
+    },
+
+    // ---- the SAME state shape serves the opposite direction x base at
+    // merge time — backward/tail over per-(user, day) partials, where the
+    // matched chain and its adjacent predecessor can straddle a day
+    // boundary. Oracle: q17's raw-scan backward/tail SQL.
+    "q114_nextnode_rollup_bwd" -> { (s, dir) =>
+      val ev = assertTieFreePerUserTs(events(s, dir), "q114_nextnode_rollup_bwd", dir)
+      val rollupPath = sources.Sinks.scratchDir("q114_nextnode") + "/rollup"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.next_node_state(col("ts"), col("event_type"),
+          col("event_type") === "purchase",
+          col("event_type") === "purchase").as("state"))
+        .write.mode("overwrite").parquet(rollupPath)
+      s.read.parquet(rollupPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.next_node_merge("backward", "tail",
+          col("state")).as("prev_node"))
+    },
+
     // ---- INCREMENTAL SESSIONIZE: the log folds in one time-ordered
     // batch at a time (three ten-day slices here); each batch pays a
     // window over ITSELF plus a join against the O(users) stitch state,
@@ -2257,7 +2297,9 @@ object SparkEntry {
     // oracles ARE the raw-scan q06/q04/q07 SQL they re-express
     "q110_seqcount_rollup" -> oracleSqlBase("q06_seq_count"),
     "q111_seqmatch_rollup" -> oracleSqlBase("q04_seq_match_wild"),
-    "q112_seqevents_rollup" -> oracleSqlBase("q07_seq_match_events"))
+    "q112_seqevents_rollup" -> oracleSqlBase("q07_seq_match_events"),
+    "q113_nextnode_rollup" -> oracleSqlBase("q08_seq_next_node"),
+    "q114_nextnode_rollup_bwd" -> oracleSqlBase("q17_next_node_backward"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

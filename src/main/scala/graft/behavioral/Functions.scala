@@ -95,6 +95,20 @@ object BehavioralFunctions {
     agg(SequenceNextNodeAgg(strLit(direction) +: strLit(base) +: e(ts) +: e(value) +:
       e(baseCond) +: stepConds.map(e)))
 
+  /** Mergeable `sequence_next_node` partial (BINARY: the serialized
+    * dictionary-encoded event+value buffer) for pre-aggregated rollups;
+    * fold with [[next_node_merge]], which is where direction and base go —
+    * see NextNodeStateAgg's scaladoc for the size trade (keeps EVERY
+    * event, unlike funnel_state). */
+  def next_node_state(ts: Column, value: Column, baseCond: Column,
+      stepConds: Column*): Column =
+    agg(NextNodeStateAgg(e(ts) +: e(value) +: e(baseCond) +: stepConds.map(e)))
+
+  /** Fold [[next_node_state]] partials into `sequence_next_node`'s STRING
+    * answer; one state table serves all 8 direction × base variants. */
+  def next_node_merge(direction: String, base: String, state: Column): Column =
+    agg(NextNodeMergeAgg(Seq(strLit(direction), strLit(base), e(state))))
+
   private def strLit(s: String): Expression =
     org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(s),
@@ -132,5 +146,9 @@ object BehavioralFunctions {
       exprs => SequenceMatchEventsAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("sequence_next_node",
       exprs => SequenceNextNodeAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("next_node_state",
+      exprs => NextNodeStateAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("next_node_merge",
+      exprs => NextNodeMergeAgg(exprs), "scala_udf")
   }
 }

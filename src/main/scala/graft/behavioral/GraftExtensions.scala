@@ -81,6 +81,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sequence_match_events_merge(pattern, state) - sequence_match_events over funnel_state partials") {
       exprs => SequenceMatchEventsMergeAgg(exprs)
     }
+    inject("next_node_state",
+      "next_node_state(ts, value, baseCond, ev1, ...) - mergeable sequence_next_node partial") {
+      exprs => NextNodeStateAgg(exprs)
+    }
+    inject("next_node_merge",
+      "next_node_merge(direction, base, state) - fold next_node_state partials") {
+      exprs => NextNodeMergeAgg(exprs)
+    }
 
     // the pipeline scalar kernels (sketches, winnowing, intersection,
     // dot product) share one builder list with the per-session

@@ -306,6 +306,227 @@ case class SequenceNextNodeAgg(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** Wire format shared by [[NextNodeStateAgg]] (producer) and
+  * [[NextNodeMergeAgg]] (consumer): 4-byte step-condition count + the
+  * [[NNBuf]] bytes. Mirrors [[FunnelPartial]]: the count rides IN the
+  * partial so a merge over states built with different step lists fails
+  * loudly instead of scanning garbage bitmasks. */
+private[behavioral] object NextNodePartial {
+  def encode(nSteps: Int, buf: NNBuf): Array[Byte] = {
+    val body = buf.serialize()
+    val bb = ByteBuffer.allocate(4 + body.length)
+    bb.putInt(nSteps)
+    bb.put(body)
+    bb.array()
+  }
+
+  /** (nSteps, events). */
+  def decode(bytes: Array[Byte]): (Int, NNBuf) = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val rest = new Array[Byte](bytes.length - 4)
+    bb.get(rest)
+    (n, NNBuf.deserialize(rest))
+  }
+
+  def updateInto(buf: NNMergeBuf, bytes: Array[Byte], name: String): Unit = {
+    val (n, events) = decode(bytes)
+    require(buf.nSteps < 0 || buf.nSteps == n,
+      s"$name saw states built with different step-condition counts " +
+        s"(${buf.nSteps} vs $n); merge only states from one next_node_state call site")
+    buf.nSteps = n
+    buf.buf.appendAll(events)
+  }
+
+  def mergeInto(buf: NNMergeBuf, other: NNMergeBuf, name: String): Unit = {
+    if (other.nSteps >= 0) {
+      require(buf.nSteps < 0 || buf.nSteps == other.nSteps,
+        s"$name saw states built with different step-condition counts " +
+          s"(${buf.nSteps} vs ${other.nSteps})")
+      buf.nSteps = other.nSteps
+    }
+    buf.buf.appendAll(other.buf)
+  }
+}
+
+/** [[NextNodeMergeAgg]]'s buffer: the unioned events plus the step count
+  * learned from the first non-NULL state (-1 until then). */
+private[behavioral] final class NNMergeBuf(var nSteps: Int, val buf: NNBuf)
+
+/** `next_node_state(ts, value, base_cond, ev1..evN) -> BINARY` — the
+  * MERGEABLE HALF of `sequence_next_node`, completing the behavioral
+  * family's rollup story (retention q105, funnel/sequence q108–q112):
+  * the raw log folds ONCE into per-(user, day) partials and dashboard
+  * queries re-merge them with [[NextNodeMergeAgg]], where DIRECTION and
+  * BASE are supplied — so one state table serves all 8 direction × base
+  * variants without rescanning events.
+  *
+  * The partial is the serialized [[NNBuf]] — the exact state the raw
+  * aggregate shuffles between partial and final aggregation — so the
+  * split is exact: the merge sees the identical (ts, flags, value)
+  * multiset a raw scan would, and the single ts-sort happens at merge
+  * eval in both paths.
+  *
+  * Size trade (the family's heaviest partial): unlike `funnel_state`,
+  * which drops condition-less events, the next-node state keeps EVERY
+  * row — any event's value can be the answer — at 20 bytes/event plus
+  * each DISTINCT value once (the dictionary pool bounds string payload
+  * by cardinality, not event count). Roll up on a grain where total
+  * event count is dashboard-sized. */
+case class NextNodeStateAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[NNBuf] {
+
+  // children: ts, value, baseCond, ev1..evN — direction and base are
+  // merge-side (NextNodeScan runs only at merge eval)
+  @transient private lazy val tsExpr = children(0)
+  @transient private lazy val valueExpr = children(1)
+  @transient private lazy val baseCondExpr = children(2)
+  @transient private lazy val stepExprs: Array[Expression] = children.drop(3).toArray
+  private def numSteps: Int = children.size - 3
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size < 4)
+      TypeCheckFailure("next_node_state needs (ts, value, baseCond, ev1, ...)")
+    else if (numSteps > 32)
+      TypeCheckFailure(s"next_node_state supports at most 32 step conditions, got $numSteps")
+    else if (children.drop(2).exists(_.dataType != BooleanType))
+      TypeCheckFailure("next_node_state base/step conditions must be BOOLEAN")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): NNBuf = new NNBuf(16)
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      (tsExpr +: valueExpr +: baseCondExpr +: stepExprs.toIndexedSeq))
+
+  // identical row rules to SequenceNextNodeAgg.update: NULL ts skipped,
+  // EVERY other row kept (the adjacent node can be any event), NULL value
+  // stored as pool index -1
+  override def update(buf: NNBuf, input: InternalRow): NNBuf = {
+    val row = inputProj(input)
+    if (row.isNullAt(0)) return buf
+    var f = 0L
+    var i = 0
+    while (i < stepExprs.length) {
+      if (!row.isNullAt(i + 3) && row.getBoolean(i + 3)) f |= 1L << i
+      i += 1
+    }
+    if (!row.isNullAt(2) && row.getBoolean(2)) f |= 1L << 32
+    val valueIdx = if (row.isNullAt(1)) -1 else buf.intern(row.getUTF8String(1))
+    buf.append(row.getLong(0), f, valueIdx)
+    buf
+  }
+
+  override def merge(buf: NNBuf, other: NNBuf): NNBuf = {
+    buf.appendAll(other)
+    buf
+  }
+
+  override def eval(buf: NNBuf): Any = NextNodePartial.encode(numSteps, buf)
+
+  override def serialize(buf: NNBuf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): NNBuf = NNBuf.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "next_node_state"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** `next_node_merge(direction, base, state) -> STRING` — folds
+  * [[NextNodeStateAgg]] partials back into `sequence_next_node`'s
+  * answer. Direction and base are supplied HERE (same defaults as the
+  * raw aggregate: unknown direction → forward, unknown base →
+  * first_match), so one state table serves all 8 combinations. NULL
+  * states contribute nothing; a group with no states (or only empty
+  * states) answers NULL, like `sequence_next_node` over an empty group.
+  * States built with different step-condition counts fail loudly. */
+case class NextNodeMergeAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[NNMergeBuf] {
+
+  // children: direction, base, state
+  @transient private lazy val forward: Boolean =
+    Option(IntervalArg.string(children(0), "next_node_merge direction"))
+      .map(_.trim.toLowerCase) match {
+      case Some("backward") => false
+      case _ => true
+    }
+  @transient private lazy val base: Int =
+    Option(IntervalArg.string(children(1), "next_node_merge base"))
+      .map(_.trim.toLowerCase) match {
+      case Some("head") => 0
+      case Some("tail") => 1
+      case Some("last_match") => 3
+      case _ => 2
+    }
+  @transient private lazy val stateExpr = children(2)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size != 3)
+      TypeCheckFailure("next_node_merge needs (direction, base, state)")
+    else if (stateExpr.dataType != BinaryType)
+      TypeCheckFailure(s"next_node_merge state must be BINARY (from next_node_state), got ${stateExpr.dataType}")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): NNMergeBuf =
+    new NNMergeBuf(-1, new NNBuf(16))
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(stateExpr))
+
+  override def update(buf: NNMergeBuf, input: InternalRow): NNMergeBuf = {
+    val row = inputProj(input)
+    if (!row.isNullAt(0))
+      NextNodePartial.updateInto(buf, row.getBinary(0), prettyName)
+    buf
+  }
+
+  override def merge(buf: NNMergeBuf, other: NNMergeBuf): NNMergeBuf = {
+    NextNodePartial.mergeInto(buf, other, prettyName)
+    buf
+  }
+
+  override def eval(buf: NNMergeBuf): Any = {
+    if (buf.nSteps <= 0 || buf.buf.n == 0) return null
+    buf.buf.sortByTs()
+    NextNodeScan.scan(buf.buf, forward, base, buf.nSteps)
+  }
+
+  override def serialize(buf: NNMergeBuf): Array[Byte] =
+    NextNodePartial.encode(buf.nSteps, buf.buf)
+  override def deserialize(bytes: Array[Byte]): NNMergeBuf = {
+    val (n, events) = NextNodePartial.decode(bytes)
+    new NNMergeBuf(n, events)
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "next_node_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 /** The direction × base scan over a ts-sorted `NNBuf`, shared by the batch
   * aggregate and `StreamingBehavioral.streamingSequenceNextNode` so the two
   * surfaces cannot drift (reference `src/sequence_next_node.rs:300-420`). */

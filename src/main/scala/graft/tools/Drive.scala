@@ -66,6 +66,17 @@ object Drive {
         |       sequence_count_merge('(?1)', fs) AS seq_n
         |FROM st GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin).show(false)
 
+    println("=== next_node rollup twins via SQL: direction/base chosen at merge time ===")
+    spark.sql(
+      """WITH st AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |              next_node_state(ts, event_type, event_type='signup',
+        |                              event_type='signup') AS ns
+        |            FROM events GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT user_id,
+        |       next_node_merge('forward', 'head', ns) AS next_after_signup,
+        |       next_node_merge('backward', 'tail', ns) AS before_last_signup
+        |FROM st GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin).show(false)
+
     println("=== sequence_match / count / events per user ===")
     spark.sql(
       """SELECT user_id,

@@ -50,6 +50,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("q113: next_node_merge keeps the same partial-aggregation shape") {
+    // NextNodeMergeAgg is its own class (NNMergeBuf, not FunnelMergeBuf) —
+    // the q108/q110 pins would not notice THIS family losing its map-side
+    // partial pass (partials combine partials via NNBuf.appendAll with
+    // dictionary-pool remap, so the shuffle carries one packed buffer per
+    // (user, mapper), values deduplicated per partial)
+    val p = plan("q113_nextnode_rollup")
+    assert(p.contains("partial_next_node_merge"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("q10: dimension table is broadcast, not shuffled") {
     val p = plan("q10_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
