@@ -106,6 +106,25 @@ class NextNodeRollupSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).isNullAt(1))
   }
 
+  test("NULL-ts rows are skipped at state time, like the raw aggregate") {
+    import spark.implicits._
+    // a NULL-ts row kept by mistake would surface at epoch 0 — i.e. as
+    // the PREDECESSOR of the earliest real event, which backward/head
+    // reads; raw semantics skip it, so the answer must stay NULL
+    val df = Seq((1L, Some(10 * M), "a"), (1L, Some(20 * M), "b"),
+        (1L, None: Option[Long], "c"), (1L, Some(30 * M), "x"))
+      .toDF("u", "us", "t")
+      .select(col("u"), timestamp_micros(col("us")).as("ts"), col("t"))
+    val st = df.groupBy("u")
+      .agg(BehavioralFunctions.next_node_state(col("ts"), col("t"),
+        df("t") === "a", df("t") === "a").as("state"))
+    def merged(dir: String, base: String) = st.groupBy("u")
+      .agg(BehavioralFunctions.next_node_merge(dir, base, col("state")).as("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(merged("forward", "head") === Map(1L -> Some("b")))
+    assert(merged("backward", "head") === Map(1L -> None))
+  }
+
   test("NULL states contribute nothing; a group with none answers NULL") {
     import spark.implicits._
     val df = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (1L, 20 * M, "c"))
