@@ -54,6 +54,13 @@ object BehavioralFunctions {
   def funnel_state(ts: Column, conds: Column*): Column =
     agg(FunnelStateAgg(e(ts) +: conds.map(e)))
 
+  /** STATE-TO-STATE fold of [[funnel_state]] partials (BINARY -> BINARY):
+    * re-grain a rollup (day -> week) or compact an incrementally-ingested
+    * state table, all without rescanning the raw log — see
+    * FunnelStateCombineAgg's scaladoc for the associativity argument. */
+  def funnel_state_combine(state: Column): Column =
+    agg(FunnelStateCombineAgg(Seq(e(state))))
+
   /** Fold [[funnel_state]] partials into `window_funnel`'s INT answer. */
   def funnel_merge(window: Column, state: Column): Column =
     agg(FunnelMergeAgg(Seq(e(window), e(state))))
@@ -109,6 +116,11 @@ object BehavioralFunctions {
   def next_node_merge(direction: String, base: String, state: Column): Column =
     agg(NextNodeMergeAgg(Seq(strLit(direction), strLit(base), e(state))))
 
+  /** State-to-state fold of [[next_node_state]] partials, mirroring
+    * [[funnel_state_combine]]. */
+  def next_node_state_combine(state: Column): Column =
+    agg(NextNodeStateCombineAgg(Seq(e(state))))
+
   private def strLit(s: String): Expression =
     org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(s),
@@ -150,5 +162,9 @@ object BehavioralFunctions {
       exprs => NextNodeStateAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("next_node_merge",
       exprs => NextNodeMergeAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("funnel_state_combine",
+      exprs => FunnelStateCombineAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("next_node_state_combine",
+      exprs => NextNodeStateCombineAgg(exprs), "scala_udf")
   }
 }

@@ -89,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "next_node_merge(direction, base, state) - fold next_node_state partials") {
       exprs => NextNodeMergeAgg(exprs)
     }
+    inject("funnel_state_combine",
+      "funnel_state_combine(state) - fold funnel_state partials into one state") {
+      exprs => FunnelStateCombineAgg(exprs)
+    }
+    inject("next_node_state_combine",
+      "next_node_state_combine(state) - fold next_node_state partials into one state") {
+      exprs => NextNodeStateCombineAgg(exprs)
+    }
 
     // the pipeline scalar kernels (sketches, winnowing, intersection,
     // dot product) share one builder list with the per-session

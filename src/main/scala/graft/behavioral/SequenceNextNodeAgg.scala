@@ -527,6 +527,71 @@ case class NextNodeMergeAgg(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** `next_node_state_combine(state) -> BINARY` — state-to-state fold for
+  * the next-node family, mirroring `funnel_state_combine`: merges
+  * [[NextNodeStateAgg]] partials into one partial of the same wire
+  * format (dictionary pools re-interned, so a value's bytes appear once
+  * per combined partial). Serves re-graining a rollup (day → week /
+  * user) and [[graft.ops.RollupStore]] compaction without touching the
+  * raw log. NULL states contribute nothing; a group with none yields
+  * NULL (a placeholder state would trip the consumers' step-count
+  * guard). Exact by associativity: combine is multiset union, the same
+  * `NNBuf.appendAll` the raw aggregate's own partial merge uses. */
+case class NextNodeStateCombineAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[NNMergeBuf] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size != 1)
+      TypeCheckFailure("next_node_state_combine needs (state)")
+    else if (children.head.dataType != BinaryType)
+      TypeCheckFailure(s"next_node_state_combine state must be BINARY (from next_node_state), got ${children.head.dataType}")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): NNMergeBuf =
+    new NNMergeBuf(-1, new NNBuf(16))
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(children.head))
+
+  override def update(buf: NNMergeBuf, input: InternalRow): NNMergeBuf = {
+    val row = inputProj(input)
+    if (!row.isNullAt(0))
+      NextNodePartial.updateInto(buf, row.getBinary(0), prettyName)
+    buf
+  }
+
+  override def merge(buf: NNMergeBuf, other: NNMergeBuf): NNMergeBuf = {
+    NextNodePartial.mergeInto(buf, other, prettyName)
+    buf
+  }
+
+  override def eval(buf: NNMergeBuf): Any =
+    if (buf.nSteps < 0) null else NextNodePartial.encode(buf.nSteps, buf.buf)
+
+  override def serialize(buf: NNMergeBuf): Array[Byte] =
+    NextNodePartial.encode(buf.nSteps, buf.buf)
+  override def deserialize(bytes: Array[Byte]): NNMergeBuf = {
+    val (n, events) = NextNodePartial.decode(bytes)
+    new NNMergeBuf(n, events)
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "next_node_state_combine"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 /** The direction × base scan over a ts-sorted `NNBuf`, shared by the batch
   * aggregate and `StreamingBehavioral.streamingSequenceNextNode` so the two
   * surfaces cannot drift (reference `src/sequence_next_node.rs:300-420`). */

@@ -427,3 +427,79 @@ case class FunnelMergeAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
+
+/** `funnel_state_combine(state) -> BINARY` — STATE-TO-STATE fold: merges
+  * `funnel_state` partials into one partial of the SAME wire format,
+  * closing the rollup algebra. Two uses the finalizing `funnel_merge`
+  * cannot serve:
+  *
+  *   - **Re-grain without rescan**: a per-(user, day) rollup collapses
+  *     to per-(user, week) / per-user by re-aggregating states — the raw
+  *     log is never touched (the partials ARE the events that matter).
+  *   - **Rollup-store compaction**: an incrementally-ingested state
+  *     table accretes multiple partial rows per (group, grain); folding
+  *     them back to one row per grain is this aggregate over the same
+  *     grouping ([[graft.ops.RollupStore]]).
+  *
+  * Associativity is the exactness proof: the partial is an event
+  * multiset and combine is multiset union (`EventBuf.appendAll` — the
+  * reference's own combine, `src/window_funnel.rs:285-303`), so ANY
+  * combine tree yields the multiset a raw scan would build, and every
+  * merge-side consumer (funnel/sequence, any window/mode/pattern) is
+  * unaffected. NULL states contribute nothing; a group with none yields
+  * NULL (which every downstream consumer already skips — a zero-cond
+  * placeholder state would instead trip their count-mismatch guard). */
+case class FunnelStateCombineAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FunnelMergeBuf] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size != 1)
+      TypeCheckFailure("funnel_state_combine needs (state)")
+    else if (children.head.dataType != BinaryType)
+      TypeCheckFailure(s"funnel_state_combine state must be BINARY (from funnel_state), got ${children.head.dataType}")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): FunnelMergeBuf =
+    new FunnelMergeBuf(-1, EventBuf.empty())
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(children.head))
+
+  override def update(buf: FunnelMergeBuf, input: InternalRow): FunnelMergeBuf = {
+    val row = inputProj(input)
+    if (!row.isNullAt(0))
+      FunnelPartial.updateInto(buf, row.getBinary(0), prettyName)
+    buf
+  }
+
+  override def merge(buf: FunnelMergeBuf, other: FunnelMergeBuf): FunnelMergeBuf = {
+    FunnelPartial.mergeInto(buf, other, prettyName)
+    buf
+  }
+
+  override def eval(buf: FunnelMergeBuf): Any =
+    if (buf.nConds < 0) null else FunnelPartial.encode(buf.nConds, buf.buf)
+
+  override def serialize(buf: FunnelMergeBuf): Array[Byte] =
+    FunnelPartial.encode(buf.nConds, buf.buf)
+  override def deserialize(bytes: Array[Byte]): FunnelMergeBuf = {
+    val (n, events) = FunnelPartial.decode(bytes)
+    new FunnelMergeBuf(n, events)
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "funnel_state_combine"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
