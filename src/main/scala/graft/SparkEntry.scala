@@ -673,6 +673,118 @@ object SparkEntry {
           col("state")).as("prev_node"))
     },
 
+    // ---- STATE-TO-STATE combine closes the rollup algebra: the q108
+    // day-grain table RE-GRAINS to per-(user, week) by folding states
+    // with funnel_state_combine — the raw log is touched once (building
+    // the day table) and never again; the week table then serves the
+    // same funnel_merge. Combine is multiset union over the condition
+    // events, so the answer is exact at any grain. Oracle: q03's
+    // raw-scan SQL, the third re-expression it gates (q03, q108, here).
+    "q115_funnel_combine_regrain" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val dayPath = sources.Sinks.scratchDir("q115_funnel") + "/day"
+      val weekPath = sources.Sinks.scratchDir("q115_funnel") + "/week"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+        .write.mode("overwrite").parquet(dayPath)
+      s.read.parquet(dayPath)
+        .groupBy(col("user_id"), weekofyear(col("day")).as("week"))
+        .agg(BehavioralFunctions.funnel_state_combine(col("state")).as("state"))
+        .write.mode("overwrite").parquet(weekPath)
+      s.read.parquet(weekPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
+    // ---- the next-node family's combine: q113's day table re-grains to
+    // per-(user, week) partials — dictionary pools re-interned so a
+    // value's bytes appear once per combined partial — and the week
+    // table answers the same forward/head merge. Oracle: q08's SQL.
+    "q116_nextnode_combine_regrain" -> { (s, dir) =>
+      val ev = assertTieFreePerUserTs(events(s, dir), "q116_nextnode_combine_regrain", dir)
+      val dayPath = sources.Sinks.scratchDir("q116_nextnode") + "/day"
+      val weekPath = sources.Sinks.scratchDir("q116_nextnode") + "/week"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.next_node_state(col("ts"), col("event_type"),
+          col("event_type") === "signup",
+          col("event_type") === "signup").as("state"))
+        .write.mode("overwrite").parquet(dayPath)
+      s.read.parquet(dayPath)
+        .groupBy(col("user_id"), weekofyear(col("day")).as("week"))
+        .agg(BehavioralFunctions.next_node_state_combine(col("state")).as("state"))
+        .write.mode("overwrite").parquet(weekPath)
+      s.read.parquet(weekPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.next_node_merge("forward", "head",
+          col("state")).as("next_node"))
+    },
+
+    // ---- the ROLLUP STORE's maintenance cycle: the state table itself
+    // becomes incrementally maintained. Three hash-cut ingest slices (so
+    // every (user, day) key recurs across batches and compaction
+    // genuinely folds multi-row keys), COMPACT via funnel_state_combine,
+    // ingest more (including an empty delta — a quiet day commits as a
+    // no-op), compact again. In-query pins: the live batch-dir count
+    // drops at each fold; the oracle (q03's raw-scan funnel SQL) pins
+    // that no step of the cycle changed the merged answer — the raw log
+    // was scanned exactly once per slice, never by maintenance.
+    "q118_rollup_store" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val base = sources.Sinks.scratchDir("q118_rollup") + "/store"
+      sources.Sinks.clearDir(base) // committed batches accumulate otherwise
+      val keys = Seq("user_id", "day")
+      def states(slice: Column) = ev.filter(slice)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      def live = ops.RollupStore.liveBatchCount(s, base)
+      def slice(i: Int) = pmod(xxhash64(col("ts")), lit(3)) === i
+      ops.RollupStore.appendStates(states(slice(0)), base, keys)
+      ops.RollupStore.appendStates(states(slice(1)), base, keys)
+      require(live == 2, s"expected 2 batch dirs before compaction, got $live")
+      ops.RollupStore.compact(s, base, keys,
+        BehavioralFunctions.funnel_state_combine, targetPartitions = 8)
+      require(live == 1, s"compaction left $live batch dirs, expected 1")
+      val quiet = ops.RollupStore.appendStates(states(lit(false)), base, keys)
+      require(quiet == 0L && live == 1,
+        s"empty delta was not a no-op (rows $quiet, dirs $live)")
+      ops.RollupStore.appendStates(states(slice(2)), base, keys)
+      require(live == 2, s"expected 2 batch dirs before recompaction, got $live")
+      ops.RollupStore.compact(s, base, keys,
+        BehavioralFunctions.funnel_state_combine, targetPartitions = 8)
+      require(live == 1, s"recompaction left $live batch dirs, expected 1")
+      ops.RollupStore.read(s, base)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
+    // ---- TIME-CONSTRAINED patterns over merged states: a `(?t>N)` step
+    // must measure the gap between events that can sit in DIFFERENT
+    // day-grain partials — the merged buffer re-sorts by ts before the
+    // NFA runs, so the elapsed-time comparison is grain-blind. Same
+    // hour-thinned view->click stream and comparator as q59; oracle is
+    // q59's lead/lag SQL verbatim.
+    "q117_seqmatch_time_rollup" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val rollupPath = sources.Sinks.scratchDir("q117_seq") + "/rollup"
+      ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view" && epochHourTs === 3,
+          col("event_type") === "click" && epochHourTs === 4).as("state"))
+        .write.mode("overwrite").parquet(rollupPath)
+      s.read.parquet(rollupPath)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.sequence_match_merge("(?1)(?t>500000)(?2)",
+          col("state")).as("matched"))
+    },
+
     // ---- INCREMENTAL SESSIONIZE: the log folds in one time-ordered
     // batch at a time (three ten-day slices here); each batch pays a
     // window over ITSELF plus a join against the O(users) stitch state,
@@ -2299,7 +2411,16 @@ object SparkEntry {
     "q111_seqmatch_rollup" -> oracleSqlBase("q04_seq_match_wild"),
     "q112_seqevents_rollup" -> oracleSqlBase("q07_seq_match_events"),
     "q113_nextnode_rollup" -> oracleSqlBase("q08_seq_next_node"),
-    "q114_nextnode_rollup_bwd" -> oracleSqlBase("q17_next_node_backward"))
+    "q114_nextnode_rollup_bwd" -> oracleSqlBase("q17_next_node_backward"),
+    // q115/q116: the state-to-state combine re-grain must be invisible —
+    // the oracles ARE the raw-scan q03/q08 SQL (q108/q113's standard);
+    // q117: a (?t>) comparator over cross-grain merged states, q59's SQL
+    "q115_funnel_combine_regrain" -> oracleSqlBase("q03_window_funnel"),
+    "q116_nextnode_combine_regrain" -> oracleSqlBase("q08_seq_next_node"),
+    "q117_seqmatch_time_rollup" -> oracleSqlBase("q59_seq_match_time_gt"),
+    // q118: the rollup store's whole maintenance cycle must be invisible
+    // to the merged answer — the oracle is q03's raw-scan SQL once more
+    "q118_rollup_store" -> oracleSqlBase("q03_window_funnel"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

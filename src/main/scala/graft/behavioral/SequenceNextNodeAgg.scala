@@ -249,6 +249,8 @@ case class SequenceNextNodeAgg(
       TypeCheckFailure("sequence_next_node needs (direction, base, ts, value, baseCond, ev1, ...)")
     else if (children.size - 5 > 32)
       TypeCheckFailure(s"sequence_next_node supports at most 32 step conditions, got ${children.size - 5}")
+    else if (children(3).dataType != StringType)
+      TypeCheckFailure(s"sequence_next_node value must be STRING, got ${children(3).dataType}")
     else if (children.drop(4).exists(_.dataType != BooleanType))
       TypeCheckFailure("sequence_next_node base/step conditions must be BOOLEAN")
     else TypeCheckSuccess
@@ -393,6 +395,8 @@ case class NextNodeStateAgg(
       TypeCheckFailure("next_node_state needs (ts, value, baseCond, ev1, ...)")
     else if (numSteps > 32)
       TypeCheckFailure(s"next_node_state supports at most 32 step conditions, got $numSteps")
+    else if (children(1).dataType != StringType)
+      TypeCheckFailure(s"next_node_state value must be STRING, got ${children(1).dataType}")
     else if (children.drop(2).exists(_.dataType != BooleanType))
       TypeCheckFailure("next_node_state base/step conditions must be BOOLEAN")
     else TypeCheckSuccess

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The GENERATIONAL BATCH PROTOCOL shared by [[IncrementalSession]] (an
+  * event store) and [[RollupStore]] (a state table): a store is a flat
+  * directory of `batch_<k>` dirs, each made visible by an atomic
+  * `_BATCH_COMMITTED` marker written LAST — so readers never see a
+  * partial batch and a crashed writer's dir is invisible garbage. A
+  * compaction's marker additionally RECORDS the batch dir names it
+  * folded: from commit until cleanup those dirs still exist but are
+  * dead, and both readers and recovery must treat them so — otherwise a
+  * crash inside that window double-serves every folded row.
+  *
+  * All paths go through the Hadoop FileSystem API, so the same protocol
+  * runs on `file://`, `hdfs://`, and (with the documented rename/create
+  * caveats, see `Sinks.compactParquet`) `s3a://`.
+  */
+private[graft] object GenerationalBatches {
+
+  val Marker = "_BATCH_COMMITTED"
+
+  def leasePath(base: Path): Path = new Path(base, "_WRITER_LEASE")
+
+  def batchDirs(fs: FileSystem, base: Path): Seq[(Long, Path)] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
+      .flatMap(st => st.getPath.getName.stripPrefix("batch_").toLongOption
+        .map(_ -> st.getPath))
+
+  def committedBatches(fs: FileSystem, base: Path): Seq[(Long, Path)] =
+    batchDirs(fs, base).filter { case (_, p) =>
+      fs.exists(new Path(p, Marker)) }
+
+  /** Batch dir names every committed compaction marker says it folded —
+    * dead even if the dir still exists (crash before cleanup). */
+  def foldedDirs(fs: FileSystem,
+      committed: Seq[(Long, Path)]): Set[String] =
+    committed.flatMap { case (_, p) =>
+      val in = fs.open(new Path(p, Marker))
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }.toSet
+
+  /** Committed minus folded: what a read-only caller may serve. */
+  def liveBatches(fs: FileSystem, base: Path): Seq[(Long, Path)] = {
+    val committed = committedBatches(fs, base)
+    val dead = foldedDirs(fs, committed)
+    committed.filterNot { case (_, p) => dead.contains(p.getName) }
+  }
+
+  /** Mutating recovery (writers only — readers use [[liveBatches]]):
+    * delete marker-less (crashed) dirs and folded-but-not-yet-cleaned
+    * dirs; returns the live batches. */
+  def recover(fs: FileSystem, base: Path): Seq[(Long, Path)] = {
+    val committed = committedBatches(fs, base)
+    batchDirs(fs, base).filterNot(b => committed.exists(_._1 == b._1))
+      .foreach { case (_, p) => fs.delete(p, true) }
+    val dead = foldedDirs(fs, committed)
+    val (folded, live) = committed.partition { case (_, p) =>
+      dead.contains(p.getName) }
+    folded.foreach { case (_, p) => fs.delete(p, true) }
+    live
+  }
+
+  /** Write the commit marker ATOMICALLY LAST; `folded` non-empty marks a
+    * compaction and lists the dirs it replaced. */
+  def commit(fs: FileSystem, batchPath: Path, folded: Seq[String]): Unit = {
+    val out = fs.create(new Path(batchPath, Marker), false)
+    try if (folded.nonEmpty) out.write(folded.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+}

@@ -154,8 +154,7 @@ object IncrementalSession {
       s"sessionized batch changed the row count ($nBatch -> $written); " +
         s"batch_$k left uncommitted, previous state intact")
     onStep("written")
-    fs.create(new org.apache.hadoop.fs.Path(batchPath, "_BATCH_COMMITTED"),
-      false).close()
+    GenerationalBatches.commit(fs, batchPath, Seq.empty)
     onStep("committed")
     nBatch
     } finally adjusted.unpersist()
@@ -222,10 +221,7 @@ object IncrementalSession {
       s"compaction changed the row count ($expected -> $written); " +
         s"batch_$k left uncommitted, folded batches intact")
     onStep("written")
-    val marker = fs.create(
-      new org.apache.hadoop.fs.Path(batchPath, "_BATCH_COMMITTED"), false)
-    try marker.write(committed.map(_._2.getName).mkString("\n").getBytes("UTF-8"))
-    finally marker.close()
+    GenerationalBatches.commit(fs, batchPath, committed.map(_._2.getName))
     onStep("committed")
     committed.foreach { case (_, p) => fs.delete(p, true) }
     onStep("cleaned")
@@ -234,7 +230,7 @@ object IncrementalSession {
   }
 
   private def leasePath(base: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(base, "_WRITER_LEASE")
+    GenerationalBatches.leasePath(base)
 
   /** Committed, not-yet-reaped batch dirs the store should serve. How many
     * directories a reader's union spans — q107 pins that compaction
@@ -246,7 +242,16 @@ object IncrementalSession {
 
   /** All committed sessionized events (the union never sees a crashed
     * batch — the marker is written last — nor a batch a committed
-    * compaction already folded, even if its dir still exists). */
+    * compaction already folded, even if its dir still exists).
+    *
+    * The DataFrame is LAZY over the resolved dir list: readers take no
+    * lease, so a plan held across a concurrent compaction's commit+cleanup
+    * can hit deleted files when finally acted on — an availability error
+    * (FileNotFoundException), never wrong data. Act on the plan promptly;
+    * for maintenance-concurrent readers, `RollupStore.read(snapshot=true)`
+    * shows the eager-file-listing variant of this protocol, and a table
+    * format (Iceberg/Delta) is the production answer for true snapshot
+    * isolation on object stores. */
   def read(spark: SparkSession, baseDir: String): DataFrame = {
     val fs = fsOf(spark, baseDir)
     val outs = liveBatches(fs, new org.apache.hadoop.fs.Path(baseDir))
@@ -260,51 +265,14 @@ object IncrementalSession {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
-    if (!fs.exists(base)) Seq.empty
-    else fs.listStatus(base).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
-      .flatMap(st => st.getPath.getName.stripPrefix("batch_").toLongOption
-        .map(_ -> st.getPath))
-
-  private def committedBatches(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
-    batchDirs(fs, base).filter { case (_, p) =>
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_BATCH_COMMITTED")) }
-
-  /** Batch dir names every committed compaction marker says it folded —
-    * dead even if the dir still exists (crash before cleanup). */
-  private def foldedDirs(fs: org.apache.hadoop.fs.FileSystem,
-      committed: Seq[(Long, org.apache.hadoop.fs.Path)]): Set[String] =
-    committed.flatMap { case (_, p) =>
-      val marker = new org.apache.hadoop.fs.Path(p, "_BATCH_COMMITTED")
-      val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
-      finally in.close()
-    }.toSet
-
-  /** Committed minus folded: what a read-only caller may serve. */
+  // the batch/marker/fold/recovery protocol is GenerationalBatches,
+  // shared verbatim with RollupStore — this store's specifics are only
+  // the out/state subdir layout and the stitch math above
   private def liveBatches(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] = {
-    val committed = committedBatches(fs, base)
-    val dead = foldedDirs(fs, committed)
-    committed.filterNot { case (_, p) => dead.contains(p.getName) }
-  }
+      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    GenerationalBatches.liveBatches(fs, base)
 
-  /** Mutating recovery (append/compact only — readers use [[liveBatches]]):
-    * delete marker-less (crashed) dirs and folded-but-not-yet-cleaned
-    * dirs; returns the live batches. */
   private def recover(fs: org.apache.hadoop.fs.FileSystem,
-      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] = {
-    val committed = committedBatches(fs, base)
-    batchDirs(fs, base).filterNot(b => committed.exists(_._1 == b._1))
-      .foreach { case (_, p) => fs.delete(p, true) }
-    val dead = foldedDirs(fs, committed)
-    val (folded, live) = committed.partition { case (_, p) =>
-      dead.contains(p.getName) }
-    folded.foreach { case (_, p) => fs.delete(p, true) }
-    live
-  }
+      base: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    GenerationalBatches.recover(fs, base)
 }

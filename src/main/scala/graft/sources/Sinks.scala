@@ -489,11 +489,20 @@ object Sinks {
       staleMs: Long = 60L * 60 * 1000)(body: => T): T = {
     val pid = ProcessHandle.current().pid()
     val host = java.net.InetAddress.getLocalHost.getHostName
+    // FENCING token, unique per acquisition: a holder that outlives
+    // `staleMs` can be legitimately usurped (time-based expiry is the only
+    // liveness signal a remote host offers), and its release must then be
+    // a NO-OP — an unconditional delete would remove the USURPER's lease
+    // and admit a third concurrent writer. Call sites whose body can
+    // legitimately run long should pass a larger `staleMs` instead of
+    // relying on the default.
+    val token = s"$pid-${java.util.UUID.randomUUID()}"
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lease, false)
-        try out.write(s"pid=$pid\nhost=$host\nstart_ms=${System.currentTimeMillis()}\n"
-          .getBytes("UTF-8"))
+        try out.write(
+          s"pid=$pid\nhost=$host\nstart_ms=${System.currentTimeMillis()}\ntoken=$token\n"
+            .getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
@@ -528,7 +537,12 @@ object Sinks {
             h.map(m => s" ($m)").getOrElse("") +
             "; the maintenance cycle runs one writer at a time")
     }
-    try body finally fs.delete(lease, false)
+    // release ONLY a lease this acquisition wrote: if a usurper replaced it
+    // mid-body (or a non-token lease appeared), leave it in place
+    try body finally {
+      val ours = holder().exists(_.get("token").contains(token))
+      if (ours) fs.delete(lease, false)
+    }
   }
 
   /** Rename that SURFACES failure: Hadoop's `FileSystem.rename` reports

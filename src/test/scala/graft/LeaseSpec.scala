@@ -122,6 +122,32 @@ class LeaseSpec extends AnyFunSuite {
     assert(!ran && !fs.exists(l2))
   }
 
+  test("release is fenced: an expired holder must not delete its usurper's lease") {
+    val dir = fresh("fenced_release")
+    val l = new Path(dir, "lease")
+    // A runs past its own staleMs; mid-body a usurper (legitimately, by
+    // expiry) replaces the lease. A's release must leave the usurper's
+    // lease untouched — an unconditional delete would admit a THIRD writer.
+    val usurper = "pid=999999\nhost=elsewhere\n" +
+      s"start_ms=${System.currentTimeMillis()}\ntoken=usurper-token\n"
+    Sinks.withSingleWriterLease(fs, l, staleMs = 10) {
+      Thread.sleep(20) // now expired from any other writer's viewpoint
+      fs.delete(l, false) // the usurper's takeover: delete + re-create
+      val out = fs.create(l, false)
+      try out.write(usurper.getBytes("UTF-8")) finally out.close()
+    }
+    assert(fs.exists(l), "expired holder deleted its usurper's lease")
+    val in = fs.open(l)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(content === usurper, "usurper's lease was rewritten")
+    // and the usurper's lease still excludes new writers while fresh
+    intercept[IllegalStateException] {
+      Sinks.withSingleWriterLease(fs, l) { fail("must not run") }
+    }
+    fs.delete(l, false)
+  }
+
   test("a crashed body still releases the lease") {
     val dir = fresh("crash_release")
     val l = new Path(dir, "lease")

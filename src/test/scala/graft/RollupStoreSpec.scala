@@ -1,0 +1,253 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.behavioral.BehavioralFunctions
+import graft.ops.RollupStore
+
+/** The incremental state-table store (`RollupStore`): ingest appends
+  * partial-state rows per (key, grain), compaction folds them back to
+  * one row per key with the family's combine twin — and the MERGED
+  * answer must equal the raw-scan aggregate at EVERY point of the
+  * append/compact/append cycle, because every step is a multiset-union
+  * re-arrangement of the same condition events. q118 pins the cycle
+  * under the DuckDB hash; this spec pins the machinery: the cycle
+  * differential, the crash matrix at every step boundary, the ingest
+  * guards (schema, NULL states, empty delta), the snapshot read, and
+  * the next-node family over the same store.
+  */
+class RollupStoreSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private val M = 60L * 1000000
+  private val D = 24 * 60 * M
+
+  private def ev(rows: (Long, Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("u", "us", "t")
+      .select(col("u"), timestamp_micros(col("us")).as("ts"), col("t"))
+  }
+
+  private def conds(df: DataFrame) =
+    Seq("a", "b", "c").map(t => df("t") === t)
+
+  /** Day-grain funnel states for one ingest slice. */
+  private def dayStates(df: DataFrame): DataFrame =
+    df.groupBy(col("u"), to_date(col("ts")).as("day"))
+      .agg(BehavioralFunctions.funnel_state(col("ts"), conds(df): _*).as("state"))
+
+  private def rawAnswer(df: DataFrame): Map[Long, Int] =
+    df.groupBy("u")
+      .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '1' HOUR"),
+        col("ts"), conds(df): _*).as("steps"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  private def storeAnswer(base: String): Map[Long, Int] =
+    RollupStore.read(spark, base)
+      .groupBy("u")
+      .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+        col("state")).as("steps"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  private def fresh(name: String): String = {
+    val p = graft.sources.Sinks.scratchDir("rollup_store_spec") + s"/$name"
+    graft.sources.Sinks.clearDir(p)
+    p
+  }
+
+  private def compactFunnel(base: String,
+      onStep: String => Unit = _ => ()): Long =
+    RollupStore.compact(spark, base, Seq("u", "day"),
+      BehavioralFunctions.funnel_state_combine, "state", 2, onStep)
+
+  test("append/compact/append cycle: the merged answer equals the raw scan at every step") {
+    val rnd = new scala.util.Random(577215)
+    val types = Array("a", "b", "c", "x")
+    val rows = Seq.fill(600)((rnd.nextInt(12).toLong,
+      rnd.nextInt(20000).toLong * M / 3, types(rnd.nextInt(types.length)))).distinct
+    val all = ev(rows: _*)
+    all.cache().count()
+    try {
+      // three ingest slices cut by hash, NOT by time: every (u, day) key
+      // recurs across slices, so compaction genuinely folds multi-row keys
+      def slice(i: Int) = all.filter(pmod(xxhash64(col("ts")), lit(3)) === i)
+      val base = fresh("cycle")
+      val expect1 = rawAnswer(slice(0).union(slice(1)))
+      val expectAll = rawAnswer(all)
+
+      RollupStore.appendStates(dayStates(slice(0)), base, Seq("u", "day"))
+      RollupStore.appendStates(dayStates(slice(1)), base, Seq("u", "day"))
+      assert(RollupStore.liveBatchCount(spark, base) === 2)
+      assert(storeAnswer(base) === expect1, "answer before compaction")
+
+      val keys = RollupStore.read(spark, base).select("u", "day").distinct().count()
+      val n = compactFunnel(base)
+      assert(n === keys, "compaction must yield one row per key")
+      assert(RollupStore.liveBatchCount(spark, base) === 1)
+      assert(RollupStore.read(spark, base).count() === keys)
+      assert(storeAnswer(base) === expect1, "compaction changed the answer")
+
+      RollupStore.appendStates(dayStates(slice(2)), base, Seq("u", "day"))
+      assert(RollupStore.liveBatchCount(spark, base) === 2)
+      assert(storeAnswer(base) === expectAll, "answer after post-compaction ingest")
+      compactFunnel(base)
+      assert(RollupStore.liveBatchCount(spark, base) === 1)
+      assert(storeAnswer(base) === expectAll, "answer after recompaction")
+
+      // the compacted store still serves every merge-time variant — one
+      // table, all windows/modes/patterns
+      val strict = RollupStore.read(spark, base).groupBy("u")
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '2' HOUR"),
+          "strict", col("state")).as("steps"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val strictRaw = all.groupBy("u")
+        .agg(BehavioralFunctions.window_funnel(expr("INTERVAL '2' HOUR"),
+          "strict", col("ts"), conds(all): _*).as("steps"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(strict === strictRaw)
+    } finally all.unpersist()
+  }
+
+  test("a crash at every compaction step boundary loses nothing and double-serves nothing") {
+    val b0 = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, 0L, "a"))
+    val b1 = ev((1L, 20 * M, "c"), (2L, D + M, "b"), (3L, 0L, "a"))
+    val allRows = Seq((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, 0L, "a"),
+      (1L, 20 * M, "c"), (2L, D + M, "b"), (3L, 0L, "a"))
+    val expected = rawAnswer(ev(allRows: _*))
+    for (failAt <- Seq("recovered", "written", "committed")) {
+      val base = fresh(s"crash_$failAt")
+      RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"))
+      RollupStore.appendStates(dayStates(b1), base, Seq("u", "day"))
+      val servedBefore = RollupStore.read(spark, base).count()
+      intercept[RuntimeException] {
+        compactFunnel(base,
+          step => if (step == failAt) sys.error(s"injected crash at $failAt"))
+      }
+      // reads stay exact THROUGH the crash window: same answer AND (except
+      // after commit, where the fold is the new truth) the same row count —
+      // after "committed" the folded dirs still exist on disk and must not
+      // be double-served alongside the compacted batch
+      assert(storeAnswer(base) === expected,
+        s"crash at '$failAt' changed what readers see")
+      if (failAt == "committed")
+        assert(RollupStore.read(spark, base).count() <= servedBefore,
+          "folded dirs double-served alongside the compacted batch")
+      // re-running self-recovers and finishes the fold
+      compactFunnel(base)
+      assert(RollupStore.liveBatchCount(spark, base) === 1)
+      assert(storeAnswer(base) === expected)
+      // ingest continues unharmed on the compacted store
+      RollupStore.appendStates(
+        dayStates(ev((1L, 3 * D, "a"))), base, Seq("u", "day"))
+      assert(storeAnswer(base) ===
+        rawAnswer(ev(allRows :+ ((1L, 3 * D, "a")): _*)))
+    }
+  }
+
+  test("a crashed append is invisible and re-running it lands exactly once") {
+    val base = fresh("append_crash")
+    val b0 = ev((1L, 0L, "a"), (1L, 10 * M, "b"))
+    RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"))
+    val st1 = dayStates(ev((1L, 20 * M, "c")))
+    intercept[RuntimeException] {
+      RollupStore.appendStates(st1, base, Seq("u", "day"), "state",
+        step => if (step == "written") sys.error("injected crash"))
+    }
+    assert(RollupStore.liveBatchCount(spark, base) === 1)
+    assert(storeAnswer(base) === rawAnswer(b0))
+    RollupStore.appendStates(st1, base, Seq("u", "day"))
+    assert(storeAnswer(base) ===
+      rawAnswer(ev((1L, 0L, "a"), (1L, 10 * M, "b"), (1L, 20 * M, "c"))))
+  }
+
+  test("ingest guards: wrong columns, non-binary state, NULL states, empty delta") {
+    import spark.implicits._
+    val base = fresh("guards")
+    val good = dayStates(ev((1L, 0L, "a")))
+    // wrong column set
+    val e1 = intercept[IllegalArgumentException] {
+      RollupStore.appendStates(good.withColumnRenamed("day", "d"),
+        base, Seq("u", "day"))
+    }
+    assert(e1.getMessage.contains("columns"))
+    // non-binary state
+    val e2 = intercept[IllegalArgumentException] {
+      RollupStore.appendStates(
+        good.withColumn("state", lit("not binary")), base, Seq("u", "day"))
+    }
+    assert(e2.getMessage.contains("BINARY"))
+    // NULL states are refused (inside the store they'd be indistinguishable
+    // from an absent key)
+    val e3 = intercept[Exception] {
+      RollupStore.appendStates(
+        good.withColumn("state", lit(null).cast("binary")), base, Seq("u", "day"))
+    }
+    assert(e3.getMessage.contains("NULL"))
+    // nothing landed; an empty delta commits as a no-op
+    assert(RollupStore.appendStates(good.filter(col("u") === 99L),
+      base, Seq("u", "day")) === 0L)
+    intercept[IllegalArgumentException] { RollupStore.read(spark, base) }
+    // a valid batch still lands after all the rejections
+    RollupStore.appendStates(good, base, Seq("u", "day"))
+    assert(RollupStore.liveBatchCount(spark, base) === 1)
+    // compacting an empty or single-batch... empty store first:
+    assert(RollupStore.compact(spark, fresh("empty"), Seq("u"),
+      BehavioralFunctions.funnel_state_combine) === 0L)
+  }
+
+  test("the next-node family runs the same cycle: ingest, compact with its combine, merge all 8 ways") {
+    val rnd = new scala.util.Random(141421)
+    val types = Array("a", "b", "c", "x")
+    val rows = Seq.fill(400)((rnd.nextInt(10).toLong,
+        rnd.nextInt(15000).toLong * M / 4, types(rnd.nextInt(types.length))))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // tie-free
+    val all = ev(rows: _*)
+    all.cache().count()
+    try {
+      def nnStates(df: DataFrame) =
+        df.groupBy(col("u"), to_date(col("ts")).as("day"))
+          .agg(BehavioralFunctions.next_node_state(col("ts"), col("t"),
+            df("t") === "a", df("t") === "a", df("t") === "b").as("state"))
+      val base = fresh("nextnode")
+      for (i <- 0 until 3)
+        RollupStore.appendStates(
+          nnStates(all.filter(pmod(xxhash64(col("ts")), lit(3)) === i)),
+          base, Seq("u", "day"))
+      assert(RollupStore.liveBatchCount(spark, base) === 3)
+      RollupStore.compact(spark, base, Seq("u", "day"),
+        BehavioralFunctions.next_node_state_combine, "state", 2)
+      assert(RollupStore.liveBatchCount(spark, base) === 1)
+      for (dir <- Seq("forward", "backward");
+           b <- Seq("head", "tail", "first_match", "last_match")) {
+        val raw = all.groupBy("u")
+          .agg(BehavioralFunctions.sequence_next_node(dir, b, col("ts"),
+            col("t"), all("t") === "a", all("t") === "a", all("t") === "b").as("v"))
+          .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        val got = RollupStore.read(spark, base).groupBy("u")
+          .agg(BehavioralFunctions.next_node_merge(dir, b, col("state")).as("v"))
+          .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        assert(got === raw, s"store answer diverges for ($dir, $b)")
+      }
+    } finally all.unpersist()
+  }
+
+  test("snapshot read pins files eagerly and serves the same rows") {
+    val base = fresh("snapshot")
+    val df = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, 0L, "c"))
+    RollupStore.appendStates(dayStates(df), base, Seq("u", "day"))
+    RollupStore.appendStates(dayStates(ev((2L, D, "a"))), base, Seq("u", "day"))
+    val lazyRows = RollupStore.read(spark, base)
+      .select("u", "day").collect().map(_.toSeq).toSet
+    val snapRows = RollupStore.read(spark, base, snapshot = true)
+      .select("u", "day").collect().map(_.toSeq).toSet
+    assert(snapRows === lazyRows)
+    // the snapshot plan survives a compaction's COMMIT (files pinned
+    // before the fold are still on disk until cleanup)
+    val snap = RollupStore.read(spark, base, snapshot = true)
+    snap.count() // resolve
+    compactFunnel(base)
+    assert(storeAnswer(base) === rawAnswer(
+      ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, 0L, "c"), (2L, D, "a"))))
+  }
+}

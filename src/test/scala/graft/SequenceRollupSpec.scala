@@ -105,6 +105,34 @@ class SequenceRollupSpec extends AnyFunSuite {
       s"wrong error: ${e.getMessage}")
   }
 
+  test("(?t) comparators measure across grain boundaries: the previous matched event sits in another partial") {
+    val D = 24 * 60 * M
+    // each user's a->b adjacency straddles the day edge; gaps bracket the
+    // 3600 s threshold: u1 exactly 3600 (>= true, > false), u2 just under,
+    // u3 just over. A merge path that measured time WITHIN a partial
+    // instead of over the re-sorted union would answer false for all.
+    val df = ev(
+      (1L, D - 1800 * 1000000L, "a"), (1L, D + 1800 * 1000000L, "b"),
+      (2L, D - 1800 * 1000000L, "a"), (2L, D + 1799 * 1000000L, "b"),
+      (3L, D - 1800 * 1000000L, "a"), (3L, D + 1801 * 1000000L, "b"))
+    val day = df.groupBy(col("u"), to_date(col("ts")).as("day"))
+      .agg(BehavioralFunctions.funnel_state(col("ts"),
+        df("t") === "a", df("t") === "b").as("state"))
+    // and once more through a combine hop — the re-grain must not disturb
+    // the elapsed-time arithmetic either
+    val combined = day.groupBy("u")
+      .agg(BehavioralFunctions.funnel_state_combine(col("state")).as("state"))
+    for (st <- Seq(day, combined)) {
+      def m(pattern: String): Map[Long, Boolean] = st.groupBy("u")
+        .agg(BehavioralFunctions.sequence_match_merge(pattern, col("state")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(m("(?1)(?t>=3600)(?2)") === Map(1L -> true, 2L -> false, 3L -> true))
+      assert(m("(?1)(?t>3600)(?2)") === Map(1L -> false, 2L -> false, 3L -> true))
+      assert(m("(?1)(?t<=3600)(?2)") === Map(1L -> true, 2L -> true, 3L -> false))
+      assert(m("(?1)(?t==3600)(?2)") === Map(1L -> true, 2L -> false, 3L -> false))
+    }
+  }
+
   test("invalid pattern yields NULL through the merge path, like the raw aggregate") {
     val df = ev((1L, 0L, "a"), (1L, 10 * M, "b"))
     val r = states(df, 2).groupBy("u").agg(
