@@ -483,6 +483,8 @@ object Sinks {
     * local FS; on S3A it is conditional-put-backed on recent Hadoop —
     * where it isn't, use an external lock service (the contract carried
     * over is lease-then-write). */
+  private val leaseCreateMutex = new Object
+
   private[graft] def withSingleWriterLease[T](
       fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path,
@@ -497,7 +499,12 @@ object Sinks {
     // legitimately run long should pass a larger `staleMs` instead of
     // relying on the default.
     val token = s"$pid-${java.util.UUID.randomUUID()}"
-    def tryAcquire(): Boolean =
+    // leaseCreateMutex serializes the create-exclusive across THREADS of
+    // this JVM: LocalFileSystem's create(overwrite = false) is an
+    // exists-check-then-create (a TOCTOU window two same-process writers
+    // can race through); cross-PROCESS the FS's own create is the arbiter
+    // (atomic on HDFS, conditional-put-backed on recent S3A)
+    def tryAcquire(): Boolean = leaseCreateMutex.synchronized {
       try {
         val out = fs.create(lease, false)
         try out.write(
@@ -506,6 +513,7 @@ object Sinks {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    }
     def holder(): Option[Map[String, String]] =
       if (!fs.exists(lease)) None
       else {
@@ -530,8 +538,21 @@ object Sinks {
             .exists(System.currentTimeMillis() - _ > staleMs)
           deadPid || expired
       }
-      if (stale) fs.delete(lease, false)
-      if (!stale || !tryAcquire())
+      // takeover CLAIMS the stale lease by atomic rename, never by blind
+      // delete: with delete, two racing takeovers interleave as
+      // T1-delete/T1-create/T2-delete(T1's FRESH lease!)/T2-create — two
+      // concurrent holders. Rename removes the source atomically, so
+      // exactly one racer claims the stale file; everyone else falls
+      // through to tryAcquire against whatever fresh lease now exists.
+      val claimed = stale && {
+        val grave = new org.apache.hadoop.fs.Path(
+          lease.getParent, s"${lease.getName}.stale-$token")
+        val won = try fs.rename(lease, grave)
+          catch { case _: java.io.IOException => false }
+        if (won) fs.delete(grave, false)
+        won
+      }
+      if (!claimed || !tryAcquire())
         throw new IllegalStateException(
           s"another compactor holds the lease at $lease" +
             h.map(m => s" ($m)").getOrElse("") +

@@ -77,6 +77,44 @@ object Drive {
         |       next_node_merge('backward', 'tail', ns) AS before_last_signup
         |FROM st GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin).show(false)
 
+    println("=== state-to-state combine via SQL: day table re-grains to week, raw log untouched ===")
+    spark.sql(
+      """WITH day AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |               funnel_state(ts, event_type='view', event_type='click',
+        |                            event_type='purchase') AS fs
+        |             FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |week AS (SELECT user_id, weekofyear(day) AS wk,
+        |           funnel_state_combine(fs) AS fs
+        |         FROM day GROUP BY user_id, weekofyear(day))
+        |SELECT user_id, funnel_merge(INTERVAL '1' HOUR, fs) AS steps,
+        |       sequence_count_merge('(?1)', fs) AS views
+        |FROM week GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin).show(false)
+
+    println("=== RollupStore: incremental state-table ingest + combine-twin compaction ===")
+    locally {
+      val base = graft.sources.Sinks.scratchDir("drive_rollup_store") + "/store"
+      graft.sources.Sinks.clearDir(base)
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      def states(i: Int) = ev
+        .filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(graft.behavioral.BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      for (i <- 0 until 2)
+        graft.ops.RollupStore.appendStates(states(i), base, Seq("user_id", "day"))
+      println(s"-- live batches before compaction: ${graft.ops.RollupStore.liveBatchCount(spark, base)}")
+      graft.ops.RollupStore.compact(spark, base, Seq("user_id", "day"),
+        graft.behavioral.BehavioralFunctions.funnel_state_combine)
+      println(s"-- live batches after compaction:  ${graft.ops.RollupStore.liveBatchCount(spark, base)}")
+      graft.ops.RollupStore.read(spark, base)
+        .groupBy(col("user_id"))
+        .agg(graft.behavioral.BehavioralFunctions.funnel_merge(
+          expr("INTERVAL '1' HOUR"), col("state")).as("steps"))
+        .orderBy(col("user_id")).show(5, false)
+    }
+
     println("=== sequence_match / count / events per user ===")
     spark.sql(
       """SELECT user_id,

@@ -148,6 +148,38 @@ class LeaseSpec extends AnyFunSuite {
     fs.delete(l, false)
   }
 
+  test("simultaneous takeovers of a stale lease admit exactly one holder at a time") {
+    // takeover CLAIMS the stale lease by atomic rename (a blind delete
+    // would let T2 remove T1's FRESH lease between T1's create and T2's
+    // delete — two concurrent holders). Six threads race one stale lease;
+    // the invariant is NO CONCURRENT OVERLAP, not who wins.
+    val dir = fresh("takeover_race")
+    val l = new Path(dir, "lease")
+    writeLease(l, deadPid(), localHost, 0L) // stale by pid AND by age
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 6).map { _ =>
+      new Thread(() => {
+        start.await()
+        try Sinks.withSingleWriterLease(fs, l, staleMs = 60000) {
+          val a = active.incrementAndGet()
+          maxActive.updateAndGet(m => math.max(m, a))
+          Thread.sleep(150)
+          active.decrementAndGet()
+          ran.incrementAndGet()
+        } catch { case _: IllegalStateException => () } // lost the race: fine
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(30000))
+    assert(ran.get() >= 1, "no takeover succeeded")
+    assert(maxActive.get() === 1,
+      s"${maxActive.get()} writers held the lease concurrently")
+  }
+
   test("a crashed body still releases the lease") {
     val dir = fresh("crash_release")
     val l = new Path(dir, "lease")
