@@ -765,6 +765,40 @@ object SparkEntry {
           col("state")).as("steps"))
     },
 
+    // ---- the store is FAMILY-GENERIC: the same ingest/compact cycle
+    // runs retention's 8-byte BIGINT states folded with
+    // retention_state_combine — the third member of the combine algebra
+    // (funnel q118, next-node via RollupStoreSpec). Two hash-cut slices,
+    // compact, one more slice: the merged cohort flags must match q02's
+    // raw-scan oracle at the end of the cycle.
+    "q119_rollup_store_retention" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val base = sources.Sinks.scratchDir("q119_rollup") + "/store"
+      sources.Sinks.clearDir(base)
+      val keys = Seq("user_id", "day")
+      val cs = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+        .map(d => to_date(col("ts")) === lit(d))
+      def states(slice: Column) = ev.filter(slice)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.retention_state(cs: _*).as("state"))
+      def live = ops.RollupStore.liveBatchCount(s, base)
+      def slice(i: Int) = pmod(xxhash64(col("ts")), lit(3)) === i
+      ops.RollupStore.appendStates(states(slice(0)), base, keys)
+      ops.RollupStore.appendStates(states(slice(1)), base, keys)
+      ops.RollupStore.compact(s, base, keys,
+        BehavioralFunctions.retention_state_combine, targetPartitions = 8)
+      require(live == 1, s"compaction left $live batch dirs, expected 1")
+      ops.RollupStore.appendStates(states(slice(2)), base, keys)
+      require(live == 2, s"expected 2 batch dirs after re-ingest, got $live")
+      ops.RollupStore.read(s, base)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.retention_merge(col("state"), 3).as("r"))
+        .select(col("user_id"),
+          get(col("r"), lit(0)).as("d1"),
+          get(col("r"), lit(1)).as("d2"),
+          get(col("r"), lit(2)).as("d3"))
+    },
+
     // ---- TIME-CONSTRAINED patterns over merged states: a `(?t>N)` step
     // must measure the gap between events that can sit in DIFFERENT
     // day-grain partials — the merged buffer re-sorts by ts before the
@@ -2418,9 +2452,11 @@ object SparkEntry {
     "q115_funnel_combine_regrain" -> oracleSqlBase("q03_window_funnel"),
     "q116_nextnode_combine_regrain" -> oracleSqlBase("q08_seq_next_node"),
     "q117_seqmatch_time_rollup" -> oracleSqlBase("q59_seq_match_time_gt"),
-    // q118: the rollup store's whole maintenance cycle must be invisible
-    // to the merged answer — the oracle is q03's raw-scan SQL once more
-    "q118_rollup_store" -> oracleSqlBase("q03_window_funnel"))
+    // q118/q119: the rollup store's whole maintenance cycle must be
+    // invisible to the merged answer — the oracles are q03's/q02's
+    // raw-scan SQL once more
+    "q118_rollup_store" -> oracleSqlBase("q03_window_funnel"),
+    "q119_rollup_store_retention" -> oracleSqlBase("q02_retention"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

@@ -47,6 +47,12 @@ object BehavioralFunctions {
     agg(RetentionMergeAgg(Seq(e(state),
       org.apache.spark.sql.catalyst.expressions.Literal(nConds))))
 
+  /** State-to-state fold of [[retention_state]] partials (BIGINT ->
+    * BIGINT): re-grain a rollup or compact a RollupStore state table —
+    * the retention member of the combine family. */
+  def retention_state_combine(state: Column): Column =
+    agg(RetentionStateCombineAgg(Seq(e(state))))
+
   /** Mergeable funnel partial (BINARY: the serialized condition-filtered
     * event buffer) for pre-aggregated rollups; fold with [[funnel_merge]],
     * which is where window and mode go — see FunnelStateAgg's scaladoc
@@ -166,5 +172,7 @@ object BehavioralFunctions {
       exprs => FunnelStateCombineAgg(exprs), "scala_udf")
     reg.createOrReplaceTempFunction("next_node_state_combine",
       exprs => NextNodeStateCombineAgg(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("retention_state_combine",
+      exprs => RetentionStateCombineAgg(exprs), "scala_udf")
   }
 }

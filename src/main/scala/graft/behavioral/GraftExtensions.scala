@@ -97,6 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "next_node_state_combine(state) - fold next_node_state partials into one state") {
       exprs => NextNodeStateCombineAgg(exprs)
     }
+    inject("retention_state_combine",
+      "retention_state_combine(state) - fold retention_state partials into one state") {
+      exprs => RetentionStateCombineAgg(exprs)
+    }
 
     // the pipeline scalar kernels (sketches, winnowing, intersection,
     // dot product) share one builder list with the per-session

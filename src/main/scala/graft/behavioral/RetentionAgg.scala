@@ -246,3 +246,74 @@ case class RetentionMergeAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
+
+/** `retention_state_combine(state) -> BIGINT` — state-to-state fold for
+  * the retention family, completing the combine algebra
+  * ([[FunnelStateCombineAgg]] / `next_node_state_combine` are the
+  * funnel/next-node twins): folds [[RetentionStateAgg]] partials into
+  * one partial of the same encoding, for re-graining a rollup
+  * (day → week / user) or compacting a [[graft.ops.RollupStore]] state
+  * table without rescanning the raw log. Exact by associativity — the
+  * state IS an OR-able bitmask, so the fold is the same `|` the family
+  * uses everywhere. NULL states contribute nothing; a group with none
+  * yields NULL (matching the other combines; every real state carries
+  * the seen-bit, and `retention_merge` skips NULLs). */
+case class RetentionStateCombineAgg(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (children.size != 1)
+      TypeCheckFailure("retention_state_combine needs (state)")
+    else if (children.head.dataType != LongType)
+      TypeCheckFailure(s"retention_state_combine state must be BIGINT (from retention_state), got ${children.head.dataType}")
+    else TypeCheckSuccess
+  }
+
+  // buf = (bits, seen-any-state flag): the flag distinguishes an all-NULL
+  // group (eval NULL) from real states, without trusting bit patterns
+  override def createAggregationBuffer(): Array[Long] = Array(0L, 0L)
+
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(children.head))
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val row = inputProj(input)
+    if (!row.isNullAt(0)) { buf(0) |= row.getLong(0); buf(1) = 1L }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    buf(0) |= other(0)
+    buf(1) |= other(1)
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf(1) == 0L) null else java.lang.Long.valueOf(buf(0))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(buf(0)); bb.putLong(buf(1))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array(bb.getLong, bb.getLong)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "retention_state_combine"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}

@@ -2,14 +2,14 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** An INCREMENTALLY-INGESTED STATE TABLE: the rollup pattern
   * (q105/q108–q116 — fold the raw log once into mergeable partials,
   * answer dashboards from the partials) made maintainable. Each ingest
-  * run appends one batch of `(key columns..., state BINARY)` rows built
-  * with a state producer (`funnel_state`, `next_node_state`,
-  * `retention_state`-style); dashboard queries read the union and
+  * run appends one batch of `(key columns..., state)` rows built with a
+  * state producer (`funnel_state`/`next_node_state` emit BINARY,
+  * `retention_state` BIGINT); dashboard queries read the union and
   * re-merge with the matching `*_merge`, whose window/mode/pattern/
   * direction arguments live at MERGE time — so one store serves every
   * variant of its family.
@@ -20,8 +20,8 @@ import org.apache.spark.sql.types.BinaryType
   * union of all history. [[compact]] periodically folds both back: all
   * committed batches collapse to ONE batch holding ONE row per key, the
   * partials folded state-to-state with the family's combine twin
-  * (`funnel_state_combine` / `next_node_state_combine`) — the raw event
-  * log is NEVER rescanned. Exactness is the combine twins' associativity
+  * (`funnel_state_combine` / `next_node_state_combine` /
+  * `retention_state_combine`) — the raw event log is NEVER rescanned. Exactness is the combine twins' associativity
   * argument (multiset union over the event buffer, see
   * `FunnelStateCombineAgg`): any fold tree merges to the answer a raw
   * scan would give, which RollupStoreSpec and q118 pin oracle-side at
@@ -58,8 +58,11 @@ object RollupStore {
     val expected = (keyCols :+ stateCol).toSet
     require(states.columns.toSet == expected,
       s"state batch columns ${states.columns.toSet} != $expected")
-    require(states.schema(stateCol).dataType == BinaryType,
-      s"$stateCol must be BINARY (a *_state partial), got " +
+    // BINARY covers the funnel/next-node families, BIGINT retention's
+    // 8-byte bitmask — whatever the family's *_state producer emits
+    require(states.schema(stateCol).dataType == BinaryType
+        || states.schema(stateCol).dataType == LongType,
+      s"$stateCol must be a *_state partial column (BINARY or BIGINT), got " +
         states.schema(stateCol).dataType)
     val spark = states.sparkSession
     val fs = fsOf(spark, baseDir)

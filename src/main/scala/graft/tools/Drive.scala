@@ -90,6 +90,17 @@ object Drive {
         |       sequence_count_merge('(?1)', fs) AS views
         |FROM week GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin).show(false)
 
+    println("=== retention combine via SQL: the third family of the combine algebra ===")
+    spark.sql(
+      """WITH day AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |               retention_state(CAST(ts AS DATE)=DATE'2024-01-01',
+        |                               CAST(ts AS DATE)=DATE'2024-01-02') AS rs
+        |             FROM events GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT user_id, retention_merge(rs2, 2) AS r
+        |FROM (SELECT user_id, retention_state_combine(rs) AS rs2
+        |      FROM day GROUP BY user_id)
+        |GROUP BY user_id ORDER BY user_id LIMIT 5""".stripMargin).show(false)
+
     println("=== RollupStore: incremental state-table ingest + combine-twin compaction ===")
     locally {
       val base = graft.sources.Sinks.scratchDir("drive_rollup_store") + "/store"

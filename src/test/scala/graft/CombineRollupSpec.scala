@@ -261,6 +261,51 @@ class CombineRollupSpec extends AnyFunSuite {
       s"wrong error: ${msgs(e).mkString(" | ")}")
   }
 
+  // ---- retention_state_combine ------------------------------------------
+
+  test("retention re-grain: combined day states merge to the raw-scan retention, any sharding") {
+    val rnd = new scala.util.Random(662607)
+    val types = Array("a", "b", "c", "x")
+    val rows = Seq.fill(500)((rnd.nextInt(12).toLong,
+      rnd.nextInt(20000).toLong * M, types(rnd.nextInt(types.length)))).distinct
+    val df = ev(rows: _*)
+    // anchor = saw 'a', then 'b', then 'c' (retention's cohort shape)
+    val cs = conds(df)
+    val raw = df.groupBy("u")
+      .agg(BehavioralFunctions.retention(cs: _*).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Boolean](1)).toMap
+    val combined = df.groupBy(col("u"), pmod(xxhash64(col("ts")), lit(5)).as("g"))
+      .agg(BehavioralFunctions.retention_state(cs: _*).as("state"))
+      .groupBy(col("u"), pmod(col("g"), lit(2)).as("g2")) // two combine hops
+      .agg(BehavioralFunctions.retention_state_combine(col("state")).as("state"))
+      .groupBy("u")
+      .agg(BehavioralFunctions.retention_state_combine(col("state")).as("state"))
+      .groupBy("u")
+      .agg(BehavioralFunctions.retention_merge(col("state"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Boolean](1)).toMap
+    assert(combined === raw)
+  }
+
+  test("retention combine: NULL states contribute nothing; an all-NULL group yields NULL") {
+    import spark.implicits._
+    val df = ev((1L, 0L, "a"), (1L, 10 * M, "b"))
+    val states = df.groupBy("u")
+      .agg(BehavioralFunctions.retention_state(conds(df): _*).as("state"))
+      .unionByName(Seq(2L, 2L).toDF("u")
+        .withColumn("state", lit(null).cast("long")))
+    val combined = states.groupBy("u")
+      .agg(BehavioralFunctions.retention_state_combine(col("state")).as("state"))
+    val nulls = combined.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nulls === Map(1L -> false, 2L -> true),
+      "all-NULL group must combine to NULL, not a zero-bit state")
+    // the NULL combined state flows through retention_merge as an absent row
+    val merged = combined.groupBy("u")
+      .agg(BehavioralFunctions.retention_merge(col("state"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Boolean](1)).toMap
+    assert(merged(1L) === Seq(true, true, false))
+    assert(merged(2L) === Seq.empty, "empty group must answer [] like retention")
+  }
+
   test("SQL path: both combines resolve through the registry") {
     BehavioralFunctions.register(spark)
     val df = ev((1L, D - 2 * M, "a"), (1L, D + M, "b"), (1L, D + 3 * M, "c"))
@@ -283,5 +328,14 @@ class CombineRollupSpec extends AnyFunSuite {
         |GROUP BY u""".stripMargin)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(nn === Map(1L -> "c"))
+    val ret = spark.sql(
+      """SELECT u, retention_merge(state, 2) AS r
+        |FROM (SELECT u, retention_state_combine(state) AS state
+        |      FROM (SELECT u, retention_state(t = 'a', t = 'b') AS state
+        |            FROM cmb_ev GROUP BY u, to_date(ts))
+        |      GROUP BY u)
+        |GROUP BY u""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Boolean](1)).toMap
+    assert(ret === Map(1L -> Seq(true, true)))
   }
 }

@@ -232,6 +232,32 @@ class RollupStoreSpec extends AnyFunSuite {
     } finally all.unpersist()
   }
 
+  test("the retention family runs the cycle too: BIGINT states, OR combine") {
+    val rnd = new scala.util.Random(271801)
+    val types = Array("a", "b", "c", "x")
+    val rows = Seq.fill(400)((rnd.nextInt(10).toLong,
+      rnd.nextInt(15000).toLong * M, types(rnd.nextInt(types.length)))).distinct
+    val all = ev(rows: _*)
+    val cs = conds(all)
+    val raw = all.groupBy("u")
+      .agg(BehavioralFunctions.retention(cs: _*).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Boolean](1)).toMap
+    val base = fresh("retention")
+    for (i <- 0 until 3)
+      RollupStore.appendStates(
+        all.filter(pmod(xxhash64(col("ts")), lit(3)) === i)
+          .groupBy(col("u"), to_date(col("ts")).as("day"))
+          .agg(BehavioralFunctions.retention_state(cs: _*).as("state")),
+        base, Seq("u", "day"))
+    RollupStore.compact(spark, base, Seq("u", "day"),
+      BehavioralFunctions.retention_state_combine, "state", 2)
+    assert(RollupStore.liveBatchCount(spark, base) === 1)
+    val got = RollupStore.read(spark, base).groupBy("u")
+      .agg(BehavioralFunctions.retention_merge(col("state"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Boolean](1)).toMap
+    assert(got === raw)
+  }
+
   test("snapshot read pins files eagerly and serves the same rows") {
     val base = fresh("snapshot")
     val df = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, 0L, "c"))
