@@ -62,6 +62,37 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("state-to-state combines keep the map-side partial pass") {
+    // the combine twins are their own aggregate classes — the q108/q110/
+    // q113 pins would not notice a re-grain losing ITS partial pass; the
+    // re-grain shuffle must carry one folded buffer per (key, mapper)
+    import org.apache.spark.sql.functions._
+    import graft.behavioral.BehavioralFunctions
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val path = graft.sources.Sinks.scratchDir("planspec_combine") + "/day"
+    ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(BehavioralFunctions.funnel_state(col("ts"),
+        col("event_type") === "view", col("event_type") === "click").as("state"))
+      .write.mode("overwrite").parquet(path)
+    val day = spark.read.parquet(path)
+    val p = day.groupBy("user_id")
+      .agg(BehavioralFunctions.funnel_state_combine(col("state")).as("state"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_funnel_state_combine"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    val rpath = graft.sources.Sinks.scratchDir("planspec_combine") + "/rday"
+    ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(BehavioralFunctions.retention_state(
+        to_date(col("ts")) === lit("2024-01-01"),
+        to_date(col("ts")) === lit("2024-01-02")).as("state"))
+      .write.mode("overwrite").parquet(rpath)
+    val pr = spark.read.parquet(rpath).groupBy("user_id")
+      .agg(BehavioralFunctions.retention_state_combine(col("state")).as("state"))
+      .queryExecution.executedPlan.toString
+    assert(pr.contains("partial_retention_state_combine"), pr)
+  }
+
   test("q10: dimension table is broadcast, not shuffled") {
     val p = plan("q10_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
