@@ -149,7 +149,10 @@ object IncrementalSession {
     }
     newState.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(batchPath, "state").toString)
-    val written = spark.read.parquet(outPath.toString).count()
+    // post-write verify from the files' FOOTERS (complete-file row counts,
+    // no re-scan of what was just written — Sinks.parquetRowCount)
+    val written = graft.sources.Sinks.parquetRowCount(fs, outPath,
+      spark.sessionState.newHadoopConf())
     require(written == nBatch,
       s"sessionized batch changed the row count ($nBatch -> $written); " +
         s"batch_$k left uncommitted, previous state intact")
@@ -215,8 +218,9 @@ object IncrementalSession {
         new org.apache.hadoop.fs.Path(committed.last._2, "state").toString)
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(batchPath, "state").toString)
-    val written = spark.read.parquet(
-      new org.apache.hadoop.fs.Path(batchPath, "out").toString).count()
+    val written = graft.sources.Sinks.parquetRowCount(fs,
+      new org.apache.hadoop.fs.Path(batchPath, "out"),
+      spark.sessionState.newHadoopConf())
     require(written == expected,
       s"compaction changed the row count ($expected -> $written); " +
         s"batch_$k left uncommitted, folded batches intact")

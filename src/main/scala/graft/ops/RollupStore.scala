@@ -84,7 +84,9 @@ object RollupStore {
             "NULL — filter placeholder rows before ingest")
         val dataPath = new Path(batchPath, "states")
         cached.write.mode("overwrite").parquet(dataPath.toString)
-        val written = spark.read.parquet(dataPath.toString).count()
+        // footer-metadata verify, no re-scan (Sinks.parquetRowCount)
+        val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
+          spark.sessionState.newHadoopConf())
         require(written == n,
           s"state batch changed the row count ($n -> $written); " +
             s"batch_$k left uncommitted")
@@ -135,7 +137,8 @@ object RollupStore {
         .agg(combine(col(stateCol)).as(stateCol))
         .repartition(targetPartitions)
         .write.mode("overwrite").parquet(dataPath.toString)
-      val written = spark.read.parquet(dataPath.toString).count()
+      val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
+        spark.sessionState.newHadoopConf())
       require(written == expected,
         s"compaction changed the key count ($expected -> $written); " +
           s"batch_$k left uncommitted, folded batches intact")

@@ -453,7 +453,8 @@ object Sinks {
     hadoopDeleteStrict(fs, tmp)
     before.repartition(targetPartitions).write.mode("overwrite")
       .parquet(tmp.toString)
-    val nAfter = spark.read.parquet(tmp.toString).count()
+    // footer-metadata verify of the rewrite, no re-scan (parquetRowCount)
+    val nAfter = parquetRowCount(fs, tmp, spark.sessionState.newHadoopConf())
     require(nAfter == n,
       s"compaction row count changed ($n -> $nAfter); original left untouched at $path")
     onStep("verified")
@@ -483,6 +484,29 @@ object Sinks {
     * local FS; on S3A it is conditional-put-backed on recent Hadoop —
     * where it isn't, use an external lock service (the contract carried
     * over is lease-then-write). */
+  /** Row count of a written parquet directory from FILE FOOTERS — the
+    * maintenance cycles' post-write verification
+    * (IncrementalSession/RollupStore) without re-scanning the data they
+    * just wrote. The footer is written with (and after) the data, so a
+    * truncated or partial file fails to parse here — the count either
+    * reflects complete files or the verify step throws. At 100 TB this is
+    * the difference between a metadata read per file (file counts are
+    * bounded by `targetPartitions`) and re-reading the whole output after
+    * every ingest. The one thing it does not re-verify is page-level
+    * payload corruption, which the full-scan verify would only catch
+    * incidentally anyway — checksums are the storage layer's job. */
+  private[graft] def parquetRowCount(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val files = fs.listStatus(dir).toSeq.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   private val leaseCreateMutex = new Object
 
   private[graft] def withSingleWriterLease[T](

@@ -258,6 +258,22 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(got === raw)
   }
 
+  test("footer row counts equal full-scan counts (the verify mechanism itself)") {
+    // the maintenance cycles verify writes from parquet FOOTERS instead of
+    // re-scanning — this pins that the metadata count IS the scan count on
+    // a real multi-file Spark write
+    import spark.implicits._
+    val dir = fresh("footer") + "/t"
+    (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(7).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val footer = graft.sources.Sinks.parquetRowCount(fs,
+      new org.apache.hadoop.fs.Path(dir), spark.sessionState.newHadoopConf())
+    assert(footer === spark.read.parquet(dir).count())
+    assert(footer === 1000L)
+  }
+
   test("snapshot read pins files eagerly and serves the same rows") {
     val base = fresh("snapshot")
     val df = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, 0L, "c"))
