@@ -199,15 +199,20 @@ object IncrementalSession {
     val committed = recover(fs, base).sortBy(_._1)
     onStep("recovered")
     if (committed.isEmpty) return 0L
+    val hconf = spark.sessionState.newHadoopConf()
     if (committed.size == 1)
-      return spark.read.parquet(
-        new org.apache.hadoop.fs.Path(committed.head._2, "out").toString).count()
+      return graft.sources.Sinks.parquetRowCount(fs,
+        new org.apache.hadoop.fs.Path(committed.head._2, "out"), hconf)
     // ONE multi-path scan, not a reduce of unions: at daily-ingest
     // horizons the fold may span hundreds of dirs, and a union chain
     // that deep costs the analyzer per dir while this stays one node
     val all = spark.read.parquet(committed.map { case (_, p) =>
       new org.apache.hadoop.fs.Path(p, "out").toString }: _*)
-    val expected = all.count()
+    // the fold-input count from the inputs' own footers — the fold's one
+    // data scan is the rewrite itself, not bookkeeping
+    val expected = committed.map { case (_, p) =>
+      graft.sources.Sinks.parquetRowCount(fs,
+        new org.apache.hadoop.fs.Path(p, "out"), hconf) }.sum
     val k = committed.last._1 + 1
     val batchPath = new org.apache.hadoop.fs.Path(base, s"batch_$k")
     all.repartition(targetPartitions).write.mode("overwrite")
