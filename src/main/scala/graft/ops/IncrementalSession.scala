@@ -55,14 +55,17 @@ object IncrementalSession {
     * time per user (each user's new events at or after their last seen
     * ts) — violated input fails loudly rather than mislabeling. */
   def appendBatch(batch: DataFrame, baseDir: String, userCol: String,
-      tsCol: String, gapMicros: Long): Long =
-    appendBatch(batch, baseDir, userCol, tsCol, gapMicros, _ => ())
+      tsCol: String, gapMicros: Long,
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+    appendBatch(batch, baseDir, userCol, tsCol, gapMicros, _ => (),
+      leaseStaleMs)
 
   /** `onStep` is the fault-injection seam IncrementalSessionSpec drives:
     * called at "recovered", "written", "committed". */
   private[graft] def appendBatch(batch: DataFrame, baseDir: String,
       userCol: String, tsCol: String, gapMicros: Long,
-      onStep: String => Unit): Long = {
+      onStep: String => Unit,
+      leaseStaleMs: Long): Long = {
     require(gapMicros >= 0, s"gap must be >= 0 microseconds, got $gapMicros")
     val spark = batch.sparkSession
     val fs = fsOf(spark, baseDir)
@@ -71,7 +74,8 @@ object IncrementalSession {
     // the next batch number off the committed list, so any two concurrent
     // writers race it (readers need no lease — the marker protocol keeps
     // them exact throughout)
-    graft.sources.Sinks.withSingleWriterLease(fs, leasePath(base)) {
+    graft.sources.Sinks.withSingleWriterLease(fs, leasePath(base),
+        leaseStaleMs) {
     // -- recover: reap marker-less (crashed) batch dirs, plus dirs a
     // committed compaction folded but crashed before deleting ------------
     val committed = recover(fs, base)
@@ -166,8 +170,9 @@ object IncrementalSession {
   }
 
   def compactBatches(spark: SparkSession, baseDir: String,
-      targetPartitions: Int = 32): Long =
-    compactBatches(spark, baseDir, targetPartitions, _ => ())
+      targetPartitions: Int = 32,
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+    compactBatches(spark, baseDir, targetPartitions, _ => (), leaseStaleMs)
 
   /** Fold every committed batch into ONE — the store's generational
     * maintenance op, run after every N appends so the read path unions a
@@ -190,12 +195,14 @@ object IncrementalSession {
     *   cleaned   — folded dirs deleted.
     * Returns the compacted row count (0 with nothing to fold). */
   private[graft] def compactBatches(spark: SparkSession, baseDir: String,
-      targetPartitions: Int, onStep: String => Unit): Long = {
+      targetPartitions: Int, onStep: String => Unit,
+      leaseStaleMs: Long): Long = {
     require(targetPartitions > 0,
       s"targetPartitions must be positive, got $targetPartitions")
     val fs = fsOf(spark, baseDir)
     val base = new org.apache.hadoop.fs.Path(baseDir)
-    graft.sources.Sinks.withSingleWriterLease(fs, leasePath(base)) {
+    graft.sources.Sinks.withSingleWriterLease(fs, leasePath(base),
+        leaseStaleMs) {
     val committed = recover(fs, base).sortBy(_._1)
     onStep("recovered")
     if (committed.isEmpty) return 0L

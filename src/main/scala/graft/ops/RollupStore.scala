@@ -48,12 +48,14 @@ object RollupStore {
     * NULL state is indistinguishable from "key absent in this batch",
     * and the producer aggregates never emit one anyway. */
   def appendStates(states: DataFrame, baseDir: String,
-      keyCols: Seq[String], stateCol: String = "state"): Long =
-    appendStates(states, baseDir, keyCols, stateCol, _ => ())
+      keyCols: Seq[String], stateCol: String = "state",
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+    appendStates(states, baseDir, keyCols, stateCol, _ => (), leaseStaleMs)
 
   private[graft] def appendStates(states: DataFrame, baseDir: String,
       keyCols: Seq[String], stateCol: String,
-      onStep: String => Unit): Long = {
+      onStep: String => Unit,
+      leaseStaleMs: Long): Long = {
     require(keyCols.nonEmpty, "rollup store needs at least one key column")
     val expected = (keyCols :+ stateCol).toSet
     require(states.columns.toSet == expected,
@@ -68,7 +70,7 @@ object RollupStore {
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
     graft.sources.Sinks.withSingleWriterLease(fs,
-      GenerationalBatches.leasePath(base)) {
+      GenerationalBatches.leasePath(base), leaseStaleMs) {
       val committed = GenerationalBatches.recover(fs, base)
       onStep("recovered")
       val k = committed.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
@@ -110,19 +112,21 @@ object RollupStore {
     * committed / cleaned). Returns the compacted row count. */
   def compact(spark: SparkSession, baseDir: String, keyCols: Seq[String],
       combine: Column => Column, stateCol: String = "state",
-      targetPartitions: Int = 32): Long =
+      targetPartitions: Int = 32,
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
     compact(spark, baseDir, keyCols, combine, stateCol, targetPartitions,
-      _ => ())
+      _ => (), leaseStaleMs)
 
   private[graft] def compact(spark: SparkSession, baseDir: String,
       keyCols: Seq[String], combine: Column => Column, stateCol: String,
-      targetPartitions: Int, onStep: String => Unit): Long = {
+      targetPartitions: Int, onStep: String => Unit,
+      leaseStaleMs: Long): Long = {
     require(targetPartitions > 0,
       s"targetPartitions must be positive, got $targetPartitions")
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
     graft.sources.Sinks.withSingleWriterLease(fs,
-      GenerationalBatches.leasePath(base)) {
+      GenerationalBatches.leasePath(base), leaseStaleMs) {
       val committed = GenerationalBatches.recover(fs, base).sortBy(_._1)
       onStep("recovered")
       if (committed.isEmpty) return 0L

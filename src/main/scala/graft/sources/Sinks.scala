@@ -419,15 +419,17 @@ object Sinks {
     * remains the production answer — the verify-then-swap contract is the
     * part that carries over. */
   def compactParquet(spark: SparkSession, path: String,
-      targetPartitions: Int): Long =
-    compactParquet(spark, path, targetPartitions, _ => ())
+      targetPartitions: Int,
+      leaseStaleMs: Long = DefaultLeaseStaleMs): Long =
+    compactParquet(spark, path, targetPartitions, _ => (), leaseStaleMs)
 
   /** `onStep` is a fault-injection seam for CompactionSpec: called with a
     * step name at each swap-step boundary ("verified", "moved-aside",
     * "swapped") so a test can simulate a crash at every point and check
     * the recovery invariant. Production callers use the 3-arg overload. */
   private[graft] def compactParquet(spark: SparkSession, path: String,
-      targetPartitions: Int, onStep: String => Unit): Long = {
+      targetPartitions: Int, onStep: String => Unit,
+      leaseStaleMs: Long): Long = {
     require(targetPartitions > 0,
       s"targetPartitions must be positive, got $targetPartitions")
     val dst = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
@@ -438,7 +440,8 @@ object Sinks {
     // renames that directory away mid-cycle and would carry the lease
     // with it): two concurrent compactions would race the three-way swap
     withSingleWriterLease(fs,
-      new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact_lease")) {
+      new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact_lease"),
+      leaseStaleMs) {
     // a leftover .compact_old means a previous compaction crashed mid-swap;
     // if `path` also exists the swap completed (or never started) and the
     // leftover is pure residue — reap it. If `path` does NOT exist the
@@ -507,12 +510,20 @@ object Sinks {
     }.sum
   }
 
+  /** Default single-writer lease expiry. A maintenance run expected to
+    * outlive this (a 100 TB compaction) should pass a larger `staleMs`
+    * to its store API — an expired-but-alive holder can be legitimately
+    * usurped, and while the fencing keeps the lease file consistent, two
+    * writers mutating one store is exactly what the lease exists to
+    * prevent. */
+  val DefaultLeaseStaleMs: Long = 60L * 60 * 1000
+
   private val leaseCreateMutex = new Object
 
   private[graft] def withSingleWriterLease[T](
       fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path,
-      staleMs: Long = 60L * 60 * 1000)(body: => T): T = {
+      staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
     val pid = ProcessHandle.current().pid()
     val host = java.net.InetAddress.getLocalHost.getHostName
     // FENCING token, unique per acquisition: a holder that outlives

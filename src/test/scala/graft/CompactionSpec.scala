@@ -55,7 +55,8 @@ class CompactionSpec extends AnyFunSuite {
 
       val e = intercept[RuntimeException] {
         Sinks.compactParquet(spark, dir, targetPartitions = 2,
-          onStep = s => if (s == crashAt) throw new RuntimeException(s"boom at $s"))
+          onStep = (s: String) => if (s == crashAt) throw new RuntimeException(s"boom at $s"),
+          leaseStaleMs = graft.sources.Sinks.DefaultLeaseStaleMs)
       }
       assert(e.getMessage.contains(crashAt))
       // the recovery invariant: a COMPLETE copy at path or path.compact_old

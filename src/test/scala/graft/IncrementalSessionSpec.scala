@@ -101,7 +101,8 @@ class IncrementalSessionSpec extends AnyFunSuite {
       val b1 = Seq((1L, 10 * M), (2L, 60 * M))
       intercept[RuntimeException] {
         IncrementalSession.appendBatch(df(b1), base, "user_id", "ts", GapUs,
-          step => if (step == failAt) sys.error(s"injected crash at $failAt"))
+          step => if (step == failAt) sys.error(s"injected crash at $failAt"),
+          graft.sources.Sinks.DefaultLeaseStaleMs)
       }
       // the crashed batch is invisible: reader serves exactly batch 0
       assert(incremental(base).keySet === Set((1L, 0 * M), (2L, 0 * M)))
@@ -115,7 +116,8 @@ class IncrementalSessionSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       IncrementalSession.appendBatch(df(Seq((1L, 0 * M))), base,
         "user_id", "ts", GapUs,
-        step => if (step == "committed") sys.error("injected crash"))
+        step => if (step == "committed") sys.error("injected crash"),
+        graft.sources.Sinks.DefaultLeaseStaleMs)
     }
     IncrementalSession.appendBatch(df(Seq((1L, 40 * M))), base,
       "user_id", "ts", GapUs)
@@ -214,7 +216,8 @@ class IncrementalSessionSpec extends AnyFunSuite {
       val expected = fullScan(df(batches.flatten))
       intercept[RuntimeException] {
         IncrementalSession.compactBatches(spark, base, 2,
-          step => if (step == failAt) sys.error(s"injected crash at $failAt"))
+          step => if (step == failAt) sys.error(s"injected crash at $failAt"),
+          graft.sources.Sinks.DefaultLeaseStaleMs)
       }
       // reads stay exact THROUGH the crash window (in particular after
       // "committed": folded dirs still on disk must not be double-served).

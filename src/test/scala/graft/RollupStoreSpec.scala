@@ -59,7 +59,8 @@ class RollupStoreSpec extends AnyFunSuite {
   private def compactFunnel(base: String,
       onStep: String => Unit = _ => ()): Long =
     RollupStore.compact(spark, base, Seq("u", "day"),
-      BehavioralFunctions.funnel_state_combine, "state", 2, onStep)
+      BehavioralFunctions.funnel_state_combine, "state", 2, onStep,
+      graft.sources.Sinks.DefaultLeaseStaleMs)
 
   test("append/compact/append cycle: the merged answer equals the raw scan at every step") {
     val rnd = new scala.util.Random(577215)
@@ -152,7 +153,8 @@ class RollupStoreSpec extends AnyFunSuite {
     val st1 = dayStates(ev((1L, 20 * M, "c")))
     intercept[RuntimeException] {
       RollupStore.appendStates(st1, base, Seq("u", "day"), "state",
-        step => if (step == "written") sys.error("injected crash"))
+        (step: String) => if (step == "written") sys.error("injected crash"),
+        graft.sources.Sinks.DefaultLeaseStaleMs)
     }
     assert(RollupStore.liveBatchCount(spark, base) === 1)
     assert(storeAnswer(base) === rawAnswer(b0))
@@ -249,8 +251,10 @@ class RollupStoreSpec extends AnyFunSuite {
           .groupBy(col("u"), to_date(col("ts")).as("day"))
           .agg(BehavioralFunctions.retention_state(cs: _*).as("state")),
         base, Seq("u", "day"))
+    // a long-maintenance call site raises the lease expiry (ADVICE knob)
     RollupStore.compact(spark, base, Seq("u", "day"),
-      BehavioralFunctions.retention_state_combine, "state", 2)
+      BehavioralFunctions.retention_state_combine, "state", 2,
+      leaseStaleMs = 6L * 60 * 60 * 1000)
     assert(RollupStore.liveBatchCount(spark, base) === 1)
     val got = RollupStore.read(spark, base).groupBy("u")
       .agg(BehavioralFunctions.retention_merge(col("state"), 3).as("r"))
