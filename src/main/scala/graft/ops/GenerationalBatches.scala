@@ -66,10 +66,24 @@ private[graft] object GenerationalBatches {
   }
 
   /** Write the commit marker ATOMICALLY LAST; `folded` non-empty marks a
-    * compaction and lists the dirs it replaced. */
+    * compaction and lists the dirs it replaced.
+    *
+    * The content is written to a `.`-prefixed temp file and RENAMED into
+    * place: create-write-close would expose a crash window where the
+    * marker exists with a TRUNCATED folded list — committedBatches would
+    * see the compacted batch as live while foldedDirs misses some of the
+    * dirs it replaced, double-serving their rows. Rename publishes the
+    * complete content or nothing (the temp name is `.`-prefixed, so a
+    * crashed leftover is invisible to readers and parquet scans alike;
+    * the single-writer lease means no rename contention on the final
+    * name). */
   def commit(fs: FileSystem, batchPath: Path, folded: Seq[String]): Unit = {
-    val out = fs.create(new Path(batchPath, Marker), false)
+    val tmp = new Path(batchPath, s".$Marker.tmp")
+    val out = fs.create(tmp, true)
     try if (folded.nonEmpty) out.write(folded.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(tmp, new Path(batchPath, Marker)))
+      throw new java.io.IOException(
+        s"could not publish commit marker in $batchPath")
   }
 }

@@ -73,6 +73,18 @@ object RollupStore {
       GenerationalBatches.leasePath(base), leaseStaleMs) {
       val committed = GenerationalBatches.recover(fs, base)
       onStep("recovered")
+      // the door check above validates the batch in ISOLATION; against an
+      // existing store also require the same schema, or a funnel store
+      // would accept a retention batch (both pass the type gate) and only
+      // explode at compact/read time, far from the offending ingest
+      committed.sortBy(_._1).lastOption.foreach { case (_, p) =>
+        val existing = spark.read.parquet(new Path(p, "states").toString)
+          .schema.map(f => f.name -> f.dataType).toMap
+        val incoming = states.schema.map(f => f.name -> f.dataType).toMap
+        require(incoming == existing,
+          s"state batch schema $incoming does not match the store's " +
+            s"$existing; one store holds one state family at one grain")
+      }
       val k = committed.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
       val batchPath = new Path(base, s"batch_$k")
       val cached = states.persist()
@@ -106,8 +118,9 @@ object RollupStore {
     * `BehavioralFunctions.funnel_state_combine`). Pure maintenance — any
     * downstream merge reads the same event multiset before and after
     * (the combine twins' associativity). Verified before commit: the
-    * compacted row count must equal the distinct key count across the
-    * folded batches. Crash-ordering and `onStep` seam as in
+    * written files' footer row count must equal the fold's own row count
+    * (one row per key, by construction of the groupBy). Crash-ordering
+    * and `onStep` seam as in
     * `IncrementalSession.compactBatches` (recovered / written /
     * committed / cleaned). Returns the compacted row count. */
   def compact(spark: SparkSession, baseDir: String, keyCols: Seq[String],
@@ -130,22 +143,30 @@ object RollupStore {
       val committed = GenerationalBatches.recover(fs, base).sortBy(_._1)
       onStep("recovered")
       if (committed.isEmpty) return 0L
-      // one multi-path scan of the whole store (not a union chain)
+      // one multi-path scan of the whole store (not a union chain), and
+      // ONE scan only: the fold result is persisted, counted once, and the
+      // write is footer-verified against that count — a separate
+      // distinct-key pre-scan would double compaction I/O to re-verify
+      // what groupBy structurally guarantees (one row per key)
       val all = spark.read.parquet(committed.map { case (_, p) =>
         new Path(p, "states").toString }: _*)
-      val expected = all.select(keyCols.map(col): _*).distinct().count()
       val k = committed.last._1 + 1
       val batchPath = new Path(base, s"batch_$k")
       val dataPath = new Path(batchPath, "states")
-      all.groupBy(keyCols.map(col): _*)
+      val folded = all.groupBy(keyCols.map(col): _*)
         .agg(combine(col(stateCol)).as(stateCol))
         .repartition(targetPartitions)
-        .write.mode("overwrite").parquet(dataPath.toString)
-      val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
-        spark.sessionState.newHadoopConf())
-      require(written == expected,
-        s"compaction changed the key count ($expected -> $written); " +
-          s"batch_$k left uncommitted, folded batches intact")
+        .persist()
+      val written = try {
+        val expected = folded.count()
+        folded.write.mode("overwrite").parquet(dataPath.toString)
+        val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
+          spark.sessionState.newHadoopConf())
+        require(written == expected,
+          s"compaction wrote $written of $expected folded rows; " +
+            s"batch_$k left uncommitted, folded batches intact")
+        written
+      } finally folded.unpersist()
       onStep("written")
       GenerationalBatches.commit(fs, batchPath, committed.map(_._2.getName))
       onStep("committed")
@@ -175,9 +196,14 @@ object RollupStore {
       // this point cannot change what the plan reads (its cleanup could
       // still delete them mid-action — at that point re-read; for true
       // snapshot isolation over object stores use a table format)
+      // explicit file paths bypass Spark's default path filter, so apply
+      // the same rules here: data files only — no '_' markers/_SUCCESS,
+      // no '.'-prefixed hidden/checksum/temp files
       val files = dirs.flatMap { d =>
         fs.listStatus(new Path(d)).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+            && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith("."))
           .map(_.getPath.toString)
       }
       spark.read.parquet(files: _*)

@@ -549,10 +549,10 @@ object Sinks {
         true
       } catch { case _: java.io.IOException => false }
     }
-    def holder(): Option[Map[String, String]] =
-      if (!fs.exists(lease)) None
+    def readLease(p: org.apache.hadoop.fs.Path): Option[Map[String, String]] =
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(lease)
+        val in = fs.open(p)
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .flatMap(_.split("=", 2) match {
             case Array(k, v) => Some(k -> v); case _ => None
@@ -560,7 +560,7 @@ object Sinks {
         finally in.close()
       }
     if (!tryAcquire()) {
-      val h = holder()
+      val h = readLease(lease)
       val stale = h match {
         case None => true // holder released between our create and read
         case Some(m) =>
@@ -573,31 +573,51 @@ object Sinks {
             .exists(System.currentTimeMillis() - _ > staleMs)
           deadPid || expired
       }
+      if (!stale)
+        throw new IllegalStateException(
+          s"another compactor holds the lease at $lease" +
+            h.map(m => s" ($m)").getOrElse("") +
+            "; the maintenance cycle runs one writer at a time")
       // takeover CLAIMS the stale lease by atomic rename, never by blind
       // delete: with delete, two racing takeovers interleave as
       // T1-delete/T1-create/T2-delete(T1's FRESH lease!)/T2-create — two
-      // concurrent holders. Rename removes the source atomically, so
-      // exactly one racer claims the stale file; everyone else falls
-      // through to tryAcquire against whatever fresh lease now exists.
-      val claimed = stale && {
+      // concurrent holders. Rename removes the source atomically, so at
+      // most one racer claims the stale file. Whether or not THIS racer's
+      // claim won (the lease may also have vanished between the read and
+      // here — e.g. the holder released), everyone retries the
+      // create-exclusive, which is the single arbiter of who acquires.
+      if (h.isDefined) {
         val grave = new org.apache.hadoop.fs.Path(
-          lease.getParent, s"${lease.getName}.stale-$token")
+          lease.getParent, s".${lease.getName}.stale-$token")
         val won = try fs.rename(lease, grave)
           catch { case _: java.io.IOException => false }
         if (won) fs.delete(grave, false)
-        won
       }
-      if (!claimed || !tryAcquire())
+      if (!tryAcquire())
         throw new IllegalStateException(
           s"another compactor holds the lease at $lease" +
             h.map(m => s" ($m)").getOrElse("") +
             "; the maintenance cycle runs one writer at a time")
     }
-    // release ONLY a lease this acquisition wrote: if a usurper replaced it
-    // mid-body (or a non-token lease appeared), leave it in place
+    // FENCED release, also by atomic claim: rename the lease away, verify
+    // the claimed file carries THIS acquisition's token, then delete.
+    // Read-then-delete would leave a window where a (legitimately usurping)
+    // writer's fresh lease lands between the read and the delete and gets
+    // deleted; rename removes exactly one concrete file. If the claimed
+    // file turns out to be a usurper's, it is put back; should a THIRD
+    // writer have created a fresh lease in that instant, the restore fails
+    // and the usurper's file is dropped — the store still has exactly one
+    // current lease (the newest holder's), never zero-protection.
     try body finally {
-      val ours = holder().exists(_.get("token").contains(token))
-      if (ours) fs.delete(lease, false)
+      val grave = new org.apache.hadoop.fs.Path(
+        lease.getParent, s".${lease.getName}.release-$token")
+      val claimed = try fs.rename(lease, grave)
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        val ours = readLease(grave).exists(_.get("token").contains(token))
+        if (ours) fs.delete(grave, false)
+        else if (!fs.rename(grave, lease)) fs.delete(grave, false)
+      }
     }
   }
 

@@ -193,6 +193,18 @@ class RollupStoreSpec extends AnyFunSuite {
     // a valid batch still lands after all the rejections
     RollupStore.appendStates(good, base, Seq("u", "day"))
     assert(RollupStore.liveBatchCount(spark, base) === 1)
+    // a DIFFERENT state family (BIGINT retention states) passes the door
+    // type gate but must be refused against the existing funnel store —
+    // schema drift would otherwise only explode at compact/read time
+    val retention = ev((1L, 0L, "a"))
+      .groupBy(col("u"), to_date(col("ts")).as("day"))
+      .agg(BehavioralFunctions.retention_state(
+        col("t") === "a", col("t") === "b").as("state"))
+    val e4 = intercept[IllegalArgumentException] {
+      RollupStore.appendStates(retention, base, Seq("u", "day"))
+    }
+    assert(e4.getMessage.contains("schema"))
+    assert(RollupStore.liveBatchCount(spark, base) === 1)
     // compacting an empty or single-batch... empty store first:
     assert(RollupStore.compact(spark, fresh("empty"), Seq("u"),
       BehavioralFunctions.funnel_state_combine) === 0L)
