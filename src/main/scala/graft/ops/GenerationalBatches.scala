@@ -20,6 +20,14 @@ private[graft] object GenerationalBatches {
 
   val Marker = "_BATCH_COMMITTED"
 
+  /** Per-batch INGEST-ID record, the store's replay guard: each line is
+    * an id the batch's rows (transitively, after compaction) came from.
+    * An at-least-once delivery channel — Spark's `foreachBatch` is the
+    * canonical one — re-invokes the sink with the same (queryId, batchId)
+    * after a restart; an ingest that records its id here lets the store
+    * turn that replay into a committed no-op instead of a double-append. */
+  val IngestIds = "_INGEST_IDS"
+
   def leasePath(base: Path): Path = new Path(base, "_WRITER_LEASE")
 
   def batchDirs(fs: FileSystem, base: Path): Seq[(Long, Path)] =
@@ -65,8 +73,37 @@ private[graft] object GenerationalBatches {
     live
   }
 
+  /** Ingest ids recorded in one batch dir (empty when the batch was not
+    * id-tagged). */
+  def ingestIds(fs: FileSystem, batchPath: Path): Set[String] = {
+    val p = new Path(batchPath, IngestIds)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Every ingest id the given (live) batches carry — the set a replayed
+    * delivery is checked against. Compaction unions the folded batches'
+    * ids into the compacted batch (see [[commit]]), so the set survives
+    * any number of folds. Growth is one short line per id-tagged ingest,
+    * held once per store and read once per append — a metadata read that
+    * stays trivial next to the append's own Spark job even after years
+    * of minutely micro-batches (~20 MB/year). */
+  def seenIngestIds(fs: FileSystem, live: Seq[(Long, Path)]): Set[String] =
+    live.iterator.flatMap { case (_, p) => ingestIds(fs, p) }.toSet
+
   /** Write the commit marker ATOMICALLY LAST; `folded` non-empty marks a
-    * compaction and lists the dirs it replaced.
+    * compaction and lists the dirs it replaced; `ids` non-empty records
+    * the batch's ingest ids (its own on an append, the union of the
+    * folded batches' on a compaction) in [[IngestIds]] BEFORE the marker
+    * — the ids become durable exactly when the batch does, and a crash
+    * in between leaves a marker-less dir that recovery deletes, ids and
+    * all (correct: the data those ids guard was never served either, so
+    * the redelivery must re-append).
     *
     * The content is written to a `.`-prefixed temp file and RENAMED into
     * place: create-write-close would expose a crash window where the
@@ -77,7 +114,15 @@ private[graft] object GenerationalBatches {
     * crashed leftover is invisible to readers and parquet scans alike;
     * the single-writer lease means no rename contention on the final
     * name). */
-  def commit(fs: FileSystem, batchPath: Path, folded: Seq[String]): Unit = {
+  def commit(fs: FileSystem, batchPath: Path, folded: Seq[String],
+      ids: Set[String] = Set.empty): Unit = {
+    if (ids.nonEmpty) {
+      require(ids.forall(id => id.nonEmpty && !id.contains('\n')),
+        s"ingest ids must be non-empty and newline-free: $ids")
+      val out = fs.create(new Path(batchPath, IngestIds), true)
+      try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     val tmp = new Path(batchPath, s".$Marker.tmp")
     val out = fs.create(tmp, true)
     try if (folded.nonEmpty) out.write(folded.mkString("\n").getBytes("UTF-8"))

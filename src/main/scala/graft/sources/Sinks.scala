@@ -470,23 +470,6 @@ object Sinks {
     }
   }
 
-  /** Run `body` holding a SINGLE-WRITER lease: an atomic create-exclusive
-    * marker file recording pid + host + start time. The maintenance
-    * cycles document "one compactor at a time" — two concurrent
-    * compactions could both pass recovery and race the generation
-    * number — and this enforces it: a second writer finds the marker and
-    * fails fast with a clear error instead of corrupting the store.
-    *
-    * Takeover: a lease whose holder is provably gone (its pid is dead,
-    * checked only when the lease was taken on THIS host) or older than
-    * `staleMs` is stale — a crashed compactor must not wedge the store
-    * forever. The takeover itself re-runs the atomic create, so two
-    * simultaneous takeover attempts still end with exactly one winner.
-    *
-    * `FileSystem.create(overwrite = false)` is atomic on HDFS and a
-    * local FS; on S3A it is conditional-put-backed on recent Hadoop —
-    * where it isn't, use an external lock service (the contract carried
-    * over is lease-then-write). */
   /** Row count of a written parquet directory from FILE FOOTERS — the
     * maintenance cycles' post-write verification
     * (IncrementalSession/RollupStore) without re-scanning the data they
@@ -520,6 +503,67 @@ object Sinks {
 
   private val leaseCreateMutex = new Object
 
+  /** The `pid=…/host=…/start_ms=…/token=…` lines of a lease file, or
+    * None if it does not exist (or vanishes mid-read). */
+  private def readLeaseFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Map[String, String]] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v); case _ => None
+        }).toMap)
+      finally in.close()
+    }
+
+  /** Claim a lease judged stale, by atomic rename — never by blind
+    * delete: with delete, two racing takeovers interleave as
+    * T1-delete/T1-create/T2-delete(T1's FRESH lease!)/T2-create — two
+    * concurrent holders. Rename removes the source atomically, so at
+    * most one racer claims the file. The claimed file is then VERIFIED
+    * against the content the caller judged stale (`observed`): between
+    * that read and the rename the stale holder can have released and a
+    * NEW writer acquired, in which case the file just renamed away is
+    * the new holder's FRESH lease — destroying it would admit two
+    * writers. Mirror of the release path's fencing: matching content is
+    * deleted (the genuine stale lease), anything else is renamed back;
+    * if the restore loses to a third writer's create in that instant the
+    * claimed file is dropped and the store keeps exactly one current
+    * lease (the newest holder's — same overlap caveat as release,
+    * documented there). Whether or not this racer's claim won, everyone
+    * retries the create-exclusive, which is the single arbiter of who
+    * acquires. */
+  private[graft] def claimStaleLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path, observed: Map[String, String],
+      token: String): Unit = {
+    val grave = new org.apache.hadoop.fs.Path(
+      lease.getParent, s".${lease.getName}.stale-$token")
+    val won = try fs.rename(lease, grave)
+      catch { case _: java.io.IOException => false }
+    if (won) {
+      if (readLeaseFile(fs, grave).contains(observed)) fs.delete(grave, false)
+      else if (!fs.rename(grave, lease)) fs.delete(grave, false)
+    }
+  }
+
+  /** Run `body` holding a SINGLE-WRITER lease: an atomic create-exclusive
+    * marker file recording pid + host + start time. The maintenance
+    * cycles document "one compactor at a time" — two concurrent
+    * compactions could both pass recovery and race the generation
+    * number — and this enforces it: a second writer finds the marker and
+    * fails fast with a clear error instead of corrupting the store.
+    *
+    * Takeover: a lease whose holder is provably gone (its pid is dead,
+    * checked only when the lease was taken on THIS host) or older than
+    * `staleMs` is stale — a crashed compactor must not wedge the store
+    * forever. The takeover itself re-runs the atomic create, so two
+    * simultaneous takeover attempts still end with exactly one winner.
+    *
+    * `FileSystem.create(overwrite = false)` is atomic on HDFS and a
+    * local FS; on S3A it is conditional-put-backed on recent Hadoop —
+    * where it isn't, use an external lock service (the contract carried
+    * over is lease-then-write). */
   private[graft] def withSingleWriterLease[T](
       fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path,
@@ -549,18 +593,8 @@ object Sinks {
         true
       } catch { case _: java.io.IOException => false }
     }
-    def readLease(p: org.apache.hadoop.fs.Path): Option[Map[String, String]] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .flatMap(_.split("=", 2) match {
-            case Array(k, v) => Some(k -> v); case _ => None
-          }).toMap)
-        finally in.close()
-      }
     if (!tryAcquire()) {
-      val h = readLease(lease)
+      val h = readLeaseFile(fs, lease)
       val stale = h match {
         case None => true // holder released between our create and read
         case Some(m) =>
@@ -578,21 +612,7 @@ object Sinks {
           s"another compactor holds the lease at $lease" +
             h.map(m => s" ($m)").getOrElse("") +
             "; the maintenance cycle runs one writer at a time")
-      // takeover CLAIMS the stale lease by atomic rename, never by blind
-      // delete: with delete, two racing takeovers interleave as
-      // T1-delete/T1-create/T2-delete(T1's FRESH lease!)/T2-create — two
-      // concurrent holders. Rename removes the source atomically, so at
-      // most one racer claims the stale file. Whether or not THIS racer's
-      // claim won (the lease may also have vanished between the read and
-      // here — e.g. the holder released), everyone retries the
-      // create-exclusive, which is the single arbiter of who acquires.
-      if (h.isDefined) {
-        val grave = new org.apache.hadoop.fs.Path(
-          lease.getParent, s".${lease.getName}.stale-$token")
-        val won = try fs.rename(lease, grave)
-          catch { case _: java.io.IOException => false }
-        if (won) fs.delete(grave, false)
-      }
+      h.foreach(observed => claimStaleLease(fs, lease, observed, token))
       if (!tryAcquire())
         throw new IllegalStateException(
           s"another compactor holds the lease at $lease" +
@@ -607,14 +627,24 @@ object Sinks {
     // file turns out to be a usurper's, it is put back; should a THIRD
     // writer have created a fresh lease in that instant, the restore fails
     // and the usurper's file is dropped — the store still has exactly one
-    // current lease (the newest holder's), never zero-protection.
+    // current lease (the newest holder's), never zero-protection. That
+    // "one current lease" is a FILE invariant, not a no-overlap
+    // guarantee: between the rename and the restore, a create-exclusive
+    // can succeed while the usurper's BODY is still running — two writers
+    // briefly overlap. File-based leases cannot close that window without
+    // a compare-and-swap primitive; it opens only after a legitimate
+    // expiry-based usurpation (i.e. after a holder exceeded `staleMs` —
+    // size `staleMs` to the job, see DefaultLeaseStaleMs), and long-lived
+    // or object-store deployments should use an external lock service, as
+    // the acquire-side scaladoc already directs.
     try body finally {
       val grave = new org.apache.hadoop.fs.Path(
         lease.getParent, s".${lease.getName}.release-$token")
       val claimed = try fs.rename(lease, grave)
         catch { case _: java.io.IOException => false }
       if (claimed) {
-        val ours = readLease(grave).exists(_.get("token").contains(token))
+        val ours = readLeaseFile(fs, grave)
+          .exists(_.get("token").contains(token))
         if (ours) fs.delete(grave, false)
         else if (!fs.rename(grave, lease)) fs.delete(grave, false)
       }

@@ -180,6 +180,40 @@ class LeaseSpec extends AnyFunSuite {
       s"${maxActive.get()} writers held the lease concurrently")
   }
 
+  test("a stale claim verifies content: a fresh lease renamed away by mistake is restored") {
+    // the window: T judges the lease stale, the stale holder RELEASES, a
+    // new writer W acquires — all before T's claim-by-rename lands. The
+    // file T renames away is then W's FRESH lease; deleting it blind
+    // would admit a second writer alongside W. claimStaleLease must
+    // notice the content mismatch and put W's lease back.
+    val dir = fresh("claim_verify")
+    val l = new Path(dir, "lease")
+    val observed = Map("pid" -> "1", "host" -> "gone-host",
+      "start_ms" -> "0", "token" -> "stale-token")
+    val freshLease = "pid=4242\nhost=live-host\n" +
+      s"start_ms=${System.currentTimeMillis()}\ntoken=fresh-token\n"
+    val out = fs.create(l, false)
+    try out.write(freshLease.getBytes("UTF-8")) finally out.close()
+    Sinks.claimStaleLease(fs, l, observed, "claimer-token")
+    assert(fs.exists(l), "a fresh lease was destroyed by a stale claim")
+    val in = fs.open(l)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(content === freshLease, "restored lease content changed")
+
+    // and the genuine case: matching content IS deleted (claim succeeds)
+    val l2 = new Path(dir, "lease2")
+    val staleContent = "pid=1\nhost=gone-host\nstart_ms=0\ntoken=stale-token\n"
+    val out2 = fs.create(l2, false)
+    try out2.write(staleContent.getBytes("UTF-8")) finally out2.close()
+    Sinks.claimStaleLease(fs, l2,
+      Map("pid" -> "1", "host" -> "gone-host", "start_ms" -> "0",
+        "token" -> "stale-token"), "claimer-token")
+    assert(!fs.exists(l2), "the genuinely stale lease was not claimed")
+    assert(fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .forall(!_.startsWith(".lease2")), "claim left a grave file behind")
+  }
+
   test("a crashed body still releases the lease") {
     val dir = fresh("crash_release")
     val l = new Path(dir, "lease")

@@ -152,7 +152,7 @@ class RollupStoreSpec extends AnyFunSuite {
     RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"))
     val st1 = dayStates(ev((1L, 20 * M, "c")))
     intercept[RuntimeException] {
-      RollupStore.appendStates(st1, base, Seq("u", "day"), "state",
+      RollupStore.appendStates(st1, base, Seq("u", "day"), "state", None,
         (step: String) => if (step == "written") sys.error("injected crash"),
         graft.sources.Sinks.DefaultLeaseStaleMs)
     }
@@ -272,6 +272,70 @@ class RollupStoreSpec extends AnyFunSuite {
       .agg(BehavioralFunctions.retention_merge(col("state"), 3).as("r"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Boolean](1)).toMap
     assert(got === raw)
+  }
+
+  test("an id-tagged ingest replays as a committed no-op — before and after compaction") {
+    val base = fresh("replay")
+    val b0 = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, 0L, "a"))
+    val b1 = ev((1L, 20 * M, "c"), (3L, 0L, "a"))
+    val n0 = RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"),
+      ingestId = Some("q/0"))
+    assert(n0 > 0)
+    // redelivery of the SAME micro-batch (Spark's documented foreachBatch
+    // restart contract: same batchId, same data) must be a committed no-op
+    assert(RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"),
+      ingestId = Some("q/0")) === 0L)
+    assert(RollupStore.liveBatchCount(spark, base) === 1,
+      "replayed batch landed a second dir")
+    assert(RollupStore.read(spark, base).count() ===
+      dayStates(b0).count(), "replayed batch double-appended rows")
+    assert(storeAnswer(base) === rawAnswer(b0))
+    // a NEW id lands normally
+    RollupStore.appendStates(dayStates(b1), base, Seq("u", "day"),
+      ingestId = Some("q/1"))
+    assert(RollupStore.liveBatchCount(spark, base) === 2)
+    // ids are carried through the fold: replay after compaction is STILL
+    // a no-op (the guard must survive any number of maintenance cycles)
+    compactFunnel(base)
+    assert(RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"),
+      ingestId = Some("q/0")) === 0L)
+    assert(RollupStore.appendStates(dayStates(b1), base, Seq("u", "day"),
+      ingestId = Some("q/1")) === 0L)
+    assert(RollupStore.liveBatchCount(spark, base) === 1)
+    assert(storeAnswer(base) === rawAnswer(b0.union(b1)))
+    // untagged appends coexist (ids are per-delivery, not mandatory)
+    RollupStore.appendStates(dayStates(ev((4L, 0L, "a"))), base, Seq("u", "day"))
+    assert(storeAnswer(base) === rawAnswer(b0.union(b1).union(ev((4L, 0L, "a")))))
+    // malformed ids are refused at the door
+    intercept[IllegalArgumentException] {
+      RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"),
+        ingestId = Some(""))
+    }
+    intercept[IllegalArgumentException] {
+      RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"),
+        ingestId = Some("a\nb"))
+    }
+  }
+
+  test("a crashed id-tagged append leaves no id behind: the redelivery lands the data") {
+    // the id becomes durable WITH the commit marker — a crash before the
+    // marker must not record the id, or the redelivery would be skipped
+    // and the micro-batch lost forever (the opposite failure mode of
+    // double-append)
+    val base = fresh("replay_crash")
+    val b0 = ev((1L, 0L, "a"), (1L, 10 * M, "b"))
+    intercept[RuntimeException] {
+      RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"), "state",
+        Some("q/0"),
+        (step: String) => if (step == "written") sys.error("injected crash"),
+        graft.sources.Sinks.DefaultLeaseStaleMs)
+    }
+    // redelivery with the same id: must LAND (the first attempt never
+    // committed), exactly once
+    assert(RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"),
+      ingestId = Some("q/0")) > 0L)
+    assert(RollupStore.liveBatchCount(spark, base) === 1)
+    assert(storeAnswer(base) === rawAnswer(b0))
   }
 
   test("footer row counts equal full-scan counts (the verify mechanism itself)") {
