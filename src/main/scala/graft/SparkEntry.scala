@@ -819,6 +819,140 @@ object SparkEntry {
           col("state")).as("matched"))
     },
 
+    // ---- REPLAY-SAFE ingest: q118's cycle driven through an
+    // at-least-once delivery channel. Each slice appends tagged with an
+    // ingestId (what a foreachBatch sink passes as its batchId) and is
+    // then RE-DELIVERED — Spark's documented restart behavior — which
+    // must be a committed no-op, before AND after a compaction folds the
+    // ids forward. In-query pins: every replay returns 0 rows and adds
+    // no batch dir; the oracle (q03's raw-scan funnel SQL) pins that the
+    // replays changed nothing — an un-keyed store would double the
+    // replayed slices' event multisets and diverge.
+    "q120_rollup_store_replay" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val base = sources.Sinks.scratchDir("q120_rollup") + "/store"
+      sources.Sinks.clearDir(base)
+      val keys = Seq("user_id", "day")
+      def states(i: Int) = ev
+        .filter(pmod(xxhash64(col("ts")), lit(3)) === i)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      def live = ops.RollupStore.liveBatchCount(s, base)
+      def append(i: Int) = ops.RollupStore.appendStates(states(i), base,
+        keys, ingestId = Some(s"nightly/$i"))
+      require(append(0) > 0 && append(1) > 0, "ingest slices did not land")
+      // redelivery of slice 1 (same id, same data): committed no-op
+      val r1 = append(1)
+      require(r1 == 0L && live == 2,
+        s"replayed ingest was not a no-op (rows $r1, dirs $live)")
+      ops.RollupStore.compact(s, base, keys,
+        BehavioralFunctions.funnel_state_combine, targetPartitions = 8)
+      // the ids were folded forward: replays stay no-ops after compaction
+      val r0 = append(0)
+      require(r0 == 0L && live == 1,
+        s"replay after compaction landed (rows $r0, dirs $live)")
+      require(append(2) > 0 && live == 2, "fresh ingest blocked")
+      val r2 = append(2)
+      require(r2 == 0L && live == 2,
+        s"replayed ingest was not a no-op (rows $r2, dirs $live)")
+      ops.RollupStore.read(s, base)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
+    // ---- GRAIN-PARTITIONED store + retention: one sub-store per week
+    // (`week=2024-01-08/batch_k`), so maintenance touches only the
+    // grains it names — compaction folds a RANGE (O(touched grains),
+    // not O(store)) and dropGrains retires the oldest weeks atomically.
+    // In-query pins: the grain inventory before/after the drop, a
+    // dashboard read of ONE week listing only that week's files, and
+    // batch-dir arithmetic per step. The oracle is q03's funnel SQL
+    // restricted to events on/after the cutoff — dropping a grain IS a
+    // deliberate answer change, exactly those weeks' events leaving
+    // every merge.
+    "q121_rollup_store_grained" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val base = sources.Sinks.scratchDir("q121_rollup") + "/store"
+      sources.Sinks.clearDir(base)
+      val keys = Seq("user_id", "week")
+      val cutoff = "2024-01-15"
+      def states(i: Int) = ev
+        .filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      ops.RollupStore.appendStatesByGrain(states(0), base, keys, "week")
+      ops.RollupStore.appendStatesByGrain(states(1), base, keys, "week")
+      val weeks = ops.RollupStore.grainValues(s, base)
+      require(weeks.size == 5 && weeks.head == "2024-01-01",
+        s"expected 5 week grains from January, got $weeks")
+      require(ops.RollupStore.liveBatchCount(s, base) == 10,
+        "each week grain should hold one batch per ingest slice")
+      // range compaction: fold ONLY the weeks that survive the upcoming
+      // drop; the doomed weeks are never read again, so never folded
+      ops.RollupStore.compactGrains(s, base, keys,
+        BehavioralFunctions.funnel_state_combine,
+        grains = _ >= cutoff, targetPartitions = 4)
+      require(ops.RollupStore.liveBatchCount(s, base) == 3 + 2 * 2,
+        "range compaction did not fold exactly the selected grains")
+      val dropped = ops.RollupStore.dropGrains(s, base, olderThan = cutoff)
+      require(dropped == 2 && ops.RollupStore.grainValues(s, base) ==
+        weeks.drop(2), s"dropGrains retired $dropped grains")
+      // a one-week dashboard read prunes every other grain at listing time
+      val oneWeek = ops.RollupStore.readGrains(s, base, _ == cutoff)
+      require(oneWeek.inputFiles.nonEmpty &&
+        oneWeek.inputFiles.forall(_.contains(s"week=$cutoff")),
+        "a pruned read listed files outside its grain")
+      ops.RollupStore.readGrains(s, base)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
+    // ---- STORE-LEVEL RE-GRAIN: q115 proved day->week re-graining per
+    // query; regrain() rewrites the STORE itself at the coarser grain as
+    // a maintenance op (same lease/marker/footer cycle as compact), so
+    // every later dashboard read pays one row per (user, week) instead
+    // of per (user, day) — without ever touching the raw log. In-query
+    // pins: one live batch and the flipped (user_id, week) schema after
+    // the rewrite; the oracle (q03's raw-scan SQL) pins that the rewrite
+    // changed no merged answer.
+    "q122_rollup_store_regrain" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val base = sources.Sinks.scratchDir("q122_rollup") + "/store"
+      sources.Sinks.clearDir(base)
+      def states(i: Int) = ev
+        .filter(pmod(xxhash64(col("ts")), lit(3)) === i)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      for (i <- 0 until 3)
+        ops.RollupStore.appendStates(states(i), base, Seq("user_id", "day"))
+      val dayRows = ops.RollupStore.read(s, base).count()
+      val n = ops.RollupStore.regrain(s, base, Seq("user_id", "day"), "day",
+        date_trunc("week", col("day")).cast("date"), "week",
+        BehavioralFunctions.funnel_state_combine, targetPartitions = 8)
+      require(ops.RollupStore.liveBatchCount(s, base) == 1,
+        "regrain must leave one live batch")
+      require(n < dayRows, s"weekly rows $n did not shrink from $dayRows")
+      val cols = ops.RollupStore.read(s, base).columns.sorted.toSeq
+      require(cols == Seq("state", "user_id", "week"),
+        s"re-grained store schema is $cols")
+      ops.RollupStore.read(s, base)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
     // ---- INCREMENTAL SESSIONIZE: the log folds in one time-ordered
     // batch at a time (three ten-day slices here); each batch pays a
     // window over ITSELF plus a join against the O(users) stitch state,
@@ -2456,7 +2590,35 @@ object SparkEntry {
     // invisible to the merged answer — the oracles are q03's/q02's
     // raw-scan SQL once more
     "q118_rollup_store" -> oracleSqlBase("q03_window_funnel"),
-    "q119_rollup_store_retention" -> oracleSqlBase("q02_retention"))
+    "q119_rollup_store_retention" -> oracleSqlBase("q02_retention"),
+    // q120/q122: replayed (id-keyed) ingest and the store-level re-grain
+    // must both be invisible to the merged answer — q03's raw-scan SQL
+    // again. q121: dropGrains IS a deliberate answer change — the oracle
+    // is q03's SQL over only the events on/after the retention cutoff
+    // (weeks start Monday; 2024-01-15 is one, so week >= cutoff is
+    // exactly date >= cutoff)
+    "q120_rollup_store_replay" -> oracleSqlBase("q03_window_funnel"),
+    "q121_rollup_store_grained" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |           WHERE CAST(ts AS DATE) >= DATE '2024-01-15'),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |entries AS (SELECT user_id, t AS t1 FROM e WHERE event_type = 'view'),
+        |c2 AS (SELECT en.user_id, en.t1, min(x.t) AS t2
+        |       FROM entries en LEFT JOIN e x
+        |         ON x.user_id = en.user_id AND x.event_type = 'click'
+        |        AND x.t > en.t1 AND x.t <= en.t1 + 3600000000
+        |       GROUP BY en.user_id, en.t1),
+        |c3 AS (SELECT c2.user_id, c2.t1, c2.t2, min(x.t) AS t3
+        |       FROM c2 LEFT JOIN e x
+        |         ON x.user_id = c2.user_id AND x.event_type = 'purchase'
+        |        AND c2.t2 IS NOT NULL AND x.t > c2.t2 AND x.t <= c2.t1 + 3600000000
+        |       GROUP BY c2.user_id, c2.t1, c2.t2),
+        |s AS (SELECT user_id,
+        |        max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS steps
+        |      FROM c3 GROUP BY user_id)
+        |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
+    "q122_rollup_store_regrain" -> oracleSqlBase("q03_window_funnel"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

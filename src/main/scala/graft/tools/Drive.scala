@@ -124,6 +124,44 @@ object Drive {
         .agg(graft.behavioral.BehavioralFunctions.funnel_merge(
           expr("INTERVAL '1' HOUR"), col("state")).as("steps"))
         .orderBy(col("user_id")).show(5, false)
+      // replay-safe ingest: re-delivering slice 0 with its id is a no-op
+      val first = graft.ops.RollupStore.appendStates(states(0), base,
+        Seq("user_id", "day"), ingestId = Some("drive/0"))
+      val replay = graft.ops.RollupStore.appendStates(states(0), base,
+        Seq("user_id", "day"), ingestId = Some("drive/0"))
+      println(s"-- id-tagged ingest: first=$first rows, replayed=$replay rows (no-op)")
+      // store-level re-grain: the day table becomes a week table in place
+      val weekly = graft.ops.RollupStore.regrain(spark, base,
+        Seq("user_id", "day"), "day",
+        date_trunc("week", col("day")).cast("date"), "week",
+        graft.behavioral.BehavioralFunctions.funnel_state_combine)
+      println(s"-- regrained day->week in place: $weekly (user, week) rows")
+    }
+
+    println("=== RollupStore: grain-partitioned layout (range compact, drop, pruned read) ===")
+    locally {
+      val base = graft.sources.Sinks.scratchDir("drive_rollup_store") + "/grained"
+      graft.sources.Sinks.clearDir(base)
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      val states = ev
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(graft.behavioral.BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      graft.ops.RollupStore.appendStatesByGrain(states, base,
+        Seq("user_id", "week"), "week")
+      println(s"-- week grains: ${graft.ops.RollupStore.grainValues(spark, base)}")
+      val dropped = graft.ops.RollupStore.dropGrains(spark, base,
+        olderThan = "2024-01-08")
+      println(s"-- dropped $dropped grain(s) older than 2024-01-08; " +
+        s"left: ${graft.ops.RollupStore.grainValues(spark, base)}")
+      val oneWeek = graft.ops.RollupStore.readGrains(spark, base,
+        _ == "2024-01-08")
+      println(s"-- one-week dashboard read scans ${oneWeek.inputFiles.length} " +
+        "file(s), all inside week=2024-01-08: " +
+        oneWeek.inputFiles.forall(_.contains("week=2024-01-08")))
     }
 
     println("=== sequence_match / count / events per user ===")
