@@ -410,6 +410,63 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lang#") && !p.contains("source#"),
       "chunking reads columns it never uses:\n" + p)
   }
+
+  test("grained RollupStore: a one-week dashboard read scans EXACTLY that grain's files") {
+    // the grained store prunes at LISTING time — unqueried grains' files
+    // are never handed to the scan at all, so the scan's numFiles metric
+    // must equal the selected grain's on-disk file count, strictly fewer
+    // than the store holds (the file-skipping story for years of grains)
+    import org.apache.spark.sql.functions._
+    import graft.behavioral.BehavioralFunctions
+    val base = graft.sources.Sinks.scratchDir("planspec_grained") + "/store"
+    graft.sources.Sinks.clearDir(base)
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    def states(i: Int) = ev
+      .filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+      .groupBy(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(BehavioralFunctions.funnel_state(col("ts"),
+        col("event_type") === "view",
+        col("event_type") === "click").as("state"))
+    graft.ops.RollupStore.appendStatesByGrain(states(0), base,
+      Seq("user_id", "week"), "week")
+    graft.ops.RollupStore.appendStatesByGrain(states(1), base,
+      Seq("user_id", "week"), "week")
+    val weeks = graft.ops.RollupStore.grainValues(spark, base)
+    assert(weeks.size > 1, s"fixture spans only $weeks — pruning unobservable")
+    val target = weeks(1)
+    def parquetFilesUnder(dir: java.io.File): Long =
+      if (!dir.exists()) 0L
+      else dir.listFiles().map { f =>
+        if (f.isDirectory) parquetFilesUnder(f)
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      }.sum
+    val grainFiles = parquetFilesUnder(new java.io.File(base, s"week=$target"))
+    val totalFiles = parquetFilesUnder(new java.io.File(base))
+    assert(grainFiles > 0 && grainFiles < totalFiles)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ops.RollupStore.readGrains(spark, base, _ == target)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+      val numFiles = scans.map(_.metrics("numFiles").value).sum
+      assert(numFiles == grainFiles,
+        s"one-grain read scanned $numFiles files, expected exactly " +
+          s"$grainFiles of the store's $totalFiles")
+      // and the merge over the pruned scan still aggregates partially on
+      // the map side (two ObjectHashAggregate passes around the exchange)
+      val p = df.queryExecution.executedPlan.toString
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 &&
+        p.contains("partial_funnel_merge"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
 
 class MultimodalPruningSpec extends org.scalatest.funsuite.AnyFunSuite {
