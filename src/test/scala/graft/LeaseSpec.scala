@@ -214,6 +214,47 @@ class LeaseSpec extends AnyFunSuite {
       .forall(!_.startsWith(".lease2")), "claim left a grave file behind")
   }
 
+  test("cold-acquire race on a local FS: one winner, losers fail cleanly (documented TOCTOU caveat)") {
+    // LocalFileSystem's create(overwrite = false) is exists-check-then-
+    // create — NOT atomic (the documented caveat at the acquire-side
+    // scaladoc). In-JVM the leaseCreateMutex serializes that window; this
+    // race pins it: six threads cold-acquire one ABSENT lease, exactly
+    // one may hold at a time, and every loser gets the clean contention
+    // error (never a corrupted half-written lease). Cross-PROCESS the
+    // arbiter is the FS's own create — atomic on HDFS, conditional-put
+    // on recent S3A; elsewhere the scaladoc directs to an external lock.
+    val dir = fresh("cold_race")
+    val l = new Path(dir, "lease")
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val won = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cleanLosses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 6).map { _ =>
+      new Thread(() => {
+        start.await()
+        try Sinks.withSingleWriterLease(fs, l) {
+          val a = active.incrementAndGet()
+          maxActive.updateAndGet(m => math.max(m, a))
+          Thread.sleep(100)
+          active.decrementAndGet()
+          won.incrementAndGet()
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("lease") =>
+            cleanLosses.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(30000))
+    assert(maxActive.get() === 1,
+      s"${maxActive.get()} writers held the cold lease concurrently")
+    assert(won.get() >= 1 && won.get() + cleanLosses.get() === 6,
+      s"won=${won.get()} cleanLosses=${cleanLosses.get()} — a loser died unclean")
+    assert(!fs.exists(l), "winner did not release")
+  }
+
   test("a crashed body still releases the lease") {
     val dir = fresh("crash_release")
     val l = new Path(dir, "lease")

@@ -480,6 +480,72 @@ MUTANTS10 = [
 ]
 
 
+# batch 32: round-16 store seams — the ingest-id replay guard (flat and
+# per-grain), id carry-forward through compaction, the grained range /
+# pruned-read / drop predicates, the regrain key rewrite, the cross-grain
+# schema gate, and the stale-claim content verification. Run with
+# `python3 tools/mutation.py 32`.
+ROLLUP = "src/main/scala/graft/ops/RollupStore.scala"
+GENB = "src/main/scala/graft/ops/GenerationalBatches.scala"
+SINKS = "src/main/scala/graft/sources/Sinks.scala"
+SUITES32 = [
+    "graft.RollupStoreSpec", "graft.GrainedRollupStoreSpec",
+    "graft.RegrainSpec", "graft.StreamingRollupIngestSpec",
+    "graft.LeaseSpec", "graft.PlanSpec",
+]
+
+MUTANTS32 = [
+    ("RS321", ROLLUP, "flat replay guard dropped (replayed id re-appends)",
+     """      if (ingestId.exists(
+          GenerationalBatches.seenIngestIds(fs, committed).contains)) {
+        onStep("committed"); return 0L
+      }""",
+     """      if (false) {
+        onStep("committed"); return 0L
+      }"""),
+    ("RS322", ROLLUP, "per-grain replay guard dropped (grained replay re-appends)",
+     """          if (!ingestId.exists(
+              GenerationalBatches.seenIngestIds(fs, committed).contains))""",
+     """          if (true)"""),
+    ("GB321", GENB, "commit never records ingest ids (guard forgets everything)",
+     "    if (ids.nonEmpty) {",
+     "    if (false) {"),
+    ("GB322", GENB, "seenIngestIds reads no batch (guard's read side blind; ids not carried through folds)",
+     """  def seenIngestIds(fs: FileSystem, live: Seq[(Long, Path)]): Set[String] =
+    live.iterator.flatMap { case (_, p) => ingestIds(fs, p) }.toSet""",
+     """  def seenIngestIds(fs: FileSystem, live: Seq[(Long, Path)]): Set[String] =
+    live.iterator.take(0).flatMap { case (_, p) => ingestIds(fs, p) }.toSet"""),
+    ("RS323", ROLLUP, "range compaction ignores its grain predicate (folds every grain)",
+     """      val targets = listGrainDirs(fs, base)
+        .filter { case (v, _) => grains(v) }.sortBy(_._1)
+      onStep("selected")""",
+     """      val targets = listGrainDirs(fs, base)
+        .sortBy(_._1)
+      onStep("selected")"""),
+    ("RS324", ROLLUP, "readGrains ignores its grain predicate (no listing-time pruning)",
+     """    val dirs = listGrainDirs(fs, base)
+      .filter { case (v, _) => grains(v) }.sortBy(_._1)""",
+     """    val dirs = listGrainDirs(fs, base)
+      .sortBy(_._1)"""),
+    ("DG321", ROLLUP, "dropGrains boundary < -> <= (retires the cutoff grain too)",
+     "    dropGrainsWhere(spark, baseDir, _ < olderThan, leaseStaleMs)",
+     "    dropGrainsWhere(spark, baseDir, _ <= olderThan, leaseStaleMs)"),
+    ("RG321", ROLLUP, "regrain keeps the old grain key (never applies the new grain expression)",
+     """    val groupCols = keyCols.map(kc =>
+      if (kc == grainCol) newGrain.as(newGrainCol) else col(kc))""",
+     """    val groupCols = keyCols.map(kc => col(kc))"""),
+    ("GB323", ROLLUP, "cross-grain schema gate dropped (a grained store mixes families)",
+     """        latestBatchAcrossGrains(fs, base).foreach(p =>
+          schemaGate(spark, new Path(p, "states"), states))""",
+     """        latestBatchAcrossGrains(fs, base).filter(_ => false).foreach(p =>
+          schemaGate(spark, new Path(p, "states"), states))"""),
+    ("WL321", SINKS, "stale claim deletes without verifying content (destroys a fresh lease)",
+     """      if (readLeaseFile(fs, grave).contains(observed)) fs.delete(grave, false)
+      else if (!fs.rename(grave, lease)) fs.delete(grave, false)""",
+     """      fs.delete(grave, false)"""),
+]
+
+
 def run(cmd, timeout=900):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
                           timeout=timeout)
@@ -495,14 +561,17 @@ def main():
     batch8 = batch == "8"
     batch9 = batch == "9"
     batch10 = batch == "10"
-    mutants = (MUTANTS10 if batch10 else (MUTANTS9 if batch9 else (MUTANTS8 if batch8 else
+    batch32 = batch == "32"
+    mutants = (MUTANTS32 if batch32 else
+               (MUTANTS10 if batch10 else (MUTANTS9 if batch9 else (MUTANTS8 if batch8 else
                (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else
                (MUTANTS5 if batch5 else (MUTANTS4 if batch4 else
-               (MUTANTS3 if batch3 else MUTANTS))))))))
-    suites = (SUITES10 if batch10 else (SUITES9 if batch9 else (SUITES8 if batch8 else
+               (MUTANTS3 if batch3 else MUTANTS)))))))))
+    suites = (SUITES32 if batch32 else
+              (SUITES10 if batch10 else (SUITES9 if batch9 else (SUITES8 if batch8 else
               (SUITES7 if batch7 else (SUITES6 if batch6 else
               (SUITES5 if batch5 else (SUITES4 if batch4 else
-              (SUITES3 if batch3 else SUITES))))))))
+              (SUITES3 if batch3 else SUITES)))))))))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -530,6 +599,33 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch32:
+        marker = "\n## Batch 32 — round-16 store seams\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants at the round-16 seams: the ingest-id replay",
+            "guard on both the flat and the per-grain append path, the id",
+            "record in the commit protocol and its read side, the grained",
+            "store's range-compaction / pruned-read / dropGrains",
+            "predicates (the drop cutoff is a boundary mutant), the",
+            "regrain key rewrite, the cross-grain schema gate, and the",
+            "stale-lease claim's content verification.",
+            "",
+            f"**Batch-32 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-32 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch10:
         marker = "\n## Batch 10 — round-8 seams\n"
         existing = Path("MUTATION.md").read_text()
