@@ -546,7 +546,7 @@ MUTANTS32 = [
 ]
 
 
-def run(cmd, timeout=900):
+def run(cmd, timeout=1800):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
                           timeout=timeout)
 
