@@ -953,6 +953,68 @@ object SparkEntry {
           col("state")).as("steps"))
     },
 
+    // ---- STREAMING INGEST BRIDGE, DRIVEN END-TO-END: a real
+    // foreachBatch stream feeds the store (the continuous version of
+    // q118's nightly cycle) — each micro-batch folds to per-(user, day)
+    // funnel partials and lands keyed by its batchId. In-query pins:
+    // after the stream stops, the sink's append is RE-INVOKED with the
+    // LAST batchId and the same data (exactly the call Spark makes on
+    // restart recovery — foreachBatch is at-least-once) and must be a
+    // committed no-op leaving the live-batch count unchanged; a
+    // mid-stream compaction ran between micro-batches, so the guard
+    // demonstrably survives the fold. Oracle = q03's raw-scan funnel SQL:
+    // the streamed store answers exactly what one batch scan would.
+    "q123_stream_rollup_ingest" -> harnessRow { (s, dir) =>
+      val ev = boundedForStreamHarness(events(s, dir), "q123_stream_rollup_ingest", dir)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val base = sources.Sinks.scratchDir("q123_rollup") + "/store"
+      sources.Sinks.clearDir(base)
+      def toStates(df: DataFrame) = df
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      var lastBatchId = -1L
+      def sink(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long): Unit = {
+        lastBatchId = batchId
+        ops.RollupStore.appendStates(toStates(batch.toDF()), base,
+          Seq("user_id", "day"), ingestId = Some(s"q123/$batchId"))
+        ()
+      }
+      val rows = ev.select(col("user_id").cast("long"), col("ts"),
+          col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)]
+        .collect().sortBy(e => (e._2.getTime, e._1))
+      def slices = rows.grouped(math.max(rows.length / 3, 1))
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = input.toDF().toDF("user_id", "ts", "event_type").writeStream
+        .foreachBatch(sink _).start()
+      try {
+        slices.zipWithIndex.foreach { case (b, i) =>
+          input.addData(b.toSeq)
+          q.processAllAvailable()
+          // maintenance between micro-batches, the production cadence
+          if (i == 1)
+            ops.RollupStore.compact(s, base, Seq("user_id", "day"),
+              BehavioralFunctions.funnel_state_combine, targetPartitions = 8)
+        }
+      } finally q.stop()
+      val live = ops.RollupStore.liveBatchCount(s, base)
+      val replayed = ops.RollupStore.appendStates(
+        toStates(slices.toSeq.last.toSeq.toDF("user_id", "ts", "event_type")),
+        base, Seq("user_id", "day"), ingestId = Some(s"q123/$lastBatchId"))
+      require(replayed == 0L && ops.RollupStore.liveBatchCount(s, base) == live,
+        s"restart redelivery landed (rows $replayed)")
+      ops.RollupStore.read(s, base)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
     // ---- INCREMENTAL SESSIONIZE: the log folds in one time-ordered
     // batch at a time (three ten-day slices here); each batch pays a
     // window over ITSELF plus a join against the O(users) stitch state,
@@ -2618,7 +2680,8 @@ object SparkEntry {
         |      FROM c3 GROUP BY user_id)
         |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
         |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
-    "q122_rollup_store_regrain" -> oracleSqlBase("q03_window_funnel"))
+    "q122_rollup_store_regrain" -> oracleSqlBase("q03_window_funnel"),
+    "q123_stream_rollup_ingest" -> oracleSqlBase("q03_window_funnel"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

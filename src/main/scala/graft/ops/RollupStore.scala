@@ -263,8 +263,9 @@ object RollupStore {
     * per family and q122 pins against the raw-scan oracle). Subsequent
     * ingest must use the NEW key set — the schema gate enforces it.
     * Flat stores only: a grain-partitioned store's grain lives in its
-    * directory layout; re-grain it by folding into a fresh store
-    * (read → groupBy → appendStatesByGrain at the new grain). */
+    * directory layout, so rewriting it in place would need a multi-dir
+    * atomic swap the commit protocol doesn't have — use [[regrainInto]],
+    * which folds into a FRESH grained store instead. */
   def regrain(spark: SparkSession, baseDir: String, keyCols: Seq[String],
       grainCol: String, newGrain: Column, newGrainCol: String,
       combine: Column => Column, stateCol: String = "state",
@@ -294,6 +295,62 @@ object RollupStore {
       foldDir(spark, fs, base, groupCols, combine, stateCol,
         targetPartitions, onStep)
     }
+  }
+
+  /** Re-grain a GRAIN-PARTITIONED store by folding it into a FRESH
+    * grained store at the coarser grain: `day=…` sub-stores become
+    * `week=…` sub-stores under `dstDir`, each key's partials combined
+    * with the family's combine twin — the in-place [[regrain]] for
+    * stores whose grain lives in the directory layout (where an in-place
+    * rewrite would need a multi-dir atomic swap the per-sub-store commit
+    * protocol can't give; a fresh store needs no swap at all). The
+    * source is only READ — retire it with its own [[dropGrainsWhere]]
+    * (or delete the dir) once the destination is verified.
+    *
+    * Crash safety is [[appendStatesByGrain]]'s per-grain replay guard:
+    * the whole rewrite lands under ONE `ingestId` (default
+    * `"regrain-into"`), so a rerun after a crash skips the new grains
+    * that already committed and lands only the missing ones —
+    * exactly-once per grain with no coordination beyond the id. The
+    * default id therefore assumes `dstDir` is DEDICATED to this rewrite
+    * (a fresh store); pass a distinct id per rewrite when layering
+    * several sources into one destination, or the second rewrite is
+    * silently absorbed by the guard. Exactness is the same associativity
+    * argument as [[regrain]] (GrainedRollupStoreSpec pins the
+    * differential and the crash-resume). Returns the rows written into
+    * the destination (0 on a full replay). */
+  def regrainInto(spark: SparkSession, srcDir: String, dstDir: String,
+      keyCols: Seq[String], grainCol: String, newGrain: Column,
+      newGrainCol: String, combine: Column => Column,
+      stateCol: String = "state",
+      ingestId: Option[String] = Some("regrain-into"),
+      targetPartitions: Int = 32,
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+    regrainInto(spark, srcDir, dstDir, keyCols, grainCol, newGrain,
+      newGrainCol, combine, stateCol, ingestId, targetPartitions, _ => (),
+      leaseStaleMs)
+
+  private[graft] def regrainInto(spark: SparkSession, srcDir: String,
+      dstDir: String, keyCols: Seq[String], grainCol: String,
+      newGrain: Column, newGrainCol: String, combine: Column => Column,
+      stateCol: String, ingestId: Option[String], targetPartitions: Int,
+      onStep: String => Unit, leaseStaleMs: Long): Long = {
+    require(new Path(srcDir) != new Path(dstDir),
+      s"regrainInto must fold into a FRESH store, not $srcDir itself")
+    require(keyCols.contains(grainCol),
+      s"grain column $grainCol must be one of the key columns $keyCols")
+    require(!keyCols.filterNot(_ == grainCol).contains(newGrainCol) &&
+        newGrainCol != stateCol,
+      s"new grain column $newGrainCol collides with an existing column")
+    val foldKeys = keyCols.map(kc =>
+      if (kc == grainCol) newGrain.as(newGrainCol) else col(kc))
+    val folded = readGrains(spark, srcDir)
+      .groupBy(foldKeys: _*)
+      .agg(combine(col(stateCol)).as(stateCol))
+      .repartition(targetPartitions)
+    appendStatesByGrain(folded, dstDir,
+      keyCols.map(kc => if (kc == grainCol) newGrainCol else kc),
+      newGrainCol, stateCol, ingestId, onStep, leaseStaleMs)
   }
 
   /** Retire whole grains from a grain-partitioned store: every grain

@@ -241,6 +241,68 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
     assert(RollupStore.grainValues(spark, base).size === 2)
   }
 
+  test("regrainInto folds a day-grained store into a fresh week-grained store, resumable after a crash") {
+    val all = ev(allRows: _*)
+    all.cache().count()
+    try {
+      val src = fresh("regrain_src")
+      def slice(i: Int) = all.filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+      RollupStore.appendStatesByGrain(dayStates(slice(0)), src,
+        Seq("u", "day"), "day")
+      RollupStore.appendStatesByGrain(dayStates(slice(1)), src,
+        Seq("u", "day"), "day")
+      val srcBefore = fingerprint(new Path(src))
+
+      // crash after the FIRST week grain's commit: the rewrite is
+      // incomplete, the destination holds exactly one week
+      val dst = fresh("regrain_dst")
+      def rewrite(onStep: String => Unit) =
+        RollupStore.regrainInto(spark, src, dst, Seq("u", "day"), "day",
+          date_trunc("week", col("day")).cast("date"), "week",
+          BehavioralFunctions.funnel_state_combine, "state",
+          Some("regrain-into"), 2, onStep,
+          graft.sources.Sinks.DefaultLeaseStaleMs)
+      var commits = 0
+      intercept[RuntimeException] {
+        rewrite { step =>
+          if (step == "committed") {
+            commits += 1
+            if (commits == 1) sys.error("injected crash after first week")
+          }
+        }
+      }
+      assert(RollupStore.grainValues(spark, dst).size === 1,
+        "crash did not stop after the first week grain")
+
+      // rerun with the same id: committed weeks are skipped, the missing
+      // weeks land — the rewrite resumes exactly-once per grain
+      assert(rewrite(_ => ()) > 0)
+      val weeks = RollupStore.grainValues(spark, dst)
+      assert(weeks.size >= 2 && weeks.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")))
+      assert(RollupStore.liveBatchCount(spark, dst) === weeks.size,
+        "a committed week grain was re-appended on the resumed rewrite")
+      // a THIRD run is a complete no-op
+      assert(rewrite(_ => ()) === 0L)
+
+      // differential: the week store answers exactly like the day store
+      // (and the raw scan), and one row per (u, week)
+      assert(storeAnswer(dst) === rawAnswer(all),
+        "the re-grained store diverges from the raw scan")
+      val weekRows = RollupStore.readGrains(spark, dst)
+      assert(weekRows.columns.sorted.toSeq === Seq("state", "u", "week"))
+      assert(weekRows.groupBy("u", "week").count()
+        .filter(col("count") > 1).isEmpty)
+      // the destination is a real grained store: a one-week read prunes
+      val w0 = weeks.head
+      val pruned = RollupStore.readGrains(spark, dst, _ == w0)
+      assert(pruned.inputFiles.nonEmpty &&
+        pruned.inputFiles.forall(_.contains(s"week=$w0")))
+      // the source was only read — byte-identical after the rewrite
+      assert(fingerprint(new Path(src)) === srcBefore,
+        "regrainInto modified its source store")
+    } finally all.unpersist()
+  }
+
   test("grain values round-trip through the directory encoding") {
     import spark.implicits._
     val base = fresh("escape")

@@ -22,7 +22,12 @@ import graft.ops.RollupStore
   * including across a mid-stream compaction (maintenance between
   * micro-batches, the production cadence) and across a restart that
   * re-delivers (pinned below by re-invoking the sink with the same
-  * batchId, the exact call Spark makes on recovery).
+  * batchId, the exact call Spark makes on recovery). The GRAINED
+  * variant routes the same sink through [[RollupStore.appendStatesByGrain]]
+  * — one day-partition per grain the micro-batch touches, replay
+  * exactly-once PER GRAIN, so a redelivery after a crash that committed
+  * only some of a batch's days lands precisely the missing days
+  * (q123 runs the flat bridge under the DuckDB oracle).
   */
 class StreamingRollupIngestSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
@@ -94,6 +99,79 @@ class StreamingRollupIngestSpec extends AnyFunSuite {
       .select(col("u"), timestamp_micros(col("us") + base).as("ts"), col("t"))
     assert(storeAnswer(storeDir) === rawAnswer(all),
       "streamed store diverges from the raw batch scan")
+  }
+
+  test("foreachBatch into a GRAINED store: per-day partitions accrete, replay is per-grain exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val rnd = new scala.util.Random(3141592)
+    // ~5 days of events: enough day grains for a real range compaction
+    // without paying tens of per-grain commits in a unit test
+    val rows = Seq.fill(400)((rnd.nextInt(10).toLong,
+      rnd.nextInt(7000).toLong * M, types(rnd.nextInt(types.length)))).distinct
+    def ts(us: Long) = new Timestamp((base + us) / 1000)
+
+    val storeDir = graft.sources.Sinks.scratchDir("stream_rollup_spec") + "/grained"
+    graft.sources.Sinks.clearDir(storeDir)
+
+    // THE grained sink: same shape as the flat one, but each micro-batch
+    // lands one sub-batch per day it touches — the continuous version of
+    // the day-partitioned nightly build (q121's layout fed by a stream)
+    var lastBatchId = -1L
+    def gsink(batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+      lastBatchId = batchId
+      RollupStore.appendStatesByGrain(states(batch.toDF()), storeDir,
+        Seq("u", "day"), "day", ingestId = Some(s"grained_ingest/$batchId"))
+      ()
+    }
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = input.toDF().toDF("u", "ts", "t").writeStream
+      .foreachBatch(gsink _)
+      .start()
+    val slices = rows.grouped((rows.size + 1) / 2).toSeq
+    try {
+      for (s <- slices) {
+        input.addData(s.map { case (u, us, t) => (u, ts(us), t) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val grains = RollupStore.grainValues(spark, storeDir)
+    assert(grains.nonEmpty && grains.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")),
+      s"stream did not land day grains: $grains")
+    val liveBefore = RollupStore.liveBatchCount(spark, storeDir)
+
+    // restart redelivery: Spark re-invokes foreachBatch with the LAST
+    // batchId and the same data — the per-grain guard makes every one of
+    // its day sub-appends a committed no-op
+    val last = slices.last.map { case (u, us, t) => (u, ts(us), t) }
+      .toDF("u", "ts", "t")
+    assert(RollupStore.appendStatesByGrain(states(last), storeDir,
+      Seq("u", "day"), "day",
+      ingestId = Some(s"grained_ingest/$lastBatchId")) === 0L)
+    assert(RollupStore.liveBatchCount(spark, storeDir) === liveBefore,
+      "a redelivered micro-batch landed new grain batches")
+
+    // maintenance folds a grain RANGE between deliveries; the guard
+    // survives the fold and the answer never moves
+    val cutoff = grains(grains.size / 2)
+    RollupStore.compactGrains(spark, storeDir, Seq("u", "day"),
+      BehavioralFunctions.funnel_state_combine,
+      grains = _ < cutoff, targetPartitions = 2)
+    assert(RollupStore.appendStatesByGrain(states(last), storeDir,
+      Seq("u", "day"), "day",
+      ingestId = Some(s"grained_ingest/$lastBatchId")) === 0L)
+
+    val all = rows.toDF("u", "us", "t")
+      .select(col("u"), timestamp_micros(col("us") + base).as("ts"), col("t"))
+    val got = RollupStore.readGrains(spark, storeDir).groupBy("u")
+      .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+        col("state")).as("steps"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === rawAnswer(all),
+      "grained streamed store diverges from the raw batch scan")
   }
 
   test("a restart's redelivery (same batchId, same data) cannot double-append — even across compaction") {
