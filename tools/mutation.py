@@ -545,6 +545,29 @@ MUTANTS32 = [
      """      fs.delete(grave, false)"""),
 ]
 
+SUITES33 = ["graft.GrainedRollupStoreSpec"]
+
+MUTANTS33 = [
+    ("RI331", ROLLUP, "regrainInto keeps the old grain key (never applies the new grain)",
+     """    val foldKeys = keyCols.map(kc =>
+      if (kc == grainCol) newGrain.as(newGrainCol) else col(kc))""",
+     """    val foldKeys = keyCols.map(kc => col(kc))"""),
+    ("RI332", ROLLUP, "regrainInto drops its ingest id (a crashed rewrite double-appends on resume)",
+     """    appendStatesByGrain(folded, dstDir,
+      keyCols.map(kc => if (kc == grainCol) newGrainCol else kc),
+      newGrainCol, stateCol, ingestId, onStep, leaseStaleMs)""",
+     """    appendStatesByGrain(folded, dstDir,
+      keyCols.map(kc => if (kc == grainCol) newGrainCol else kc),
+      newGrainCol, stateCol, None, onStep, leaseStaleMs)"""),
+    ("RI333", ROLLUP, "regrainInto keeps one partial per coarse key instead of combining",
+     """    val folded = readGrains(spark, srcDir)
+      .groupBy(foldKeys: _*)
+      .agg(combine(col(stateCol)).as(stateCol))""",
+     """    val folded = readGrains(spark, srcDir)
+      .groupBy(foldKeys: _*)
+      .agg(first(col(stateCol)).as(stateCol))"""),
+]
+
 
 def run(cmd, timeout=1800):
     return subprocess.run(cmd, shell=True, capture_output=True, text=True,
@@ -562,16 +585,17 @@ def main():
     batch9 = batch == "9"
     batch10 = batch == "10"
     batch32 = batch == "32"
-    mutants = (MUTANTS32 if batch32 else
+    batch33 = batch == "33"
+    mutants = (MUTANTS33 if batch33 else (MUTANTS32 if batch32 else
                (MUTANTS10 if batch10 else (MUTANTS9 if batch9 else (MUTANTS8 if batch8 else
                (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else
                (MUTANTS5 if batch5 else (MUTANTS4 if batch4 else
-               (MUTANTS3 if batch3 else MUTANTS)))))))))
-    suites = (SUITES32 if batch32 else
+               (MUTANTS3 if batch3 else MUTANTS))))))))))
+    suites = (SUITES33 if batch33 else (SUITES32 if batch32 else
               (SUITES10 if batch10 else (SUITES9 if batch9 else (SUITES8 if batch8 else
               (SUITES7 if batch7 else (SUITES6 if batch6 else
               (SUITES5 if batch5 else (SUITES4 if batch4 else
-              (SUITES3 if batch3 else SUITES)))))))))
+              (SUITES3 if batch3 else SUITES))))))))))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -599,6 +623,32 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch33:
+        marker = "\n## Batch 33 — grained-store re-grain seams\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "Semantic mutants over `RollupStore.regrainInto` (the",
+            "grained-store re-grain landed after batch 32): the new-grain",
+            "key rewrite, the ingest id that makes a crashed rewrite",
+            "resume exactly-once per grain, and the combine fold itself",
+            "(first() instead of the combine twin keeps one arbitrary",
+            "partial per coarse key).",
+            "",
+            f"**Batch-33 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-33 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch32:
         marker = "\n## Batch 32 — round-16 store seams\n"
         existing = Path("MUTATION.md").read_text()
