@@ -953,6 +953,53 @@ object SparkEntry {
           col("state")).as("steps"))
     },
 
+    // ---- GRAINED RE-GRAIN: regrainInto folds a week-grained store into
+    // a FRESH month-grained store — the in-place regrain can't rewrite a
+    // grain that lives in the directory layout (a multi-dir atomic swap
+    // the commit protocol doesn't have); the fold into a fresh store
+    // needs no swap at all and resumes exactly-once per new grain under
+    // its ingest id (GrainedRollupStoreSpec pins the crash/resume).
+    // In-query pins: the destination is a real grained store (month
+    // grain values, one batch per month, a one-month read lists only
+    // that month's files) and the source keeps its week grains
+    // untouched. Oracle = q03's raw-scan SQL: the rewrite changed no
+    // merged answer.
+    "q124_rollup_store_regrain_into" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val root = sources.Sinks.scratchDir("q124_rollup")
+      val src = root + "/weeks"
+      val dst = root + "/months"
+      sources.Sinks.clearDir(src); sources.Sinks.clearDir(dst)
+      val states = ev
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      ops.RollupStore.appendStatesByGrain(states, src,
+        Seq("user_id", "week"), "week")
+      val weeks = ops.RollupStore.grainValues(s, src)
+      ops.RollupStore.regrainInto(s, src, dst, Seq("user_id", "week"),
+        "week", date_trunc("month", col("week")).cast("date"), "month",
+        BehavioralFunctions.funnel_state_combine, targetPartitions = 4)
+      val months = ops.RollupStore.grainValues(s, dst)
+      require(months.nonEmpty && months.size < weeks.size,
+        s"expected fewer month grains than week grains ($months vs $weeks)")
+      require(ops.RollupStore.liveBatchCount(s, dst) == months.size,
+        "regrainInto should land exactly one batch per month grain")
+      val oneMonth = ops.RollupStore.readGrains(s, dst, _ == months.head)
+      require(oneMonth.inputFiles.nonEmpty &&
+        oneMonth.inputFiles.forall(_.contains(s"month=${months.head}")),
+        "a one-month read listed files outside its grain")
+      require(ops.RollupStore.grainValues(s, src) == weeks,
+        "regrainInto modified its source store")
+      ops.RollupStore.readGrains(s, dst)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
     // ---- STREAMING INGEST BRIDGE, DRIVEN END-TO-END: a real
     // foreachBatch stream feeds the store (the continuous version of
     // q118's nightly cycle) — each micro-batch folds to per-(user, day)
@@ -2681,7 +2728,8 @@ object SparkEntry {
         |SELECT u.user_id, CAST(coalesce(s.steps, 0) AS INTEGER) AS steps
         |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
     "q122_rollup_store_regrain" -> oracleSqlBase("q03_window_funnel"),
-    "q123_stream_rollup_ingest" -> oracleSqlBase("q03_window_funnel"))
+    "q123_stream_rollup_ingest" -> oracleSqlBase("q03_window_funnel"),
+    "q124_rollup_store_regrain_into" -> oracleSqlBase("q03_window_funnel"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 
