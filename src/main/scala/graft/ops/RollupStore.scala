@@ -122,9 +122,20 @@ object RollupStore {
     * by `grainCol` (one of `keyCols`) and lands as one batch per grain
     * value under `baseDir/<grainCol>=<value>/` — each grain value a
     * self-contained [[GenerationalBatches]] sub-store. One root lease
-    * covers the whole ingest. The per-call cost is one filtered write
-    * per DISTINCT grain value in the delta, which the ingest cadence
-    * bounds (a daily delta holds a day or two), not the data size.
+    * covers the whole ingest.
+    *
+    * The write side is ONE Spark job regardless of how many grains the
+    * delta spans: the delta is staged with a partitioned write into a
+    * hidden `.ingest-*` dir under the store root, then each staged
+    * partition is RENAMED into its grain's next batch dir,
+    * footer-verified against a per-grain count from the same scan, and
+    * marker-committed — a 365-day backfill costs one job plus 365
+    * renames, not 365 filtered scans of the delta. The stage partitions
+    * on a HEX encoding of the grain string so any value round-trips
+    * through the directory name (Spark's own partition escaping never
+    * has to agree with the store's); the data files keep every original
+    * column. A crash leaves the stage dir hidden and unreadable (reads
+    * list only visible `<col>=` dirs); the next ingest sweeps it.
     *
     * The replay guard is per grain: a crash mid-ingest commits some
     * grains and not others, and the redelivery then skips the committed
@@ -151,36 +162,104 @@ object RollupStore {
     val base = new Path(baseDir)
     graft.sources.Sinks.withSingleWriterLease(fs,
       GenerationalBatches.leasePath(base), leaseStaleMs) {
+      // sweep stage dirs a crashed earlier ingest left behind (hidden, so
+      // never served — hygiene, like dropGrainsWhere's tombstone sweep)
+      if (fs.exists(base))
+        fs.listStatus(base).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(".ingest-"))
+          .foreach(st => fs.delete(st.getPath, true))
       val cached = states.persist()
       try {
-        val n = cached.count()
-        if (n == 0) { onStep("committed"); return 0L }
-        val nullGrains = cached.filter(col(grainCol).isNull).count()
+        // ONE aggregate scan of the delta yields the NULL gates, the
+        // grain inventory, and the per-grain row counts the footer
+        // verification checks against — O(grains) driver rows, which the
+        // ingest cadence bounds
+        val stats = cached.groupBy(col(grainCol).cast("string").as("g"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col(stateCol).isNull, 1L).otherwise(0L)).as("nulls"))
+          .collect()
+        val nullGrains = stats.filter(_.isNullAt(0)).map(_.getLong(1)).sum
         require(nullGrains == 0,
           s"$nullGrains NULL $grainCol rows; a NULL grain names no " +
             "partition — filter placeholder rows before ingest")
-        val grains = cached.select(col(grainCol).cast("string")).distinct()
-          .collect().map(_.getString(0)).sorted
+        val nullStates = stats.map(_.getLong(2)).sum
+        require(nullStates == 0,
+          s"$nullStates NULL $stateCol rows; the *_state producers never " +
+            "emit NULL — filter placeholder rows before ingest")
+        val counts = stats.filter(!_.isNullAt(0))
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.isEmpty) { onStep("committed"); return 0L }
+        require(!counts.contains(""),
+          "empty-string grain value names no directory — filter or " +
+            "re-encode placeholder rows before ingest")
+        val grains = counts.keys.toSeq.sorted
         onStep("recovered")
         // cross-grain schema gate against the newest existing batch of any
         // grain — one store holds one state family at one layout
         latestBatchAcrossGrains(fs, base).foreach(p =>
           schemaGate(spark, new Path(p, "states"), states))
-        var appended = 0L
-        for (g <- grains) {
+        // per-grain replay guard BEFORE the write: already-committed
+        // grains never re-enter the job
+        val pending = grains.filter { g =>
           val gdir = new Path(base, grainDirName(grainCol, g))
-          val committed = GenerationalBatches.recover(fs, gdir)
-          if (!ingestId.exists(
-              GenerationalBatches.seenIngestIds(fs, committed).contains))
-            appended += appendInto(spark, fs, gdir, committed,
-              cached.filter(col(grainCol).cast("string") === g), stateCol,
-              ingestId, onStep)
+          !ingestId.exists(GenerationalBatches
+            .seenIngestIds(fs, GenerationalBatches.recover(fs, gdir))
+            .contains)
         }
+        if (pending.isEmpty) { onStep("committed-all"); return 0L }
+        // ONE partitioned write stages every pending grain's rows
+        val stage = new Path(base,
+          s".ingest-${java.util.UUID.randomUUID()}")
+        val delta =
+          if (pending.size == grains.size) cached
+          else cached.filter(
+            col(grainCol).cast("string").isin(pending: _*))
+        delta.withColumn(StageHexCol, hex(col(grainCol).cast("string")))
+          .write.partitionBy(StageHexCol).parquet(stage.toString)
+        onStep("staged")
+        val conf = spark.sessionState.newHadoopConf()
+        var appended = 0L
+        for (g <- pending) {
+          val gdir = new Path(base, grainDirName(grainCol, g))
+          // recover again at commit time: batch numbering must see any
+          // crashed-dir cleanup recover() performs
+          val committed = GenerationalBatches.recover(fs, gdir)
+          val k = committed.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+          val batchPath = new Path(gdir, s"batch_$k")
+          val dataPath = new Path(batchPath, "states")
+          fs.mkdirs(batchPath)
+          val part = new Path(stage, s"$StageHexCol=${hexOf(g)}")
+          require(fs.exists(part),
+            s"staged partition missing for grain '$g' ($part)")
+          if (!fs.rename(part, dataPath))
+            throw new java.io.IOException(
+              s"could not move staged grain '$g' into $dataPath")
+          val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
+            conf)
+          require(written == counts(g),
+            s"grain '$g' wrote $written of ${counts(g)} staged rows; " +
+              s"batch_$k left uncommitted")
+          onStep("written")
+          GenerationalBatches.commit(fs, batchPath, Seq.empty,
+            ingestId.toSet)
+          onStep("committed")
+          appended += written
+        }
+        fs.delete(stage, true)
         onStep("committed-all")
         appended
       } finally cached.unpersist()
     }
   }
+
+  /** Stage-dir partition column for the grained one-job ingest: hex of
+    * the grain string, so the stage directory names are [0-9A-F] on both
+    * the writer and the lookup side. */
+  private val StageHexCol = "__graft_grain_hex"
+
+  private def hexOf(v: String): String =
+    v.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
 
   /** Fold every committed batch into ONE batch with ONE row per key: the
     * partials of each key combined state-to-state via `combine` (the

@@ -211,6 +211,36 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
     assert(storeAnswer(base) === rawAnswer(rows))
   }
 
+  test("one-job staged ingest: a crash at the stage leaves nothing visible; the next ingest sweeps and lands") {
+    val rows = ev((1L, 0L, "a"), (1L, 10 * M, "b"),   // day 1
+      (2L, D + M, "a"), (1L, D + 2 * M, "c"),         // day 2
+      (3L, 2 * D, "a"))                               // day 3
+    val base = fresh("staged")
+    // crash AFTER the one-job partitioned write but before any grain
+    // committed: the store must look untouched (the stage dir is hidden)
+    intercept[RuntimeException] {
+      RollupStore.appendStatesByGrain(dayStates(rows), base,
+        Seq("u", "day"), "day", "state", Some("s/1"),
+        (step: String) =>
+          if (step == "staged") sys.error("injected crash at the stage"),
+        graft.sources.Sinks.DefaultLeaseStaleMs)
+    }
+    assert(RollupStore.grainValues(spark, base).isEmpty,
+      "a crashed stage left visible grains")
+    assert(fs.listStatus(new Path(base)).exists(
+      _.getPath.getName.startsWith(".ingest-")),
+      "expected the crashed stage dir to be left behind")
+    // the redelivery sweeps the stale stage and lands everything once
+    assert(RollupStore.appendStatesByGrain(dayStates(rows), base,
+      Seq("u", "day"), "day", ingestId = Some("s/1")) > 0)
+    assert(!fs.listStatus(new Path(base)).exists(
+      _.getPath.getName.startsWith(".ingest-")),
+      "the resumed ingest did not sweep the stale stage dir")
+    assert(RollupStore.grainValues(spark, base).size === 3)
+    assert(RollupStore.liveBatchCount(spark, base) === 3)
+    assert(storeAnswer(base) === rawAnswer(rows))
+  }
+
   test("grained ingest guards: grain must be a key, NULL grains refused, schema gate spans grains") {
     val base = fresh("guards")
     val good = dayStates(ev((1L, 0L, "a"), (2L, D, "b")))

@@ -547,6 +547,35 @@ MUTANTS32 = [
 
 SUITES33 = ["graft.GrainedRollupStoreSpec"]
 
+SUITES34 = ["graft.GrainedRollupStoreSpec", "graft.StreamingRollupIngestSpec"]
+
+MUTANTS34 = [
+    ("RS341", ROLLUP, "pre-write replay filter dropped (a replayed grained ingest re-stages and re-commits every grain)",
+     """        val pending = grains.filter { g =>
+          val gdir = new Path(base, grainDirName(grainCol, g))
+          !ingestId.exists(GenerationalBatches
+            .seenIngestIds(fs, GenerationalBatches.recover(fs, gdir))
+            .contains)
+        }""",
+     """        val pending = grains"""),
+    ("RS342", ROLLUP, "stale stage-dir sweep dropped (crashed ingests accrete hidden dirs forever)",
+     """          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(".ingest-"))
+          .foreach(st => fs.delete(st.getPath, true))""",
+     """          .filter(st => false)
+          .foreach(st => fs.delete(st.getPath, true))"""),
+    ("RS343", ROLLUP, "staged partition lookup skips the hex encoding (writer and reader disagree on dir names)",
+     """          val part = new Path(stage, s"$StageHexCol=${hexOf(g)}")""",
+     """          val part = new Path(stage, s"$StageHexCol=$g")"""),
+    ("RS344", ROLLUP, "NULL-grain gate dropped (placeholder rows land in a null partition)",
+     """        require(nullGrains == 0,
+          s"$nullGrains NULL $grainCol rows; a NULL grain names no " +
+            "partition — filter placeholder rows before ingest")""",
+     """        require(nullGrains >= 0,
+          s"$nullGrains NULL $grainCol rows; a NULL grain names no " +
+            "partition — filter placeholder rows before ingest")"""),
+]
+
 MUTANTS33 = [
     ("RI331", ROLLUP, "regrainInto keeps the old grain key (never applies the new grain)",
      """    val foldKeys = keyCols.map(kc =>
@@ -586,16 +615,17 @@ def main():
     batch10 = batch == "10"
     batch32 = batch == "32"
     batch33 = batch == "33"
-    mutants = (MUTANTS33 if batch33 else (MUTANTS32 if batch32 else
+    batch34 = batch == "34"
+    mutants = (MUTANTS34 if batch34 else (MUTANTS33 if batch33 else (MUTANTS32 if batch32 else
                (MUTANTS10 if batch10 else (MUTANTS9 if batch9 else (MUTANTS8 if batch8 else
                (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else
                (MUTANTS5 if batch5 else (MUTANTS4 if batch4 else
-               (MUTANTS3 if batch3 else MUTANTS))))))))))
-    suites = (SUITES33 if batch33 else (SUITES32 if batch32 else
+               (MUTANTS3 if batch3 else MUTANTS)))))))))))
+    suites = (SUITES34 if batch34 else (SUITES33 if batch33 else (SUITES32 if batch32 else
               (SUITES10 if batch10 else (SUITES9 if batch9 else (SUITES8 if batch8 else
               (SUITES7 if batch7 else (SUITES6 if batch6 else
               (SUITES5 if batch5 else (SUITES4 if batch4 else
-              (SUITES3 if batch3 else SUITES))))))))))
+              (SUITES3 if batch3 else SUITES)))))))))))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -623,6 +653,33 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch34:
+        marker = "\n## Batch 34 \u2014 one-job grained ingest seams\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "The grained ingest was rewritten late in round 16 from one",
+            "filtered write per grain to ONE partitioned write staged into",
+            "a hidden dir + per-grain rename/verify/commit. These mutants",
+            "re-cover the seams at their new locations (batch 32's RS322",
+            "text no longer exists): the pre-write per-grain replay",
+            "filter, the stale-stage sweep, the hex partition-name",
+            "agreement between writer and lookup, and the NULL-grain gate.",
+            "",
+            f"**Batch-34 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-34 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch33:
         marker = "\n## Batch 33 — grained-store re-grain seams\n"
         existing = Path("MUTATION.md").read_text()
