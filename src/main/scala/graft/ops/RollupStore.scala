@@ -162,13 +162,7 @@ object RollupStore {
     val base = new Path(baseDir)
     graft.sources.Sinks.withSingleWriterLease(fs,
       GenerationalBatches.leasePath(base), leaseStaleMs) {
-      // sweep stage dirs a crashed earlier ingest left behind (hidden, so
-      // never served — hygiene, like dropGrainsWhere's tombstone sweep)
-      if (fs.exists(base))
-        fs.listStatus(base).toSeq
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(".ingest-"))
-          .foreach(st => fs.delete(st.getPath, true))
+      sweepStageDirs(fs, base, ".ingest-")
       val cached = states.persist()
       try {
         // ONE aggregate scan of the delta yields the NULL gates, the
@@ -253,13 +247,24 @@ object RollupStore {
     }
   }
 
-  /** Stage-dir partition column for the grained one-job ingest: hex of
-    * the grain string, so the stage directory names are [0-9A-F] on both
-    * the writer and the lookup side. */
+  /** Stage-dir partition column for the grained one-job ingest/compact:
+    * hex of the grain string, so the stage directory names are [0-9A-F]
+    * on both the writer and the lookup side. */
   private val StageHexCol = "__graft_grain_hex"
 
   private def hexOf(v: String): String =
     v.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+
+  /** Delete hidden stage dirs (`.ingest-*` / `.compact-*`) a crashed
+    * earlier maintenance run left behind — hygiene under the lease, like
+    * dropGrainsWhere's tombstone sweep. Never served either way: readers
+    * list only visible `<col>=` grain dirs. */
+  private def sweepStageDirs(fs: FileSystem, base: Path,
+      prefix: String): Unit =
+    if (fs.exists(base))
+      fs.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, true))
 
   /** Fold every committed batch into ONE batch with ONE row per key: the
     * partials of each key combined state-to-state via `combine` (the
@@ -296,12 +301,22 @@ object RollupStore {
   }
 
   /** RANGE compaction for a grain-partitioned store: fold only the grain
-    * values `grains` selects (default: all), each grain's sub-store
-    * compacted independently under ONE root lease. Untouched grains'
-    * files are left byte-identical — compact is O(touched grains), not
-    * O(store), so a year of daily grains stays maintainable by
-    * compacting only the days the last ingest touched. Returns the total
-    * compacted row count. */
+    * values `grains` selects (default: all), under ONE root lease.
+    * Untouched grains' files are left byte-identical — compact is
+    * O(touched grains), not O(store), so a year of daily grains stays
+    * maintainable by compacting only the days the last ingest touched.
+    *
+    * Like the ingest, the fold is ONE Spark job regardless of how many
+    * grains it touches: one multi-path scan of every selected grain's
+    * live batches, one groupBy (the grain key is in the data, so groups
+    * can never mix grains), staged with a partitioned write into a
+    * hidden `.compact-*` dir, then per grain rename + footer verify +
+    * marker commit (folded dirs recorded, ingest ids carried) + cleanup
+    * — compacting a 365-grain backfill costs one job plus 365 renames,
+    * not 365 fold jobs. A crash mid-commit leaves some grains compacted
+    * and the rest intact with their stage hidden; the next maintenance
+    * run sweeps and re-folds only what's still unfolded. Returns the
+    * total compacted row count. */
   def compactGrains(spark: SparkSession, baseDir: String,
       keyCols: Seq[String], combine: Column => Column,
       stateCol: String = "state", grains: String => Boolean = _ => true,
@@ -320,13 +335,69 @@ object RollupStore {
     val base = new Path(baseDir)
     graft.sources.Sinks.withSingleWriterLease(fs,
       GenerationalBatches.leasePath(base), leaseStaleMs) {
+      sweepStageDirs(fs, base, ".compact-")
       val targets = listGrainDirs(fs, base)
         .filter { case (v, _) => grains(v) }.sortBy(_._1)
       onStep("selected")
-      targets.map { case (_, gdir) =>
-        foldDir(spark, fs, gdir, keyCols.map(col), combine, stateCol,
-          targetPartitions, onStep)
-      }.sum
+      // mutating recovery per selected grain (crashed-dir cleanup), and
+      // the live batches each grain's fold replaces
+      val perGrain = targets
+        .map { case (g, gdir) =>
+          (g, gdir, GenerationalBatches.recover(fs, gdir).sortBy(_._1)) }
+        .filter { case (_, _, committed) => committed.nonEmpty }
+      onStep("recovered")
+      if (perGrain.isEmpty) return 0L
+      val grainCol = targets.head._2.getName.split("=", 2)(0)
+      // ONE multi-path scan and ONE shuffle fold every selected grain —
+      // the grain key is one of the group keys, so groups cannot mix
+      // grains; the repartition bounds files per grain at
+      // targetPartitions while keeping the write parallel
+      val allPaths = perGrain.flatMap { case (_, _, committed) =>
+        committed.map { case (_, p) => new Path(p, "states").toString } }
+      val folded = spark.read.parquet(allPaths: _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(combine(col(stateCol)).as(stateCol))
+        .repartition(targetPartitions, keyCols.map(col): _*)
+        .persist()
+      try {
+        val counts = folded
+          .groupBy(col(grainCol).cast("string").as("g")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val stage = new Path(base,
+          s".compact-${java.util.UUID.randomUUID()}")
+        folded.withColumn(StageHexCol, hex(col(grainCol).cast("string")))
+          .write.partitionBy(StageHexCol).parquet(stage.toString)
+        onStep("staged")
+        val conf = spark.sessionState.newHadoopConf()
+        var total = 0L
+        for ((g, gdir, committed) <- perGrain) {
+          val k = committed.last._1 + 1
+          val batchPath = new Path(gdir, s"batch_$k")
+          val dataPath = new Path(batchPath, "states")
+          fs.mkdirs(batchPath)
+          val part = new Path(stage, s"$StageHexCol=${hexOf(g)}")
+          require(fs.exists(part),
+            s"staged fold missing for grain '$g' ($part)")
+          if (!fs.rename(part, dataPath))
+            throw new java.io.IOException(
+              s"could not move staged fold for grain '$g' into $dataPath")
+          val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
+            conf)
+          require(written == counts(g),
+            s"grain '$g' compaction wrote $written of ${counts(g)} " +
+              s"folded rows; batch_$k left uncommitted, batches intact")
+          onStep("written")
+          GenerationalBatches.commit(fs, batchPath,
+            committed.map(_._2.getName),
+            GenerationalBatches.seenIngestIds(fs, committed))
+          onStep("committed")
+          committed.foreach { case (_, p) => fs.delete(p, true) }
+          onStep("cleaned")
+          total += written
+        }
+        fs.delete(stage, true)
+        total
+      } finally folded.unpersist()
     }
   }
 

@@ -241,6 +241,47 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
     assert(storeAnswer(base) === rawAnswer(rows))
   }
 
+  test("one-job range compaction: a crash mid-commit leaves folded grains folded, the rest intact; rerun finishes") {
+    val base = fresh("compact_crash")
+    // 3 days × 2 ingest slices → 2 live batches per day grain
+    RollupStore.appendStatesByGrain(dayStates(ev(
+      (1L, 0L, "a"), (2L, D + M, "a"), (3L, 2 * D, "a"))), base,
+      Seq("u", "day"), "day")
+    RollupStore.appendStatesByGrain(dayStates(ev(
+      (1L, 10 * M, "b"), (2L, D + 20 * M, "b"),
+      (3L, 2 * D + 5 * M, "c"))), base, Seq("u", "day"), "day")
+    assert(RollupStore.liveBatchCount(spark, base) === 6)
+    val before = storeAnswer(base)
+
+    // crash after the FIRST grain's commit marker, before its cleanup
+    var commits = 0
+    intercept[RuntimeException] {
+      RollupStore.compactGrains(spark, base, Seq("u", "day"),
+        BehavioralFunctions.funnel_state_combine, "state", _ => true, 2,
+        (step: String) => if (step == "committed") {
+          commits += 1
+          if (commits == 1) sys.error("injected crash after first grain's commit")
+        },
+        graft.sources.Sinks.DefaultLeaseStaleMs)
+    }
+    // the committed grain serves its fold (marker lists the folded dirs,
+    // so the old batches are dead even though not yet deleted); the other
+    // grains serve their original batches; the stage dir is invisible
+    assert(storeAnswer(base) === before,
+      "a crashed range compaction changed the answer")
+    assert(fs.listStatus(new Path(base)).exists(
+      _.getPath.getName.startsWith(".compact-")),
+      "expected the crashed compaction's stage dir to be left behind")
+    // rerun: sweeps the stale stage, re-folds ONLY what is still unfolded
+    RollupStore.compactGrains(spark, base, Seq("u", "day"),
+      BehavioralFunctions.funnel_state_combine, targetPartitions = 2)
+    assert(!fs.listStatus(new Path(base)).exists(
+      _.getPath.getName.startsWith(".compact-")))
+    assert(RollupStore.liveBatchCount(spark, base) === 3)
+    assert(storeAnswer(base) === before,
+      "the resumed range compaction changed the answer")
+  }
+
   test("grained ingest guards: grain must be a key, NULL grains refused, schema gate spans grains") {
     val base = fresh("guards")
     val good = dayStates(ev((1L, 0L, "a"), (2L, D, "b")))

@@ -549,6 +549,35 @@ SUITES33 = ["graft.GrainedRollupStoreSpec"]
 
 SUITES34 = ["graft.GrainedRollupStoreSpec", "graft.StreamingRollupIngestSpec"]
 
+SUITES35 = ["graft.GrainedRollupStoreSpec"]
+
+MUTANTS35 = [
+    ("RC351", ROLLUP, "grained compaction commits with an empty folded list (old batches stay live — double-serve)",
+     """          GenerationalBatches.commit(fs, batchPath,
+            committed.map(_._2.getName),
+            GenerationalBatches.seenIngestIds(fs, committed))""",
+     """          GenerationalBatches.commit(fs, batchPath,
+            Seq.empty,
+            GenerationalBatches.seenIngestIds(fs, committed))"""),
+    ("RC352", ROLLUP, "grained compaction drops the folded batches' ingest ids (replay guard forgets after a fold)",
+     """          GenerationalBatches.commit(fs, batchPath,
+            committed.map(_._2.getName),
+            GenerationalBatches.seenIngestIds(fs, committed))""",
+     """          GenerationalBatches.commit(fs, batchPath,
+            committed.map(_._2.getName),
+            Set.empty)"""),
+    ("RC353", ROLLUP, "grained fold reads only each grain's first batch (later ingests vanish from the fold)",
+     """      val allPaths = perGrain.flatMap { case (_, _, committed) =>
+        committed.map { case (_, p) => new Path(p, "states").toString } }""",
+     """      val allPaths = perGrain.flatMap { case (_, _, committed) =>
+        committed.take(1).map { case (_, p) => new Path(p, "states").toString } }"""),
+    ("RC354", ROLLUP, "grained compaction reuses the last batch number instead of the next",
+     """        for ((g, gdir, committed) <- perGrain) {
+          val k = committed.last._1 + 1""",
+     """        for ((g, gdir, committed) <- perGrain) {
+          val k = committed.last._1"""),
+]
+
 MUTANTS34 = [
     ("RS341", ROLLUP, "pre-write replay filter dropped (a replayed grained ingest re-stages and re-commits every grain)",
      """        val pending = grains.filter { g =>
@@ -559,11 +588,10 @@ MUTANTS34 = [
         }""",
      """        val pending = grains"""),
     ("RS342", ROLLUP, "stale stage-dir sweep dropped (crashed ingests accrete hidden dirs forever)",
-     """          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(".ingest-"))
-          .foreach(st => fs.delete(st.getPath, true))""",
-     """          .filter(st => false)
-          .foreach(st => fs.delete(st.getPath, true))"""),
+     """        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, true))""",
+     """        .filter(st => false)
+        .foreach(st => fs.delete(st.getPath, true))"""),
     ("RS343", ROLLUP, "staged partition lookup skips the hex encoding (writer and reader disagree on dir names)",
      """          val part = new Path(stage, s"$StageHexCol=${hexOf(g)}")""",
      """          val part = new Path(stage, s"$StageHexCol=$g")"""),
@@ -616,16 +644,17 @@ def main():
     batch32 = batch == "32"
     batch33 = batch == "33"
     batch34 = batch == "34"
-    mutants = (MUTANTS34 if batch34 else (MUTANTS33 if batch33 else (MUTANTS32 if batch32 else
+    batch35 = batch == "35"
+    mutants = (MUTANTS35 if batch35 else (MUTANTS34 if batch34 else (MUTANTS33 if batch33 else (MUTANTS32 if batch32 else
                (MUTANTS10 if batch10 else (MUTANTS9 if batch9 else (MUTANTS8 if batch8 else
                (MUTANTS7 if batch7 else (MUTANTS6 if batch6 else
                (MUTANTS5 if batch5 else (MUTANTS4 if batch4 else
-               (MUTANTS3 if batch3 else MUTANTS)))))))))))
-    suites = (SUITES34 if batch34 else (SUITES33 if batch33 else (SUITES32 if batch32 else
+               (MUTANTS3 if batch3 else MUTANTS))))))))))))
+    suites = (SUITES35 if batch35 else (SUITES34 if batch34 else (SUITES33 if batch33 else (SUITES32 if batch32 else
               (SUITES10 if batch10 else (SUITES9 if batch9 else (SUITES8 if batch8 else
               (SUITES7 if batch7 else (SUITES6 if batch6 else
               (SUITES5 if batch5 else (SUITES4 if batch4 else
-              (SUITES3 if batch3 else SUITES)))))))))))
+              (SUITES3 if batch3 else SUITES))))))))))))
     root = Path(".")
     results = []
     for mid, fname, desc, old, new in mutants:
@@ -653,6 +682,33 @@ def main():
     valid = [x for x in results if x[3] in ("killed", "SURVIVED")]
     killed = [x for x in valid if x[3] == "killed"]
     rate = 100.0 * len(killed) / len(valid) if valid else 0.0
+    if batch35:
+        marker = "\n## Batch 35 \u2014 one-job range-compaction seams\n"
+        existing = Path("MUTATION.md").read_text()
+        head = existing.split(marker)[0].rstrip() + "\n"
+        lines = [
+            head,
+            marker.strip(),
+            "",
+            "compactGrains was rewritten (after batch 34) from one fold",
+            "job per grain to ONE multi-path fold staged with a",
+            "partitioned write + per-grain rename/verify/commit. Mutants",
+            "over the moved seams: the per-grain folded-dir list in the",
+            "commit marker, the ingest-id union across the fold, the",
+            "multi-path scan's batch coverage, and the per-grain batch",
+            "numbering.",
+            "",
+            f"**Batch-35 kill rate: {len(killed)}/{len(valid)} = {rate:.1f}%**",
+            "",
+            "| id | file | mutant | verdict |",
+            "|---|---|---|---|",
+        ]
+        for mid, fname, desc, verdict in results:
+            lines.append(f"| {mid} | {Path(fname).name} | {desc} | {verdict} |")
+        lines.append("")
+        Path("MUTATION.md").write_text("\n".join(lines))
+        print(f"\nbatch-35 kill rate {rate:.1f}% -> MUTATION.md")
+        return
     if batch34:
         marker = "\n## Batch 34 \u2014 one-job grained ingest seams\n"
         existing = Path("MUTATION.md").read_text()
