@@ -264,9 +264,14 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
         },
         graft.sources.Sinks.DefaultLeaseStaleMs)
     }
-    // the committed grain serves its fold (marker lists the folded dirs,
-    // so the old batches are dead even though not yet deleted); the other
-    // grains serve their original batches; the stage dir is invisible
+    // the committed grain serves its fold ONLY: its marker lists the
+    // folded dirs, so the un-cleaned old batches are DEAD — the live
+    // count is the teeth here, because the default funnel merge is
+    // duplicate-blind and an answer check alone would miss a
+    // double-serve (mutation RC351 survived exactly that way)
+    assert(RollupStore.liveBatchCount(spark, base) === 1 + 2 + 2,
+      "the crashed grain's folded batches are not dead — the commit " +
+        "marker must list the dirs it replaced")
     assert(storeAnswer(base) === before,
       "a crashed range compaction changed the answer")
     assert(fs.listStatus(new Path(base)).exists(
