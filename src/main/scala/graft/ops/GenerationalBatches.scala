@@ -45,12 +45,28 @@ private[graft] object GenerationalBatches {
     * dead even if the dir still exists (crash before cleanup). */
   def foldedDirs(fs: FileSystem,
       committed: Seq[(Long, Path)]): Set[String] =
+    foldedDirsWithCommitTime(fs, committed).keySet
+
+  /** (folded dir name -> the folding marker's modification time): the
+    * cleanup-horizon input — a folded dir is DEAD from its fold's commit
+    * on, but under a `cleanupDelayMs` grace window its FILES may only be
+    * deleted once that commit is older than the window, so a snapshot
+    * reader whose plan predates the fold keeps a bounded time to finish
+    * (see `RollupStore.compact`). */
+  def foldedDirsWithCommitTime(fs: FileSystem,
+      committed: Seq[(Long, Path)]): Map[String, Long] =
     committed.flatMap { case (_, p) =>
-      val in = fs.open(new Path(p, Marker))
-      try scala.io.Source.fromInputStream(in, "UTF-8")
+      val marker = new Path(p, Marker)
+      val in = fs.open(marker)
+      val names = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
-    }.toSet
+      if (names.isEmpty) Nil
+      else {
+        val t = fs.getFileStatus(marker).getModificationTime
+        names.map(_ -> t)
+      }
+    }.toMap
 
   /** Committed minus folded: what a read-only caller may serve. */
   def liveBatches(fs: FileSystem, base: Path): Seq[(Long, Path)] = {
@@ -61,15 +77,26 @@ private[graft] object GenerationalBatches {
 
   /** Mutating recovery (writers only — readers use [[liveBatches]]):
     * delete marker-less (crashed) dirs and folded-but-not-yet-cleaned
-    * dirs; returns the live batches. */
-  def recover(fs: FileSystem, base: Path): Seq[(Long, Path)] = {
+    * dirs; returns the live batches. A positive `cleanupDelayMs` is the
+    * snapshot-reader GRACE WINDOW: a folded dir's files are deleted only
+    * once the compaction that killed it committed more than
+    * `cleanupDelayMs` ago — folded dirs are dead for every reader either
+    * way (the marker decides), the horizon only bounds when their BYTES
+    * vanish, so a snapshot plan pinned before the fold keeps a bounded
+    * time window to finish instead of dying the instant cleanup runs.
+    * Every maintenance op on one store should pass the same window, or
+    * the op with the smallest value defines the real horizon. */
+  def recover(fs: FileSystem, base: Path,
+      cleanupDelayMs: Long = 0L): Seq[(Long, Path)] = {
     val committed = committedBatches(fs, base)
     batchDirs(fs, base).filterNot(b => committed.exists(_._1 == b._1))
       .foreach { case (_, p) => fs.delete(p, true) }
-    val dead = foldedDirs(fs, committed)
+    val deadAt = foldedDirsWithCommitTime(fs, committed)
     val (folded, live) = committed.partition { case (_, p) =>
-      dead.contains(p.getName) }
-    folded.foreach { case (_, p) => fs.delete(p, true) }
+      deadAt.contains(p.getName) }
+    val now = System.currentTimeMillis()
+    folded.foreach { case (_, p) =>
+      if (now - deadAt(p.getName) >= cleanupDelayMs) fs.delete(p, true) }
     live
   }
 
@@ -95,6 +122,73 @@ private[graft] object GenerationalBatches {
     * of minutely micro-batches (~20 MB/year). */
   def seenIngestIds(fs: FileSystem, live: Seq[(Long, Path)]): Set[String] =
     live.iterator.flatMap { case (_, p) => ingestIds(fs, p) }.toSet
+
+  /** Per-sub-store READER MANIFEST: one `i <ingestId>` line per live
+    * ingest id, one `b <batch dir>` line per live batch, one
+    * `f <batch>/states/<file>` line per data file. Bounds the read path's
+    * metadata cost: resolving a grain through its manifest is ONE file
+    * read instead of one listStatus plus per-batch marker and ingest-id
+    * reads — at years × daily grains × object-store listing latency,
+    * that is the difference between a dashboard read that opens O(grains)
+    * small files and one that walks O(grains × batches) directory
+    * listings. The manifest is a CACHE of the listing, not the commit:
+    * the marker protocol stays the truth, WRITERS never consult it (the
+    * replay guard and recovery always re-list), and every maintenance op
+    * rewrites it after its last commit — a crash in between leaves it
+    * one op stale, in which case readers serve the PREVIOUS committed
+    * snapshot (consistent, never torn or uncommitted) until the next
+    * maintenance op on this sub-store heals it. */
+  val Manifest = "_MANIFEST"
+
+  /** The data files of one batch's `states` dir — the same filter the
+    * snapshot read applies (data files only: no `_` markers/_SUCCESS, no
+    * hidden/checksum/temp files). */
+  def dataFiles(fs: FileSystem, states: Path): Seq[String] =
+    fs.listStatus(states).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+        && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+
+  /** Rewrite `base`'s manifest from the CURRENT listing (writer-side,
+    * lease held). Published by write-temp-then-rename — readers see the
+    * previous manifest or the new one, never a torn one; the delete
+    * before the rename opens a brief no-manifest window, which readers
+    * treat as "fall back to listing" (always correct). */
+  def writeManifest(fs: FileSystem, base: Path): Unit = {
+    val live = liveBatches(fs, base).sortBy(_._1)
+    val sb = new StringBuilder
+    seenIngestIds(fs, live).toSeq.sorted
+      .foreach(id => sb.append("i ").append(id).append('\n'))
+    live.foreach { case (_, p) =>
+      sb.append("b ").append(p.getName).append('\n')
+      dataFiles(fs, new Path(p, "states")).sorted.foreach { f =>
+        sb.append("f ").append(p.getName).append("/states/").append(f)
+          .append('\n')
+      }
+    }
+    val tmp = new Path(base, s".$Manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(base, Manifest), false)
+    if (!fs.rename(tmp, new Path(base, Manifest)))
+      throw new java.io.IOException(s"could not publish manifest in $base")
+  }
+
+  /** Parsed manifest: (live batch dir names, ingest ids, data-file paths
+    * relative to `base`), or None when absent/vanished — the caller
+    * falls back to listing. */
+  def readManifest(fs: FileSystem,
+      base: Path): Option[(Seq[String], Set[String], Seq[String])] =
+    try {
+      val in = fs.open(new Path(base, Manifest))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList
+      finally in.close()
+      Some((lines.collect { case s if s.startsWith("b ") => s.drop(2) },
+        lines.collect { case s if s.startsWith("i ") => s.drop(2) }.toSet,
+        lines.collect { case s if s.startsWith("f ") => s.drop(2) }))
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Write the commit marker ATOMICALLY LAST; `folded` non-empty marks a
     * compaction and lists the dirs it replaced; `ids` non-empty records

@@ -52,10 +52,54 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   * Storage protocol: [[GenerationalBatches]] — the same marker-last
   * commit, folded-dir tombstones, crashed-dir recovery, and single-writer
   * lease the incremental session store uses, crash-matrixed by both
-  * specs. A grained store takes ONE lease at the store root for any
-  * maintenance op, covering every grain it touches. Readers take no
+  * specs. A FLAT store takes one lease at the store root for any
+  * maintenance op. A GRAINED store takes one lease STRIPE per grain it
+  * touches (`_WRITER_LEASE.g-<hex>` at the store root, acquired in
+  * sorted grain order): maintenance over DISJOINT grain ranges runs
+  * concurrently — a month-long backfill compaction does not stop the
+  * streaming ingest's next append — while overlapping ranges collide
+  * fail-fast on their first shared stripe (the lease never blocks, so
+  * there is nothing to deadlock; the sorted order just makes the
+  * collision point deterministic). Two concurrency caveats striping
+  * accepts and documents: (1) the cross-grain schema gate reads a batch
+  * it holds no stripe for — a concurrent compaction can delete it
+  * mid-read, so the gate re-resolves and retries; and (2) two
+  * SIMULTANEOUS FIRST ingests into disjoint grains with different state
+  * families both see an empty store and both pass the gate — the store
+  * is then mixed until the next ingest or compact fails loudly on the
+  * union's schema merge. Create a store from one pipeline first (or
+  * share a producer) if first-write races are possible. Readers take no
   * lease; a read that must not straddle a compaction's cleanup window
-  * should snapshot (see [[read]]).
+  * should snapshot (see [[read]]) — and `cleanupDelayMs` on the
+  * maintenance ops turns that cleanup cliff into a bounded grace window
+  * (folded files linger, dead but readable, until the fold's commit is
+  * older than the window).
+  *
+  * Grained read metadata is BOUNDED by a per-grain manifest
+  * ([[GenerationalBatches.Manifest]]): every maintenance op rewrites,
+  * after its last commit, one `_MANIFEST` file per touched grain listing
+  * the grain's live batches, ingest ids, and data files. [[readGrains]]
+  * resolves a grain through its manifest with ONE file read — no
+  * per-batch listStatus/marker/ingest-id reads — and pins exactly the
+  * manifest's files (a built-in snapshot); a missing manifest falls back
+  * to listing. Writers never consult manifests (recovery and the replay
+  * guard re-list — the marker protocol stays the truth), so a crash
+  * between a commit and the manifest rewrite costs readers only
+  * staleness: they serve the previous committed snapshot until the next
+  * maintenance op heals the manifest.
+  *
+  * Object-store note (mirrors `Sinks.compactParquet`): the grained
+  * ingest/compaction stage-and-rename publishes each grain by RENAMING a
+  * staged partition dir into its batch dir. On HDFS/local that rename is
+  * atomic; on S3A it is a non-atomic COPY+DELETE, so a crash mid-rename
+  * can leave a PARTIAL `states` dir — which the protocol already
+  * tolerates: the batch's marker is written only after the rename's
+  * footer row count verifies against the staged count, so a partial
+  * rename is an unmarked dir that recovery deletes and the replay
+  * guard re-lands. The cost on S3A is the copy itself (data bytes moved
+  * twice) and a longer crash-replay window, not correctness; deployments
+  * there should prefer an S3A committer-style layout or a table format
+  * for the data plane.
   *
   * At 100 TB: the store is O(keys × grain) — dashboard-sized by
   * construction — while the log it summarizes is O(events); ingest costs
@@ -82,14 +126,15 @@ object RollupStore {
   def appendStates(states: DataFrame, baseDir: String,
       keyCols: Seq[String], stateCol: String = "state",
       ingestId: Option[String] = None,
-      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs,
+      cleanupDelayMs: Long = 0L): Long =
     appendStates(states, baseDir, keyCols, stateCol, ingestId, _ => (),
-      leaseStaleMs)
+      leaseStaleMs, cleanupDelayMs)
 
   private[graft] def appendStates(states: DataFrame, baseDir: String,
       keyCols: Seq[String], stateCol: String, ingestId: Option[String],
       onStep: String => Unit,
-      leaseStaleMs: Long): Long = {
+      leaseStaleMs: Long, cleanupDelayMs: Long): Long = {
     requireStateBatch(states, keyCols, stateCol)
     requireValidIngestId(ingestId)
     val spark = states.sparkSession
@@ -97,7 +142,7 @@ object RollupStore {
     val base = new Path(baseDir)
     graft.sources.Sinks.withSingleWriterLease(fs,
       GenerationalBatches.leasePath(base), leaseStaleMs) {
-      val committed = GenerationalBatches.recover(fs, base)
+      val committed = GenerationalBatches.recover(fs, base, cleanupDelayMs)
       onStep("recovered")
       // REPLAY GUARD: an already-committed ingest id means this delivery's
       // rows are already in the store — a committed no-op, like the empty
@@ -121,8 +166,10 @@ object RollupStore {
   /** [[appendStates]] for a GRAIN-PARTITIONED store: the delta is split
     * by `grainCol` (one of `keyCols`) and lands as one batch per grain
     * value under `baseDir/<grainCol>=<value>/` — each grain value a
-    * self-contained [[GenerationalBatches]] sub-store. One root lease
-    * covers the whole ingest.
+    * self-contained [[GenerationalBatches]] sub-store. The ingest takes
+    * one lease STRIPE per grain in the delta (sorted order), so it runs
+    * concurrently with maintenance over disjoint grain ranges and
+    * collides fail-fast with maintenance that overlaps it.
     *
     * The write side is ONE Spark job regardless of how many grains the
     * delta spans: the delta is staged with a partitioned write into a
@@ -145,14 +192,15 @@ object RollupStore {
   def appendStatesByGrain(states: DataFrame, baseDir: String,
       keyCols: Seq[String], grainCol: String, stateCol: String = "state",
       ingestId: Option[String] = None,
-      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs,
+      cleanupDelayMs: Long = 0L): Long =
     appendStatesByGrain(states, baseDir, keyCols, grainCol, stateCol,
-      ingestId, _ => (), leaseStaleMs)
+      ingestId, _ => (), leaseStaleMs, cleanupDelayMs)
 
   private[graft] def appendStatesByGrain(states: DataFrame, baseDir: String,
       keyCols: Seq[String], grainCol: String, stateCol: String,
       ingestId: Option[String], onStep: String => Unit,
-      leaseStaleMs: Long): Long = {
+      leaseStaleMs: Long, cleanupDelayMs: Long): Long = {
     requireStateBatch(states, keyCols, stateCol)
     require(keyCols.contains(grainCol),
       s"grain column $grainCol must be one of the key columns $keyCols")
@@ -160,48 +208,55 @@ object RollupStore {
     val spark = states.sparkSession
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
-    graft.sources.Sinks.withSingleWriterLease(fs,
-      GenerationalBatches.leasePath(base), leaseStaleMs) {
-      sweepStageDirs(fs, base, ".ingest-")
-      val cached = states.persist()
-      try {
-        // ONE aggregate scan of the delta yields the NULL gates, the
-        // grain inventory, and the per-grain row counts the footer
-        // verification checks against — O(grains) driver rows, which the
-        // ingest cadence bounds
-        val stats = cached.groupBy(col(grainCol).cast("string").as("g"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(col(stateCol).isNull, 1L).otherwise(0L)).as("nulls"))
-          .collect()
-        val nullGrains = stats.filter(_.isNullAt(0)).map(_.getLong(1)).sum
-        require(nullGrains == 0,
-          s"$nullGrains NULL $grainCol rows; a NULL grain names no " +
-            "partition — filter placeholder rows before ingest")
-        val nullStates = stats.map(_.getLong(2)).sum
-        require(nullStates == 0,
-          s"$nullStates NULL $stateCol rows; the *_state producers never " +
-            "emit NULL — filter placeholder rows before ingest")
-        val counts = stats.filter(!_.isNullAt(0))
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        if (counts.isEmpty) { onStep("committed"); return 0L }
-        require(!counts.contains(""),
-          "empty-string grain value names no directory — filter or " +
-            "re-encode placeholder rows before ingest")
-        val grains = counts.keys.toSeq.sorted
+    val cached = states.persist()
+    try {
+      // ONE aggregate scan of the delta yields the NULL gates, the
+      // grain inventory, and the per-grain row counts the footer
+      // verification checks against — O(grains) driver rows, which the
+      // ingest cadence bounds. Pure delta facts, so it runs BEFORE any
+      // lease: the striped critical section starts only once the grain
+      // set is known
+      val stats = cached.groupBy(col(grainCol).cast("string").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(stateCol).isNull, 1L).otherwise(0L)).as("nulls"))
+        .collect()
+      val nullGrains = stats.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+      require(nullGrains == 0,
+        s"$nullGrains NULL $grainCol rows; a NULL grain names no " +
+          "partition — filter placeholder rows before ingest")
+      val nullStates = stats.map(_.getLong(2)).sum
+      require(nullStates == 0,
+        s"$nullStates NULL $stateCol rows; the *_state producers never " +
+          "emit NULL — filter placeholder rows before ingest")
+      val counts = stats.filter(!_.isNullAt(0))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) { onStep("committed"); return 0L }
+      require(!counts.contains(""),
+        "empty-string grain value names no directory — filter or " +
+          "re-encode placeholder rows before ingest")
+      val grains = counts.keys.toSeq.sorted
+      // one stripe per delta grain, sorted: disjoint ingests proceed in
+      // parallel, overlapping ones fail fast on the first shared stripe
+      graft.sources.Sinks.withLeases(fs,
+        grains.map(g => grainLeasePath(base, g)), leaseStaleMs) {
+        sweepStageDirs(fs, base, ".ingest-", grains.toSet, leaseStaleMs)
         onStep("recovered")
         // cross-grain schema gate against the newest existing batch of any
         // grain — one store holds one state family at one layout
-        latestBatchAcrossGrains(fs, base).foreach(p =>
-          schemaGate(spark, new Path(p, "states"), states))
+        schemaGateAcrossGrains(spark, fs, base, cached)
         // per-grain replay guard BEFORE the write: already-committed
         // grains never re-enter the job
         val pending = grains.filter { g =>
           val gdir = new Path(base, grainDirName(grainCol, g))
           !ingestId.exists(GenerationalBatches
-            .seenIngestIds(fs, GenerationalBatches.recover(fs, gdir))
+            .seenIngestIds(fs,
+              GenerationalBatches.recover(fs, gdir, cleanupDelayMs))
             .contains)
         }
-        if (pending.isEmpty) { onStep("committed-all"); return 0L }
+        if (pending.isEmpty) {
+          grains.foreach(healManifest(fs, base, grainCol, _))
+          onStep("committed-all"); return 0L
+        }
         // ONE partitioned write stages every pending grain's rows
         val stage = new Path(base,
           s".ingest-${java.util.UUID.randomUUID()}")
@@ -218,7 +273,8 @@ object RollupStore {
           val gdir = new Path(base, grainDirName(grainCol, g))
           // recover again at commit time: batch numbering must see any
           // crashed-dir cleanup recover() performs
-          val committed = GenerationalBatches.recover(fs, gdir)
+          val committed = GenerationalBatches.recover(fs, gdir,
+            cleanupDelayMs)
           val k = committed.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
           val batchPath = new Path(gdir, s"batch_$k")
           val dataPath = new Path(batchPath, "states")
@@ -238,13 +294,30 @@ object RollupStore {
           GenerationalBatches.commit(fs, batchPath, Seq.empty,
             ingestId.toSet)
           onStep("committed")
+          // manifest AFTER the marker (the onStep seam between them is the
+          // crash window the manifest spec exercises): a crash here leaves
+          // the manifest one op stale — readers fall back or serve the
+          // previous snapshot; the next touch of this grain heals it
+          GenerationalBatches.writeManifest(fs, gdir)
           appended += written
         }
+        // replay-skipped grains heal here too: their last writer may have
+        // crashed between its commit and its manifest rewrite
+        grains.filterNot(pending.contains)
+          .foreach(healManifest(fs, base, grainCol, _))
         fs.delete(stage, true)
         onStep("committed-all")
         appended
-      } finally cached.unpersist()
-    }
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Rewrite a grain's manifest from its listing if the grain exists —
+    * the heal path for grains an op touches without committing into. */
+  private def healManifest(fs: FileSystem, base: Path, grainCol: String,
+      g: String): Unit = {
+    val gdir = new Path(base, grainDirName(grainCol, g))
+    if (fs.exists(gdir)) GenerationalBatches.writeManifest(fs, gdir)
   }
 
   /** Stage-dir partition column for the grained one-job ingest/compact:
@@ -255,16 +328,68 @@ object RollupStore {
   private def hexOf(v: String): String =
     v.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
 
-  /** Delete hidden stage dirs (`.ingest-*` / `.compact-*`) a crashed
-    * earlier maintenance run left behind — hygiene under the lease, like
-    * dropGrainsWhere's tombstone sweep. Never served either way: readers
-    * list only visible `<col>=` grain dirs. */
-  private def sweepStageDirs(fs: FileSystem, base: Path,
-      prefix: String): Unit =
-    if (fs.exists(base))
-      fs.listStatus(base).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-        .foreach(st => fs.delete(st.getPath, true))
+  /** Lease stripe for one grain, AT THE STORE ROOT (not inside the grain
+    * dir, so a dropped-and-recreated grain reuses the same stripe path
+    * and a drop's dir rename never moves a held lease). Named by the
+    * grain's hex so any value maps to a legal file name. */
+  private val StripePrefix = "_WRITER_LEASE.g-"
+
+  private[graft] def grainLeasePath(base: Path, grain: String): Path =
+    new Path(base, s"$StripePrefix${hexOf(grain)}")
+
+  /** Delete hidden garbage dirs (`.ingest-*` / `.compact-*` stages,
+    * `.dropped-*` tombstones) a crashed earlier maintenance run left
+    * behind — hygiene under the caller's stripes. Never served either
+    * way: readers list only visible `<col>=` grain dirs. Striping makes
+    * the sweep conditional: a FOREIGN stripe file at the root means a
+    * concurrent op may own one of these dirs as its live stage, so only
+    * entries older than `staleMs` are swept (an op that old has exceeded
+    * its lease and is usurpable anyway — size `staleMs` to the job);
+    * with no foreign stripe present, no concurrent grained op exists and
+    * everything matching is garbage. */
+  private def sweepStageDirs(fs: FileSystem, base: Path, prefix: String,
+      heldGrains: Set[String], staleMs: Long): Unit = {
+    if (!fs.exists(base)) return
+    val entries = fs.listStatus(base).toSeq
+    val held = heldGrains.map(g => grainLeasePath(base, g).getName)
+    val foreignStripe = entries.exists(st => st.isFile &&
+      st.getPath.getName.startsWith(StripePrefix) &&
+      !held.contains(st.getPath.getName))
+    val now = System.currentTimeMillis()
+    entries
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(st => !foreignStripe ||
+        now - st.getModificationTime > staleMs)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Cross-grain schema gate with re-resolve-and-retry: the reference
+    * batch may live in a grain this op holds no stripe for, and a
+    * concurrent compaction can fold-and-delete it between our listing
+    * and the read — re-resolve against the fresh listing and try again
+    * (bounded: each retry needs another concurrent fold to land in the
+    * window). A real schema mismatch throws through unchanged. */
+  private def schemaGateAcrossGrains(spark: SparkSession, fs: FileSystem,
+      base: Path, states: DataFrame): Unit = {
+    var attempts = 0
+    while (true) {
+      val ref = latestBatchAcrossGrains(fs, base)
+      try {
+        ref.foreach(p => schemaGate(spark, new Path(p, "states"), states))
+        return
+      } catch {
+        case e: Exception if attempts < 5 && isVanishedPath(e) =>
+          attempts += 1
+      }
+    }
+  }
+
+  private def isVanishedPath(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      case _: java.io.FileNotFoundException => true
+      case t => Option(t.getMessage).exists(m =>
+        m.contains("Path does not exist") || m.contains("FileNotFound"))
+    }
 
   /** Fold every committed batch into ONE batch with ONE row per key: the
     * partials of each key combined state-to-state via `combine` (the
@@ -277,18 +402,27 @@ object RollupStore {
     * the folded batches are carried into the compacted batch, so the
     * replay guard survives the fold. Crash-ordering and `onStep` seam as
     * in `IncrementalSession.compactBatches` (recovered / written /
-    * committed / cleaned). Returns the compacted row count. */
+    * committed / cleaned). A positive `cleanupDelayMs` is the
+    * SNAPSHOT-READER GRACE WINDOW: the folded dirs stay dead from the
+    * commit on (the marker decides what is served) but their FILES are
+    * deleted only by a later maintenance run once the fold's commit is
+    * `cleanupDelayMs` old — a snapshot read planned before the fold
+    * keeps a bounded window to finish instead of dying the instant
+    * cleanup runs. Pass the same window to every maintenance op on one
+    * store (the smallest value passed defines the real horizon). Returns
+    * the compacted row count. */
   def compact(spark: SparkSession, baseDir: String, keyCols: Seq[String],
       combine: Column => Column, stateCol: String = "state",
       targetPartitions: Int = 32,
-      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs,
+      cleanupDelayMs: Long = 0L): Long =
     compact(spark, baseDir, keyCols, combine, stateCol, targetPartitions,
-      _ => (), leaseStaleMs)
+      _ => (), leaseStaleMs, cleanupDelayMs)
 
   private[graft] def compact(spark: SparkSession, baseDir: String,
       keyCols: Seq[String], combine: Column => Column, stateCol: String,
       targetPartitions: Int, onStep: String => Unit,
-      leaseStaleMs: Long): Long = {
+      leaseStaleMs: Long, cleanupDelayMs: Long): Long = {
     require(targetPartitions > 0,
       s"targetPartitions must be positive, got $targetPartitions")
     val fs = fsOf(spark, baseDir)
@@ -296,15 +430,18 @@ object RollupStore {
     graft.sources.Sinks.withSingleWriterLease(fs,
       GenerationalBatches.leasePath(base), leaseStaleMs) {
       foldDir(spark, fs, base, keyCols.map(col), combine, stateCol,
-        targetPartitions, onStep)
+        targetPartitions, onStep, cleanupDelayMs)
     }
   }
 
   /** RANGE compaction for a grain-partitioned store: fold only the grain
-    * values `grains` selects (default: all), under ONE root lease.
-    * Untouched grains' files are left byte-identical — compact is
-    * O(touched grains), not O(store), so a year of daily grains stays
-    * maintainable by compacting only the days the last ingest touched.
+    * values `grains` selects (default: all), under one lease stripe PER
+    * SELECTED GRAIN (sorted) — so compacting last month runs concurrently
+    * with this hour's ingest into today's grain, and two compactors over
+    * disjoint ranges don't serialize. Untouched grains' files are left
+    * byte-identical — compact is O(touched grains), not O(store), so a
+    * year of daily grains stays maintainable by compacting only the days
+    * the last ingest touched.
     *
     * Like the ingest, the fold is ONE Spark job regardless of how many
     * grains it touches: one multi-path scan of every selected grain's
@@ -321,33 +458,43 @@ object RollupStore {
       keyCols: Seq[String], combine: Column => Column,
       stateCol: String = "state", grains: String => Boolean = _ => true,
       targetPartitions: Int = 32,
-      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs,
+      cleanupDelayMs: Long = 0L): Long =
     compactGrains(spark, baseDir, keyCols, combine, stateCol, grains,
-      targetPartitions, _ => (), leaseStaleMs)
+      targetPartitions, _ => (), leaseStaleMs, cleanupDelayMs)
 
   private[graft] def compactGrains(spark: SparkSession, baseDir: String,
       keyCols: Seq[String], combine: Column => Column, stateCol: String,
       grains: String => Boolean, targetPartitions: Int,
-      onStep: String => Unit, leaseStaleMs: Long): Long = {
+      onStep: String => Unit, leaseStaleMs: Long,
+      cleanupDelayMs: Long): Long = {
     require(targetPartitions > 0,
       s"targetPartitions must be positive, got $targetPartitions")
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
-    graft.sources.Sinks.withSingleWriterLease(fs,
-      GenerationalBatches.leasePath(base), leaseStaleMs) {
-      sweepStageDirs(fs, base, ".compact-")
-      val targets = listGrainDirs(fs, base)
-        .filter { case (v, _) => grains(v) }.sortBy(_._1)
-      onStep("selected")
-      // mutating recovery per selected grain (crashed-dir cleanup), and
-      // the live batches each grain's fold replaces
+    val targets = listGrainDirs(fs, base)
+      .filter { case (v, _) => grains(v) }.sortBy(_._1)
+    onStep("selected")
+    if (targets.isEmpty) return 0L
+    graft.sources.Sinks.withLeases(fs,
+      targets.map { case (g, _) => grainLeasePath(base, g) },
+      leaseStaleMs) {
+      sweepStageDirs(fs, base, ".compact-", targets.map(_._1).toSet,
+        leaseStaleMs)
+      // mutating recovery per selected grain (crashed-dir cleanup and the
+      // expired-horizon sweep), and the live batches each grain's fold
+      // replaces; re-check existence under the stripes — a concurrent
+      // drop can retire a grain between our listing and the lock
       val perGrain = targets
+        .filter { case (_, gdir) => fs.exists(gdir) }
         .map { case (g, gdir) =>
-          (g, gdir, GenerationalBatches.recover(fs, gdir).sortBy(_._1)) }
+          (g, gdir,
+            GenerationalBatches.recover(fs, gdir, cleanupDelayMs)
+              .sortBy(_._1)) }
         .filter { case (_, _, committed) => committed.nonEmpty }
       onStep("recovered")
       if (perGrain.isEmpty) return 0L
-      val grainCol = targets.head._2.getName.split("=", 2)(0)
+      val grainCol = perGrain.head._2.getName.split("=", 2)(0)
       // ONE multi-path scan and ONE shuffle fold every selected grain —
       // the grain key is one of the group keys, so groups cannot mix
       // grains; the repartition bounds files per grain at
@@ -391,7 +538,15 @@ object RollupStore {
             committed.map(_._2.getName),
             GenerationalBatches.seenIngestIds(fs, committed))
           onStep("committed")
-          committed.foreach { case (_, p) => fs.delete(p, true) }
+          // manifest BEFORE the folded dirs vanish: manifest readers
+          // switch to the fold while the old files still exist
+          GenerationalBatches.writeManifest(fs, gdir)
+          // a positive cleanupDelayMs defers deletion to a later run's
+          // recover(): the folded dirs are dead (the marker lists them)
+          // but their bytes outlive the commit by the grace window, so a
+          // snapshot reader planned before the fold can still finish
+          if (cleanupDelayMs <= 0L)
+            committed.foreach { case (_, p) => fs.delete(p, true) }
           onStep("cleaned")
           total += written
         }
@@ -420,15 +575,17 @@ object RollupStore {
       grainCol: String, newGrain: Column, newGrainCol: String,
       combine: Column => Column, stateCol: String = "state",
       targetPartitions: Int = 32,
-      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs,
+      cleanupDelayMs: Long = 0L): Long =
     regrain(spark, baseDir, keyCols, grainCol, newGrain, newGrainCol,
-      combine, stateCol, targetPartitions, _ => (), leaseStaleMs)
+      combine, stateCol, targetPartitions, _ => (), leaseStaleMs,
+      cleanupDelayMs)
 
   private[graft] def regrain(spark: SparkSession, baseDir: String,
       keyCols: Seq[String], grainCol: String, newGrain: Column,
       newGrainCol: String, combine: Column => Column, stateCol: String,
       targetPartitions: Int, onStep: String => Unit,
-      leaseStaleMs: Long): Long = {
+      leaseStaleMs: Long, cleanupDelayMs: Long): Long = {
     require(keyCols.contains(grainCol),
       s"grain column $grainCol must be one of the key columns $keyCols")
     require(!keyCols.filterNot(_ == grainCol).contains(newGrainCol) &&
@@ -443,7 +600,7 @@ object RollupStore {
     graft.sources.Sinks.withSingleWriterLease(fs,
       GenerationalBatches.leasePath(base), leaseStaleMs) {
       foldDir(spark, fs, base, groupCols, combine, stateCol,
-        targetPartitions, onStep)
+        targetPartitions, onStep, cleanupDelayMs)
     }
   }
 
@@ -458,33 +615,43 @@ object RollupStore {
     * (or delete the dir) once the destination is verified.
     *
     * Crash safety is [[appendStatesByGrain]]'s per-grain replay guard:
-    * the whole rewrite lands under ONE `ingestId` (default
-    * `"regrain-into"`), so a rerun after a crash skips the new grains
-    * that already committed and lands only the missing ones —
-    * exactly-once per grain with no coordination beyond the id. The
-    * default id therefore assumes `dstDir` is DEDICATED to this rewrite
-    * (a fresh store); pass a distinct id per rewrite when layering
-    * several sources into one destination, or the second rewrite is
-    * silently absorbed by the guard. Exactness is the same associativity
-    * argument as [[regrain]] (GrainedRollupStoreSpec pins the
-    * differential and the crash-resume). Returns the rows written into
-    * the destination (0 on a full replay). */
+    * the whole rewrite lands under ONE `ingestId`, so a rerun after a
+    * crash skips the new grains that already committed and lands only
+    * the missing ones — exactly-once per grain with no coordination
+    * beyond the id. When `ingestId` is None (the default) the id is
+    * DERIVED FROM THE SOURCE PATH (`regrain-into:<srcDir>`), so layering
+    * several sources into one destination with defaults cannot collide —
+    * each source's rewrite resumes independently. The id still pins the
+    * rewrite's IDENTITY, not the source's contents: re-running after the
+    * SAME source gained more data is absorbed per already-committed
+    * grain by the guard — pass an explicit fresh id for a genuine second
+    * pass over a changed source. The source is read through a SNAPSHOT
+    * (files pinned at plan time), so a concurrent source compaction's
+    * commit cannot change what the fold reads; its cleanup deleting
+    * pinned files still fails the rewrite loudly — quiesce source
+    * maintenance or give it a `cleanupDelayMs` grace window that
+    * outlives the rewrite. Exactness is the same associativity argument
+    * as [[regrain]] (GrainedRollupStoreSpec pins the differential and
+    * the crash-resume). Returns the rows written into the destination
+    * (0 on a full replay). */
   def regrainInto(spark: SparkSession, srcDir: String, dstDir: String,
       keyCols: Seq[String], grainCol: String, newGrain: Column,
       newGrainCol: String, combine: Column => Column,
       stateCol: String = "state",
-      ingestId: Option[String] = Some("regrain-into"),
+      ingestId: Option[String] = None,
       targetPartitions: Int = 32,
-      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Long =
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs,
+      cleanupDelayMs: Long = 0L): Long =
     regrainInto(spark, srcDir, dstDir, keyCols, grainCol, newGrain,
       newGrainCol, combine, stateCol, ingestId, targetPartitions, _ => (),
-      leaseStaleMs)
+      leaseStaleMs, cleanupDelayMs)
 
   private[graft] def regrainInto(spark: SparkSession, srcDir: String,
       dstDir: String, keyCols: Seq[String], grainCol: String,
       newGrain: Column, newGrainCol: String, combine: Column => Column,
       stateCol: String, ingestId: Option[String], targetPartitions: Int,
-      onStep: String => Unit, leaseStaleMs: Long): Long = {
+      onStep: String => Unit, leaseStaleMs: Long,
+      cleanupDelayMs: Long): Long = {
     require(new Path(srcDir) != new Path(dstDir),
       s"regrainInto must fold into a FRESH store, not $srcDir itself")
     require(keyCols.contains(grainCol),
@@ -492,15 +659,17 @@ object RollupStore {
     require(!keyCols.filterNot(_ == grainCol).contains(newGrainCol) &&
         newGrainCol != stateCol,
       s"new grain column $newGrainCol collides with an existing column")
+    val id = ingestId.getOrElse(s"regrain-into:${new Path(srcDir)}")
     val foldKeys = keyCols.map(kc =>
       if (kc == grainCol) newGrain.as(newGrainCol) else col(kc))
-    val folded = readGrains(spark, srcDir)
+    val folded = readGrains(spark, srcDir, snapshot = true)
       .groupBy(foldKeys: _*)
       .agg(combine(col(stateCol)).as(stateCol))
       .repartition(targetPartitions)
     appendStatesByGrain(folded, dstDir,
       keyCols.map(kc => if (kc == grainCol) newGrainCol else kc),
-      newGrainCol, stateCol, ingestId, onStep, leaseStaleMs)
+      newGrainCol, stateCol, Some(id), onStep, leaseStaleMs,
+      cleanupDelayMs)
   }
 
   /** Retire whole grains from a grain-partitioned store: every grain
@@ -520,25 +689,26 @@ object RollupStore {
       leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Int = {
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
-    graft.sources.Sinks.withSingleWriterLease(fs,
-      GenerationalBatches.leasePath(base), leaseStaleMs) {
+    val targets = listGrainDirs(fs, base)
+      .filter { case (v, _) => drop(v) }.sortBy(_._1)
+    graft.sources.Sinks.withLeases(fs,
+      targets.map { case (g, _) => grainLeasePath(base, g) },
+      leaseStaleMs) {
       // sweep tombstones a crashed earlier drop left behind (hidden, so
-      // never served — this is hygiene, not correctness)
-      if (fs.exists(base))
-        fs.listStatus(base).toSeq
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(".dropped-"))
-          .foreach(st => fs.delete(st.getPath, true))
-      val targets = listGrainDirs(fs, base)
-        .filter { case (v, _) => drop(v) }.sortBy(_._1)
-      targets.foreach { case (_, gdir) =>
+      // never served — hygiene, guarded like the stage-dir sweep)
+      sweepStageDirs(fs, base, ".dropped-", targets.map(_._1).toSet,
+        leaseStaleMs)
+      // re-check under the stripes: a concurrent op cannot hold these
+      // grains, but an earlier drop may already have retired one
+      val present = targets.filter { case (_, gdir) => fs.exists(gdir) }
+      present.foreach { case (_, gdir) =>
         val tomb = new Path(base,
           s".dropped-${java.util.UUID.randomUUID()}-${gdir.getName}")
         if (!fs.rename(gdir, tomb))
           throw new java.io.IOException(s"could not retire grain $gdir")
         fs.delete(tomb, true)
       }
-      targets.size
+      present.size
     }
   }
 
@@ -570,21 +740,48 @@ object RollupStore {
     * only grain values `grains` selects contribute files to the scan
     * (default: all) — a dashboard query over one week never lists, opens,
     * or schedules the other grains' files (PlanSpec pins the scan's
-    * input-file set). Same laziness/snapshot contract as [[read]]. */
+    * input-file set).
+    *
+    * Metadata cost is bounded by the per-grain MANIFEST: a grain with a
+    * `_MANIFEST` resolves in ONE file read — no per-batch
+    * listStatus/marker/ingest-id round-trips — and the scan pins exactly
+    * the manifest's files (a built-in snapshot: a compaction committing
+    * after this point cannot change what the plan reads, though its
+    * cleanup can still delete the files once the grace window passes —
+    * see [[read]]). A grain without a manifest (older store, or its last
+    * writer crashed before the rewrite) falls back to listing with the
+    * [[read]] laziness/`snapshot` contract. */
   def readGrains(spark: SparkSession, baseDir: String,
       grains: String => Boolean = _ => true,
       snapshot: Boolean = false): DataFrame = {
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
-    val dirs = listGrainDirs(fs, base)
+    val selected = listGrainDirs(fs, base)
       .filter { case (v, _) => grains(v) }.sortBy(_._1)
-      .flatMap { case (_, gdir) =>
-        GenerationalBatches.liveBatches(fs, gdir).sortBy(_._1)
-          .map { case (_, p) => new Path(p, "states") }
+    // manifest grains resolve to explicit files; the rest to batch dirs
+    val resolved = selected.map { case (_, gdir) =>
+      GenerationalBatches.readManifest(fs, gdir) match {
+        case Some((_, _, relFiles)) =>
+          Left(relFiles.map(rel => new Path(gdir, rel)))
+        case None =>
+          Right(GenerationalBatches.liveBatches(fs, gdir).sortBy(_._1)
+            .map { case (_, p) => new Path(p, "states") })
       }
-    require(dirs.nonEmpty,
+    }
+    val files = resolved.collect { case Left(fsq) => fsq }.flatten
+    val dirs = resolved.collect { case Right(d) => d }.flatten
+    require(files.nonEmpty || dirs.nonEmpty,
       s"no committed state batches under $baseDir for the selected grains")
-    readStateDirs(spark, fs, dirs, snapshot)
+    if (dirs.isEmpty) spark.read.parquet(files.map(_.toString): _*)
+    else if (files.isEmpty) readStateDirs(spark, fs, dirs, snapshot)
+    else {
+      val dirFiles =
+        if (!snapshot) dirs.map(_.toString)
+        else dirs.flatMap(d =>
+          GenerationalBatches.dataFiles(fs, d)
+            .map(f => new Path(d, f).toString))
+      spark.read.parquet(files.map(_.toString) ++ dirFiles: _*)
+    }
   }
 
   /** The grain values currently present in a grain-partitioned store,
@@ -675,8 +872,10 @@ object RollupStore {
     * keys; ingest ids are unioned forward. */
   private def foldDir(spark: SparkSession, fs: FileSystem, base: Path,
       groupCols: Seq[Column], combine: Column => Column, stateCol: String,
-      targetPartitions: Int, onStep: String => Unit): Long = {
-    val committed = GenerationalBatches.recover(fs, base).sortBy(_._1)
+      targetPartitions: Int, onStep: String => Unit,
+      cleanupDelayMs: Long = 0L): Long = {
+    val committed = GenerationalBatches.recover(fs, base, cleanupDelayMs)
+      .sortBy(_._1)
     onStep("recovered")
     if (committed.isEmpty) return 0L
     // one multi-path scan of the whole sub-store (not a union chain), and
@@ -707,7 +906,10 @@ object RollupStore {
     GenerationalBatches.commit(fs, batchPath, committed.map(_._2.getName),
       GenerationalBatches.seenIngestIds(fs, committed))
     onStep("committed")
-    committed.foreach { case (_, p) => fs.delete(p, true) }
+    // a positive cleanupDelayMs defers deletion to a later run's
+    // recover() — the snapshot-reader grace window (see compactGrains)
+    if (cleanupDelayMs <= 0L)
+      committed.foreach { case (_, p) => fs.delete(p, true) }
     onStep("cleaned")
     written
   }
@@ -741,13 +943,26 @@ object RollupStore {
   private[graft] def grainDirName(grainCol: String, value: String): String =
     s"$grainCol=${escapeGrain(value)}"
 
-  private def escapeGrain(v: String): String =
-    v.flatMap { c =>
-      if (c.isLetterOrDigit && c < 0x80 || c == '.' || c == '_' || c == '-')
-        c.toString
-      else c.toString.getBytes("UTF-8").map(b => f"%%${b & 0xff}%02X")
-        .mkString
+  /** Walks CODE POINTS, not chars: a supplementary-plane value (emoji,
+    * rare CJK) is a surrogate PAIR, and escaping each lone surrogate's
+    * UTF-8 bytes would mangle every astral value to the same '?' bytes —
+    * distinct grains colliding into one directory. */
+  private def escapeGrain(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      val cp = v.codePointAt(i)
+      val n = Character.charCount(cp)
+      val c = v.charAt(i)
+      if (n == 1 && ((c.isLetterOrDigit && c < 0x80) || c == '.' ||
+          c == '_' || c == '-'))
+        sb.append(c)
+      else v.substring(i, i + n).getBytes("UTF-8")
+        .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+      i += n
     }
+    sb.toString
+  }
 
   private def unescapeGrain(s: String): String = {
     val bytes = new scala.collection.mutable.ArrayBuffer[Byte]()

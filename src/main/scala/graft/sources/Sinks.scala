@@ -504,18 +504,21 @@ object Sinks {
   private val leaseCreateMutex = new Object
 
   /** The `pid=…/host=…/start_ms=…/token=…` lines of a lease file, or
-    * None if it does not exist (or vanishes mid-read). */
+    * None if it does not exist (or vanishes mid-read: a concurrent
+    * release between the exists check and the open throws
+    * FileNotFoundException, which IS the vanished-holder case, not an
+    * acquire failure). */
   private def readLeaseFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[Map[String, String]] =
     if (!fs.exists(p)) None
-    else {
+    else try {
       val in = fs.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .flatMap(_.split("=", 2) match {
           case Array(k, v) => Some(k -> v); case _ => None
         }).toMap)
       finally in.close()
-    }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Claim a lease judged stale, by atomic rename — never by blind
     * delete: with delete, two racing takeovers interleave as
@@ -568,6 +571,42 @@ object Sinks {
       fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path,
       staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
+    val token = acquireLease(fs, lease, staleMs)
+    try body finally releaseLease(fs, lease, token)
+  }
+
+  /** Hold SEVERAL single-writer leases at once — the grained store's
+    * RANGE STRIPING: one stripe file per touched grain, so maintenance
+    * over DISJOINT grain ranges runs concurrently while overlapping
+    * ranges still serialize. Acquired strictly in the order given (every
+    * grained call site sorts by grain value, so two ops with overlapping
+    * ranges collide on their first SHARED stripe instead of
+    * deadlocking); a failed acquisition releases everything already held
+    * before rethrowing, and release runs in reverse order — contention
+    * never leaves orphan stripes behind. Each stripe carries the full
+    * fencing protocol of [[withSingleWriterLease]]. */
+  private[graft] def withLeases[T](
+      fs: org.apache.hadoop.fs.FileSystem,
+      leases: Seq[org.apache.hadoop.fs.Path],
+      staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
+    val held =
+      new scala.collection.mutable.ArrayBuffer[
+        (org.apache.hadoop.fs.Path, String)]()
+    try {
+      leases.foreach(p => held += p -> acquireLease(fs, p, staleMs))
+      body
+    } finally held.reverseIterator.foreach { case (p, t) =>
+      releaseLease(fs, p, t)
+    }
+  }
+
+  /** Acquire the lease (the first half of [[withSingleWriterLease]],
+    * whose scaladoc is the contract); returns the fencing token the
+    * matching [[releaseLease]] must present. */
+  private[graft] def acquireLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path,
+      staleMs: Long): String = {
     val pid = ProcessHandle.current().pid()
     val host = java.net.InetAddress.getLocalHost.getHostName
     // FENCING token, unique per acquisition: a holder that outlives
@@ -619,6 +658,15 @@ object Sinks {
             h.map(m => s" ($m)").getOrElse("") +
             "; the maintenance cycle runs one writer at a time")
     }
+    token
+  }
+
+  /** Release a lease acquired by [[acquireLease]], presenting its
+    * fencing token. */
+  private[graft] def releaseLease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path,
+      token: String): Unit = {
     // FENCED release, also by atomic claim: rename the lease away, verify
     // the claimed file carries THIS acquisition's token, then delete.
     // Read-then-delete would leave a window where a (legitimately usurping)
@@ -637,17 +685,15 @@ object Sinks {
     // size `staleMs` to the job, see DefaultLeaseStaleMs), and long-lived
     // or object-store deployments should use an external lock service, as
     // the acquire-side scaladoc already directs.
-    try body finally {
-      val grave = new org.apache.hadoop.fs.Path(
-        lease.getParent, s".${lease.getName}.release-$token")
-      val claimed = try fs.rename(lease, grave)
-        catch { case _: java.io.IOException => false }
-      if (claimed) {
-        val ours = readLeaseFile(fs, grave)
-          .exists(_.get("token").contains(token))
-        if (ours) fs.delete(grave, false)
-        else if (!fs.rename(grave, lease)) fs.delete(grave, false)
-      }
+    val grave = new org.apache.hadoop.fs.Path(
+      lease.getParent, s".${lease.getName}.release-$token")
+    val claimed = try fs.rename(lease, grave)
+      catch { case _: java.io.IOException => false }
+    if (claimed) {
+      val ours = readLeaseFile(fs, grave)
+        .exists(_.get("token").contains(token))
+      if (ours) fs.delete(grave, false)
+      else if (!fs.rename(grave, lease)) fs.delete(grave, false)
     }
   }
 

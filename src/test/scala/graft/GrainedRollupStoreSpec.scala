@@ -186,7 +186,7 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
           commits += 1
           if (commits == 1) sys.error("injected crash after first grain")
         },
-        graft.sources.Sinks.DefaultLeaseStaleMs)
+        graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
     }
     assert(RollupStore.grainValues(spark, base).size === 1,
       "crash did not stop after the first grain")
@@ -223,7 +223,7 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
         Seq("u", "day"), "day", "state", Some("s/1"),
         (step: String) =>
           if (step == "staged") sys.error("injected crash at the stage"),
-        graft.sources.Sinks.DefaultLeaseStaleMs)
+        graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
     }
     assert(RollupStore.grainValues(spark, base).isEmpty,
       "a crashed stage left visible grains")
@@ -262,7 +262,7 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
           commits += 1
           if (commits == 1) sys.error("injected crash after first grain's commit")
         },
-        graft.sources.Sinks.DefaultLeaseStaleMs)
+        graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
     }
     // the committed grain serves its fold ONLY: its marker lists the
     // folded dirs, so the un-cleaned old batches are DEAD — the live
@@ -337,7 +337,7 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
           date_trunc("week", col("day")).cast("date"), "week",
           BehavioralFunctions.funnel_state_combine, "state",
           Some("regrain-into"), 2, onStep,
-          graft.sources.Sinks.DefaultLeaseStaleMs)
+          graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
       var commits = 0
       intercept[RuntimeException] {
         rewrite { step =>

@@ -185,7 +185,7 @@ class RegrainSpec extends AnyFunSuite {
           weekofyear(col("day")), "week",
           BehavioralFunctions.funnel_state_combine, "state", 2,
           (step: String) => if (step == failAt) sys.error("injected crash"),
-          graft.sources.Sinks.DefaultLeaseStaleMs)
+          graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
       }
       // reads stay exact through the crash window
       assert(answer(base) === expected, s"crash at '$failAt' changed answers")

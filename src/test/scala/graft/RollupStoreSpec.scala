@@ -60,7 +60,7 @@ class RollupStoreSpec extends AnyFunSuite {
       onStep: String => Unit = _ => ()): Long =
     RollupStore.compact(spark, base, Seq("u", "day"),
       BehavioralFunctions.funnel_state_combine, "state", 2, onStep,
-      graft.sources.Sinks.DefaultLeaseStaleMs)
+      graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
 
   test("append/compact/append cycle: the merged answer equals the raw scan at every step") {
     val rnd = new scala.util.Random(577215)
@@ -154,7 +154,7 @@ class RollupStoreSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       RollupStore.appendStates(st1, base, Seq("u", "day"), "state", None,
         (step: String) => if (step == "written") sys.error("injected crash"),
-        graft.sources.Sinks.DefaultLeaseStaleMs)
+        graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
     }
     assert(RollupStore.liveBatchCount(spark, base) === 1)
     assert(storeAnswer(base) === rawAnswer(b0))
@@ -328,7 +328,7 @@ class RollupStoreSpec extends AnyFunSuite {
       RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"), "state",
         Some("q/0"),
         (step: String) => if (step == "written") sys.error("injected crash"),
-        graft.sources.Sinks.DefaultLeaseStaleMs)
+        graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
     }
     // redelivery with the same id: must LAND (the first attempt never
     // committed), exactly once

@@ -66,7 +66,7 @@ class StoreSnapshotInterleaveSpec extends AnyFunSuite {
           // hold the window open: commit has happened, cleanup has not
           assert(mayCleanup.await(60, TimeUnit.SECONDS))
         },
-        graft.sources.Sinks.DefaultLeaseStaleMs)
+        graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
       catch { case t: Throwable => compactError = Some(t) }
     })
     compactor.start()
