@@ -1000,6 +1000,73 @@ object SparkEntry {
           col("state")).as("steps"))
     },
 
+    // ---- GRAINED STORE, RETENTION BRANCH: the grain layout is
+    // family-generic, and this row drives its OTHER schema branch —
+    // 8-byte BIGINT retention states (q121/q122/q124 are all BINARY
+    // funnel states) — through a full grained cycle. It also pins the
+    // round's two read-path upgrades in-query: the one-week dashboard
+    // read must resolve through the grain's _MANIFEST (the scan's input
+    // files are EXACTLY the manifest's list — one metadata file read per
+    // grain instead of per-batch listings), and a range compaction run
+    // with a `cleanupDelayMs` grace window must leave the folded dirs'
+    // bytes on disk (dead to every reader — the live-batch count proves
+    // it) so a snapshot reader planned before the fold can finish.
+    // Oracle = q02's raw-scan retention SQL: the whole cycle is
+    // answer-invisible.
+    "q125_rollup_store_grained_retention" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val base = sources.Sinks.scratchDir("q125_rollup") + "/store"
+      sources.Sinks.clearDir(base)
+      val keys = Seq("user_id", "week")
+      val cutoff = "2024-01-15"
+      val cs = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+        .map(d => to_date(col("ts")) === lit(d))
+      def states(i: Int) = ev
+        .filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(BehavioralFunctions.retention_state(cs: _*).as("state"))
+      ops.RollupStore.appendStatesByGrain(states(0), base, keys, "week")
+      ops.RollupStore.appendStatesByGrain(states(1), base, keys, "week")
+      val weeks = ops.RollupStore.grainValues(s, base)
+      require(weeks.size == 5 && ops.RollupStore.liveBatchCount(s, base) == 10,
+        s"expected 5 week grains x 2 batches, got $weeks")
+      // range compaction of the older weeks under a grace window: the
+      // fold commits (live count drops) but the folded dirs' bytes stay
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def batchDirCount = ops.RollupStore.grainValues(s, base).map { g =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(base, s"week=$g"))
+          .count(_.getPath.getName.startsWith("batch_"))
+      }.sum
+      ops.RollupStore.compactGrains(s, base, keys,
+        BehavioralFunctions.retention_state_combine,
+        grains = _ < cutoff, targetPartitions = 4,
+        cleanupDelayMs = 10L * 60 * 1000)
+      require(ops.RollupStore.liveBatchCount(s, base) == 2 * 1 + 3 * 2,
+        "range compaction did not fold exactly the selected grains")
+      require(batchDirCount == 2 * 3 + 3 * 2,
+        "the grace window did not keep the folded dirs' bytes on disk")
+      // the one-week dashboard read resolves through the manifest: its
+      // scan pins exactly the manifest's file list for that grain
+      val gdir = new org.apache.hadoop.fs.Path(base, s"week=$cutoff")
+      val manFiles = ops.GenerationalBatches.readManifest(fs, gdir)
+        .getOrElse(sys.error(s"no manifest under $gdir"))._3
+        .map(rel => new org.apache.hadoop.fs.Path(gdir, rel).toUri.getPath)
+        .toSet
+      val oneWeek = ops.RollupStore.readGrains(s, base, _ == cutoff)
+      require(oneWeek.inputFiles.nonEmpty && oneWeek.inputFiles.map(f =>
+          new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet == manFiles,
+        "a one-week read did not pin exactly its grain's manifest files")
+      ops.RollupStore.readGrains(s, base)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.retention_merge(col("state"), 3).as("r"))
+        .select(col("user_id"),
+          get(col("r"), lit(0)).as("d1"),
+          get(col("r"), lit(1)).as("d2"),
+          get(col("r"), lit(2)).as("d3"))
+    },
+
     // ---- STREAMING INGEST BRIDGE, DRIVEN END-TO-END: a real
     // foreachBatch stream feeds the store (the continuous version of
     // q118's nightly cycle) — each micro-batch folds to per-(user, day)
@@ -2729,7 +2796,11 @@ object SparkEntry {
         |FROM u LEFT JOIN s ON u.user_id = s.user_id""".stripMargin,
     "q122_rollup_store_regrain" -> oracleSqlBase("q03_window_funnel"),
     "q123_stream_rollup_ingest" -> oracleSqlBase("q03_window_funnel"),
-    "q124_rollup_store_regrain_into" -> oracleSqlBase("q03_window_funnel"))
+    "q124_rollup_store_regrain_into" -> oracleSqlBase("q03_window_funnel"),
+    // q125: the grained cycle on the BIGINT retention branch (manifest
+    // + grace window pinned in-query) — answer-invisible, so the oracle
+    // is q02's raw-scan retention SQL
+    "q125_rollup_store_grained_retention" -> oracleSqlBase("q02_retention"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

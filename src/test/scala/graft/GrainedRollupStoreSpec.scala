@@ -379,12 +379,49 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
     } finally all.unpersist()
   }
 
+  test("regrainInto with default ids: two sources layer into one destination without colliding") {
+    // both sources hold days of the SAME WEEK, so both rewrites land in
+    // the same destination grain — the exact case a shared default id
+    // would silently absorb (the second source's rows dropped by the
+    // replay guard with no error); ids derived from the source path
+    // cannot collide
+    val rows1 = Seq((1L, 0L, "a"), (1L, 10 * M, "b"))
+    val rows2 = Seq((2L, D + M, "a"), (2L, D + 5 * M, "b"),
+      (2L, D + 9 * M, "c"))
+    val src1 = fresh("derived_src1")
+    val src2 = fresh("derived_src2")
+    val dst = fresh("derived_dst")
+    RollupStore.appendStatesByGrain(dayStates(ev(rows1: _*)), src1,
+      Seq("u", "day"), "day")
+    RollupStore.appendStatesByGrain(dayStates(ev(rows2: _*)), src2,
+      Seq("u", "day"), "day")
+    def rewrite(src: String) =
+      RollupStore.regrainInto(spark, src, dst, Seq("u", "day"), "day",
+        date_trunc("week", col("day")).cast("date"), "week",
+        BehavioralFunctions.funnel_state_combine)
+    assert(rewrite(src1) > 0)
+    assert(rewrite(src2) > 0,
+      "the second source's rewrite was absorbed by the first's id")
+    assert(RollupStore.grainValues(spark, dst).size === 1,
+      "expected both sources to fold into one week grain")
+    assert(storeAnswer(dst) === rawAnswer(ev((rows1 ++ rows2): _*)))
+    // per-source resumability is intact: re-running EITHER rewrite with
+    // defaults is a committed no-op
+    assert(rewrite(src1) === 0L)
+    assert(rewrite(src2) === 0L)
+    assert(storeAnswer(dst) === rawAnswer(ev((rows1 ++ rows2): _*)))
+  }
+
   test("grain values round-trip through the directory encoding") {
     import spark.implicits._
     val base = fresh("escape")
     // a string grain with path-hostile characters (separator, space,
-    // unicode, the escape char itself)
-    val weird = Seq("simple", "a/b", "sp ace", "per%cent", "unié")
+    // unicode, the escape char itself) — including TWO DISTINCT
+    // supplementary-plane values: per-char escaping would mangle each
+    // surrogate pair to the same '?' bytes and collide them into one
+    // directory, so the encoder must walk code points
+    val weird = Seq("simple", "a/b", "sp ace", "per%cent", "unié",
+      "🦆", "𝄞")
     val states = ev(weird.zipWithIndex.map { case (_, i) =>
       (i.toLong, i * M, "a") }: _*)
       .withColumn("g", element_at(typedlit(weird), col("u").cast("int") + 1))
