@@ -47,23 +47,40 @@ private[graft] object GenerationalBatches {
       committed: Seq[(Long, Path)]): Set[String] =
     foldedDirsWithCommitTime(fs, committed).keySet
 
-  /** (folded dir name -> the folding marker's modification time): the
+  /** (folded dir name -> the folding marker's commit time): the
     * cleanup-horizon input — a folded dir is DEAD from its fold's commit
     * on, but under a `cleanupDelayMs` grace window its FILES may only be
     * deleted once that commit is older than the window, so a snapshot
     * reader whose plan predates the fold keeps a bounded time to finish
-    * (see `RollupStore.compact`). */
+    * (see `RollupStore.compact`).
+    *
+    * CLOCK SKEW: the horizon is evaluated against the NEXT maintenance
+    * op's `System.currentTimeMillis` — usually a host from the same
+    * writer fleet — so the commit time used is the LATER of the marker's
+    * filesystem modification time and the `#ts=` writer-clock line the
+    * commit embeds (max only ever DELAYS deletion, never deletes early
+    * relative to either clock; markers written before the line existed
+    * fall back to modification time alone). Writer-vs-filesystem skew —
+    * an HDFS namenode or object-store clock behind the writers — is thus
+    * absorbed; residual writer-vs-writer skew should be padded into
+    * `cleanupDelayMs` (it is a grace window, not a fence). */
   def foldedDirsWithCommitTime(fs: FileSystem,
       committed: Seq[(Long, Path)]): Map[String, Long] =
     committed.flatMap { case (_, p) =>
       val marker = new Path(p, Marker)
       val in = fs.open(marker)
-      val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
+      val names = lines.filterNot(_.startsWith("#"))
       if (names.isEmpty) Nil
       else {
-        val t = fs.getFileStatus(marker).getModificationTime
+        val writerTs = lines.collectFirst {
+          case s if s.startsWith("#ts=") =>
+            s.stripPrefix("#ts=").toLongOption
+        }.flatten
+        val t = math.max(fs.getFileStatus(marker).getModificationTime,
+          writerTs.getOrElse(Long.MinValue))
         names.map(_ -> t)
       }
     }.toMap
@@ -219,7 +236,15 @@ private[graft] object GenerationalBatches {
     }
     val tmp = new Path(batchPath, s".$Marker.tmp")
     val out = fs.create(tmp, true)
-    try if (folded.nonEmpty) out.write(folded.mkString("\n").getBytes("UTF-8"))
+    // a compaction marker also records the WRITER's clock (`#ts=` line):
+    // the grace horizon takes max(file modification time, this) — see
+    // foldedDirsWithCommitTime — so a filesystem clock behind the writer
+    // fleet cannot shorten the promised cleanupDelayMs window. A `#` line
+    // can never collide with a dir name (batch dirs are `batch_<k>`), so
+    // even a parser that misread it as a folded name would match nothing
+    try if (folded.nonEmpty) out.write(
+      (folded.mkString("\n") + s"\n#ts=${System.currentTimeMillis()}")
+        .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, new Path(batchPath, Marker)))
       throw new java.io.IOException(

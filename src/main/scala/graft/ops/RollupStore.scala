@@ -60,33 +60,37 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   * streaming ingest's next append — while overlapping ranges collide
   * fail-fast on their first shared stripe (the lease never blocks, so
   * there is nothing to deadlock; the sorted order just makes the
-  * collision point deterministic). Two concurrency caveats striping
-  * accepts and documents: (1) the cross-grain schema gate reads a batch
-  * it holds no stripe for — a concurrent compaction can delete it
-  * mid-read, so the gate re-resolves and retries; and (2) two
-  * SIMULTANEOUS FIRST ingests into disjoint grains with different state
-  * families both see an empty store and both pass the gate — the store
-  * is then mixed until the next ingest or compact fails loudly on the
-  * union's schema merge. Create a store from one pipeline first (or
-  * share a producer) if first-write races are possible. Readers take no
+  * collision point deterministic). A grained store's state family is
+  * pinned by a one-time STORE-GENESIS marker (see [[ensureGenesis]]):
+  * written under its own root stripe before any grain stripe is taken,
+  * verified by every subsequent ingest as a string compare — which
+  * closed round 17's two accepted caveats (the per-ingest newest-batch
+  * schema probe with its vanished-batch retry is gone, and two
+  * simultaneous FIRST ingests with different families can no longer
+  * both pass an empty-store gate and create a mixed store: one writes
+  * the genesis, the other fails loudly against it). Readers take no
   * lease; a read that must not straddle a compaction's cleanup window
   * should snapshot (see [[read]]) — and `cleanupDelayMs` on the
   * maintenance ops turns that cleanup cliff into a bounded grace window
   * (folded files linger, dead but readable, until the fold's commit is
   * older than the window).
   *
-  * Grained read metadata is BOUNDED by a per-grain manifest
+  * Read metadata is BOUNDED by a manifest per sub-store — per grain on a
+  * grained store, at the root on a flat one
   * ([[GenerationalBatches.Manifest]]): every maintenance op rewrites,
-  * after its last commit, one `_MANIFEST` file per touched grain listing
-  * the grain's live batches, ingest ids, and data files. [[readGrains]]
-  * resolves a grain through its manifest with ONE file read — no
-  * per-batch listStatus/marker/ingest-id reads — and pins exactly the
-  * manifest's files (a built-in snapshot); a missing manifest falls back
-  * to listing. Writers never consult manifests (recovery and the replay
-  * guard re-list — the marker protocol stays the truth), so a crash
-  * between a commit and the manifest rewrite costs readers only
+  * after its last commit, one `_MANIFEST` file per touched sub-store
+  * listing its live batches, ingest ids, and data files. [[readGrains]]
+  * and the flat [[read]] resolve through the manifest with ONE file read
+  * — no per-batch listStatus/marker/ingest-id reads — and pin exactly
+  * the manifest's files (a built-in snapshot); a missing manifest falls
+  * back to listing. Writers never consult manifests (recovery and the
+  * replay guard re-list — the marker protocol stays the truth), so a
+  * crash between a commit and the manifest rewrite costs readers only
   * staleness: they serve the previous committed snapshot until the next
-  * maintenance op heals the manifest.
+  * maintenance op heals it — and the heal runs FIRST thing after that
+  * op's recover() (see [[healManifestIfStale]]), so a stale manifest
+  * whose files recovery deletes is rewritten before the op's Spark job,
+  * not after it.
   *
   * Object-store note (mirrors `Sinks.compactParquet`): the grained
   * ingest/compaction stage-and-rename publishes each grain by RENAMING a
@@ -96,7 +100,9 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   * tolerates: the batch's marker is written only after the rename's
   * footer row count verifies against the staged count, so a partial
   * rename is an unmarked dir that recovery deletes and the replay
-  * guard re-lands. The cost on S3A is the copy itself (data bytes moved
+  * guard re-lands — pinned by fault injection in MidRenameCrashSpec (a
+  * FileSystem whose rename copies part of the data and dies, driven
+  * through both the grained ingest and the range compaction). The cost on S3A is the copy itself (data bytes moved
   * twice) and a longer crash-replay window, not correctness; deployments
   * there should prefer an S3A committer-style layout or a table format
   * for the data plane.
@@ -143,6 +149,7 @@ object RollupStore {
     graft.sources.Sinks.withSingleWriterLease(fs,
       GenerationalBatches.leasePath(base), leaseStaleMs) {
       val committed = GenerationalBatches.recover(fs, base, cleanupDelayMs)
+      healManifestIfStale(fs, base, committed)
       onStep("recovered")
       // REPLAY GUARD: an already-committed ingest id means this delivery's
       // rows are already in the store — a committed no-op, like the empty
@@ -235,28 +242,34 @@ object RollupStore {
         "empty-string grain value names no directory — filter or " +
           "re-encode placeholder rows before ingest")
       val grains = counts.keys.toSeq.sorted
+      // STORE-GENESIS gate BEFORE any grain stripe is taken (see
+      // [[ensureGenesis]]): the fingerprint verify replaces the old
+      // newest-batch schema probe — no parquet read per ingest, no
+      // vanished-batch retry window, and two simultaneous FIRST ingests
+      // with different families can no longer both pass an empty-store
+      // gate and mix the store
+      ensureGenesis(spark, fs, base, cached.schema, grainCol, leaseStaleMs)
+      onStep("genesis")
       // one stripe per delta grain, sorted: disjoint ingests proceed in
       // parallel, overlapping ones fail fast on the first shared stripe
       graft.sources.Sinks.withLeases(fs,
         grains.map(g => grainLeasePath(base, g)), leaseStaleMs) {
         sweepStageDirs(fs, base, ".ingest-", grains.toSet, leaseStaleMs)
-        onStep("recovered")
-        // cross-grain schema gate against the newest existing batch of any
-        // grain — one store holds one state family at one layout
-        schemaGateAcrossGrains(spark, fs, base, cached)
         // per-grain replay guard BEFORE the write: already-committed
-        // grains never re-enter the job
-        val pending = grains.filter { g =>
+        // grains never re-enter the job. The recover() pass also heals
+        // each existing grain's stale manifest IMMEDIATELY — before the
+        // staging job, not after it (healManifestIfStale)
+        val recovered = grains.map { g =>
           val gdir = new Path(base, grainDirName(grainCol, g))
-          !ingestId.exists(GenerationalBatches
-            .seenIngestIds(fs,
-              GenerationalBatches.recover(fs, gdir, cleanupDelayMs))
-            .contains)
+          (g, gdir, GenerationalBatches.recover(fs, gdir, cleanupDelayMs))
         }
-        if (pending.isEmpty) {
-          grains.foreach(healManifest(fs, base, grainCol, _))
-          onStep("committed-all"); return 0L
-        }
+        recovered.foreach { case (_, gdir, live) =>
+          if (fs.exists(gdir)) healManifestIfStale(fs, gdir, live) }
+        onStep("recovered")
+        val pending = recovered.collect { case (g, _, live)
+            if !ingestId.exists(
+              GenerationalBatches.seenIngestIds(fs, live).contains) => g }
+        if (pending.isEmpty) { onStep("committed-all"); return 0L }
         // ONE partitioned write stages every pending grain's rows
         val stage = new Path(base,
           s".ingest-${java.util.UUID.randomUUID()}")
@@ -301,10 +314,8 @@ object RollupStore {
           GenerationalBatches.writeManifest(fs, gdir)
           appended += written
         }
-        // replay-skipped grains heal here too: their last writer may have
-        // crashed between its commit and its manifest rewrite
-        grains.filterNot(pending.contains)
-          .foreach(healManifest(fs, base, grainCol, _))
+        // (replay-skipped grains were already healed by the post-recover
+        // healManifestIfStale pass above)
         fs.delete(stage, true)
         onStep("committed-all")
         appended
@@ -312,13 +323,24 @@ object RollupStore {
     } finally cached.unpersist()
   }
 
-  /** Rewrite a grain's manifest from its listing if the grain exists —
-    * the heal path for grains an op touches without committing into. */
-  private def healManifest(fs: FileSystem, base: Path, grainCol: String,
-      g: String): Unit = {
-    val gdir = new Path(base, grainDirName(grainCol, g))
-    if (fs.exists(gdir)) GenerationalBatches.writeManifest(fs, gdir)
-  }
+  /** Heal a sub-store's manifest IMMEDIATELY when it disagrees with the
+    * live listing — called right after every recover(), BEFORE the op's
+    * possibly minutes-long Spark job (ADVICE r17): recover may just have
+    * deleted folded dirs a crash-stale manifest still listed, and until
+    * the heal a reader resolving through that manifest gets FileNotFound,
+    * not mere staleness. One manifest read per sub-store; rewritten only
+    * on disagreement, so the steady state pays no extra write. Also
+    * covers the commit→manifest crash window (the manifest then lags the
+    * listing by one batch). A missing manifest needs no heal — readers
+    * fall back to listing, which is always correct. */
+  private def healManifestIfStale(fs: FileSystem, dir: Path,
+      live: Seq[(Long, Path)]): Unit =
+    GenerationalBatches.readManifest(fs, dir) match {
+      case Some((bNames, _, _))
+          if bNames.toSet != live.map(_._2.getName).toSet =>
+        GenerationalBatches.writeManifest(fs, dir)
+      case _ => ()
+    }
 
   /** Stage-dir partition column for the grained one-job ingest/compact:
     * hex of the grain string, so the stage directory names are [0-9A-F]
@@ -363,25 +385,108 @@ object RollupStore {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
-  /** Cross-grain schema gate with re-resolve-and-retry: the reference
-    * batch may live in a grain this op holds no stripe for, and a
-    * concurrent compaction can fold-and-delete it between our listing
-    * and the read — re-resolve against the fresh listing and try again
-    * (bounded: each retry needs another concurrent fold to land in the
-    * window). A real schema mismatch throws through unchanged. */
-  private def schemaGateAcrossGrains(spark: SparkSession, fs: FileSystem,
-      base: Path, states: DataFrame): Unit = {
+  /** STORE-GENESIS marker for grained stores: `_STORE_GENESIS` at the
+    * root records the state family + layout fingerprint (grain column +
+    * every column's name:type), written ONCE under its own root stripe
+    * (`_WRITER_LEASE.genesis` — the name cannot collide with a grain
+    * stripe, whose prefix is `_WRITER_LEASE.g-`) BEFORE any grain stripe
+    * is taken, then verified by every subsequent ingest as a pure string
+    * compare — no parquet schema probe, no vanished-batch retry. Closes
+    * the double-first-ingest race striping accepted in round 17: two
+    * SIMULTANEOUS first ingests with different families could each pass
+    * an empty-store probe and create a mixed store that stayed broken
+    * until manual repair; with the genesis, exactly one racer writes the
+    * marker (create-exclusive root stripe) and the other verifies
+    * against it and fails LOUDLY — or, when truly simultaneous inside
+    * the marker-write window, fails fast on the genesis stripe itself
+    * and succeeds on retry. Pre-genesis stores upgrade lazily: the first
+    * op that finds batches but no genesis derives the fingerprint from
+    * the newest committed batch (under the stripe, with the vanished-
+    * batch retry) and writes it before verifying. The genesis outlives
+    * [[dropGrainsWhere]] retiring every grain — the store's family is
+    * part of its identity, not of its contents. */
+  private[graft] val GenesisFile = "_STORE_GENESIS"
+  private val GenesisLease = "_WRITER_LEASE.genesis"
+
+  private[graft] def fingerprintOf(schema: org.apache.spark.sql.types.StructType,
+      grainCol: String): String =
+    (s"grain=$grainCol" +:
+      schema.map(f => s"col=${f.name}:${f.dataType.catalogString}").sorted)
+      .mkString("\n")
+
+  private def readGenesis(fs: FileSystem, base: Path): Option[String] =
+    try {
+      val in = fs.open(new Path(base, GenesisFile))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Publish by temp+rename like every other marker: complete or absent,
+    * never torn. */
+  private def writeGenesis(fs: FileSystem, base: Path, fp: String): Unit = {
+    fs.mkdirs(base)
+    val tmp = new Path(base, s".$GenesisFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(base, GenesisFile)))
+      throw new java.io.IOException(s"could not publish genesis in $base")
+  }
+
+  private def ensureGenesis(spark: SparkSession, fs: FileSystem,
+      base: Path, schema: org.apache.spark.sql.types.StructType,
+      grainCol: String, staleMs: Long): Unit = {
+    val incoming = fingerprintOf(schema, grainCol)
+    def verify(genesis: String): Unit =
+      require(genesis == incoming,
+        s"state batch schema fingerprint [${incoming.replace('\n', ' ')}] " +
+          s"does not match the store's genesis " +
+          s"[${genesis.replace('\n', ' ')}]; one store holds one state " +
+          "family at one grain layout")
+    readGenesis(fs, base) match {
+      case Some(g) => verify(g)
+      case None =>
+        graft.sources.Sinks.withSingleWriterLease(fs,
+          new Path(base, GenesisLease), staleMs) {
+          readGenesis(fs, base) match {
+            case Some(g) => verify(g)
+            case None =>
+              // lazy upgrade: an existing pre-genesis store's family wins
+              // over the incoming batch — write the TRUE genesis first,
+              // then verify (a mismatched ingest must not stamp its own
+              // family onto someone else's store)
+              val derived = genesisFromExistingStore(spark, fs, base)
+                .getOrElse(incoming)
+              writeGenesis(fs, base, derived)
+              verify(derived)
+          }
+        }
+    }
+  }
+
+  /** Fingerprint of a pre-genesis store's newest committed batch, with
+    * the vanished-batch retry (the batch may live in a grain this op
+    * holds no stripe for; a concurrent compaction can fold-and-delete it
+    * between listing and read — re-resolve and retry, bounded: each
+    * retry needs another concurrent fold to land in the window). None on
+    * an empty store. */
+  private def genesisFromExistingStore(spark: SparkSession,
+      fs: FileSystem, base: Path): Option[String] = {
     var attempts = 0
     while (true) {
-      val ref = latestBatchAcrossGrains(fs, base)
-      try {
-        ref.foreach(p => schemaGate(spark, new Path(p, "states"), states))
-        return
-      } catch {
-        case e: Exception if attempts < 5 && isVanishedPath(e) =>
-          attempts += 1
+      latestBatchAcrossGrains(fs, base) match {
+        case None => return None
+        case Some(p) =>
+          val grainCol = p.getParent.getName.split("=", 2)(0)
+          try return Some(fingerprintOf(
+            spark.read.parquet(new Path(p, "states").toString).schema,
+            grainCol))
+          catch {
+            case e: Exception if attempts < 5 && isVanishedPath(e) =>
+              attempts += 1
+          }
       }
     }
+    None
   }
 
   private def isVanishedPath(e: Throwable): Boolean =
@@ -485,12 +590,18 @@ object RollupStore {
       // expired-horizon sweep), and the live batches each grain's fold
       // replaces; re-check existence under the stripes — a concurrent
       // drop can retire a grain between our listing and the lock
-      val perGrain = targets
+      val recoveredAll = targets
         .filter { case (_, gdir) => fs.exists(gdir) }
         .map { case (g, gdir) =>
           (g, gdir,
             GenerationalBatches.recover(fs, gdir, cleanupDelayMs)
               .sortBy(_._1)) }
+      // heal stale manifests IMMEDIATELY after recover, BEFORE the fold
+      // job (ADVICE r17): recover may just have deleted folded dirs a
+      // crash-stale manifest still listed
+      recoveredAll.foreach { case (_, gdir, committed) =>
+        healManifestIfStale(fs, gdir, committed) }
+      val perGrain = recoveredAll
         .filter { case (_, _, committed) => committed.nonEmpty }
       onStep("recovered")
       if (perGrain.isEmpty) return 0L
@@ -625,7 +736,14 @@ object RollupStore {
     * rewrite's IDENTITY, not the source's contents: re-running after the
     * SAME source gained more data is absorbed per already-committed
     * grain by the guard — pass an explicit fresh id for a genuine second
-    * pass over a changed source. The source is read through a SNAPSHOT
+    * pass over a changed source. The derived id NORMALIZES the source
+    * path (`fs.makeQualified`), so resuming a crashed rewrite with an
+    * equivalent but differently-spelled source (bare vs scheme-qualified,
+    * relative vs absolute) derives the SAME id and resumes instead of
+    * double-landing. (One-time change in round 18: a rewrite started
+    * under the older raw-spelling default resumes under the new id only
+    * when the spellings agree — pass the old spelling explicitly via
+    * `ingestId` to resume such an in-flight rewrite.) The source is read through a SNAPSHOT
     * (files pinned at plan time), so a concurrent source compaction's
     * commit cannot change what the fold reads; its cleanup deleting
     * pinned files still fails the rewrite loudly — quiesce source
@@ -659,7 +777,8 @@ object RollupStore {
     require(!keyCols.filterNot(_ == grainCol).contains(newGrainCol) &&
         newGrainCol != stateCol,
       s"new grain column $newGrainCol collides with an existing column")
-    val id = ingestId.getOrElse(s"regrain-into:${new Path(srcDir)}")
+    val id = ingestId.getOrElse(
+      s"regrain-into:${fsOf(spark, srcDir).makeQualified(new Path(srcDir))}")
     val foldKeys = keyCols.map(kc =>
       if (kc == grainCol) newGrain.as(newGrainCol) else col(kc))
     val folded = readGrains(spark, srcDir, snapshot = true)
@@ -721,19 +840,33 @@ object RollupStore {
 
   /** All committed state rows — between compactions a key can appear in
     * several rows (one per ingest); every `*_merge` consumer folds them
-    * anyway, so queries are exact at ANY point in the cycle. Lazy over
-    * the resolved dir list: a plan held across a concurrent compaction's
-    * CLEANUP can hit deleted files (availability, not wrong data — the
-    * marker protocol keeps served data exact). Act on it promptly, or
-    * pass `snapshot = true` to materialize per-file statuses eagerly. */
+    * anyway, so queries are exact at ANY point in the cycle.
+    *
+    * Metadata cost is bounded like the grained read's: a flat store with
+    * a `_MANIFEST` (every maintenance op since round 18 writes one)
+    * resolves in ONE file read and pins exactly the manifest's files — a
+    * built-in snapshot. A store without one (older store, or its last
+    * writer crashed before the rewrite) falls back to listing, which is
+    * lazy over the resolved dir list: a plan held across a concurrent
+    * compaction's CLEANUP can hit deleted files (availability, not wrong
+    * data — the marker protocol keeps served data exact). Act on it
+    * promptly, or pass `snapshot = true` to materialize per-file
+    * statuses eagerly on the fallback path. */
   def read(spark: SparkSession, baseDir: String,
       snapshot: Boolean = false): DataFrame = {
     val fs = fsOf(spark, baseDir)
-    val dirs = GenerationalBatches.liveBatches(fs, new Path(baseDir))
-      .sortBy(_._1)
-      .map { case (_, p) => new Path(p, "states") }
-    require(dirs.nonEmpty, s"no committed state batches under $baseDir")
-    readStateDirs(spark, fs, dirs, snapshot)
+    val base = new Path(baseDir)
+    GenerationalBatches.readManifest(fs, base) match {
+      case Some((_, _, relFiles)) if relFiles.nonEmpty =>
+        spark.read.parquet(
+          relFiles.map(rel => new Path(base, rel).toString): _*)
+      case _ =>
+        val dirs = GenerationalBatches.liveBatches(fs, base)
+          .sortBy(_._1)
+          .map { case (_, p) => new Path(p, "states") }
+        require(dirs.nonEmpty, s"no committed state batches under $baseDir")
+        readStateDirs(spark, fs, dirs, snapshot)
+    }
   }
 
   /** [[read]] for a grain-partitioned store, PRUNED at listing time:
@@ -863,6 +996,10 @@ object RollupStore {
       onStep("written")
       GenerationalBatches.commit(fs, batchPath, Seq.empty, ingestId.toSet)
       onStep("committed")
+      // manifest AFTER the marker, same contract as the grained path: a
+      // crash between them leaves it one op stale — readers fall back or
+      // serve the previous snapshot; the next op's heal rewrites it
+      GenerationalBatches.writeManifest(fs, base)
       n
     } finally cached.unpersist()
   }
@@ -876,6 +1013,7 @@ object RollupStore {
       cleanupDelayMs: Long = 0L): Long = {
     val committed = GenerationalBatches.recover(fs, base, cleanupDelayMs)
       .sortBy(_._1)
+    healManifestIfStale(fs, base, committed)
     onStep("recovered")
     if (committed.isEmpty) return 0L
     // one multi-path scan of the whole sub-store (not a union chain), and
@@ -906,6 +1044,8 @@ object RollupStore {
     GenerationalBatches.commit(fs, batchPath, committed.map(_._2.getName),
       GenerationalBatches.seenIngestIds(fs, committed))
     onStep("committed")
+    // manifest BEFORE the folded dirs vanish, as in compactGrains
+    GenerationalBatches.writeManifest(fs, base)
     // a positive cleanupDelayMs defers deletion to a later run's
     // recover() — the snapshot-reader grace window (see compactGrains)
     if (cleanupDelayMs <= 0L)

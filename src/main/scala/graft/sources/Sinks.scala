@@ -583,8 +583,13 @@ object Sinks {
     * ranges collide on their first SHARED stripe instead of
     * deadlocking); a failed acquisition releases everything already held
     * before rethrowing, and release runs in reverse order — contention
-    * never leaves orphan stripes behind. Each stripe carries the full
-    * fencing protocol of [[withSingleWriterLease]]. */
+    * never leaves orphan stripes behind. Every per-stripe release is
+    * ATTEMPTED even when an earlier one throws (a transient IOException
+    * from one fs.delete must not abandon the remaining stripes until the
+    * staleMs usurpation horizon); the first release error is rethrown
+    * after all attempts — or suppressed under the body's own error, which
+    * stays primary. Each stripe carries the full fencing protocol of
+    * [[withSingleWriterLease]]. */
   private[graft] def withLeases[T](
       fs: org.apache.hadoop.fs.FileSystem,
       leases: Seq[org.apache.hadoop.fs.Path],
@@ -592,11 +597,22 @@ object Sinks {
     val held =
       new scala.collection.mutable.ArrayBuffer[
         (org.apache.hadoop.fs.Path, String)]()
+    var primary: Throwable = null
     try {
       leases.foreach(p => held += p -> acquireLease(fs, p, staleMs))
       body
-    } finally held.reverseIterator.foreach { case (p, t) =>
-      releaseLease(fs, p, t)
+    } catch { case e: Throwable => primary = e; throw e }
+    finally {
+      var releaseErr: Throwable = null
+      held.reverseIterator.foreach { case (p, t) =>
+        try releaseLease(fs, p, t)
+        catch { case e: Throwable =>
+          if (primary != null) primary.addSuppressed(e)
+          else if (releaseErr == null) releaseErr = e
+          else releaseErr.addSuppressed(e)
+        }
+      }
+      if (releaseErr != null) throw releaseErr
     }
   }
 

@@ -125,4 +125,45 @@ class CountingFsSpec extends AnyFunSuite {
     assert(listedDirsBelowRoot.isEmpty,
       s"full manifest read LISTED directories below the root: $listedDirsBelowRoot")
   }
+
+  test("a FLAT store read resolves through its manifest: zero directory listings at all") {
+    spark.sparkContext.hadoopConfiguration.set("fs.cntfs.impl",
+      classOf[CountingLocalFileSystem].getName)
+    val local = graft.sources.Sinks.scratchDir("counting_fs_spec") + "/flat"
+    graft.sources.Sinks.clearDir(local)
+    val base = s"cntfs://$local"
+    val rows = Seq((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, D + M, "a"))
+    RollupStore.appendStates(dayStates(ev(rows.take(2): _*)), base,
+      Seq("u", "day"))
+    RollupStore.appendStates(dayStates(ev(rows.drop(2): _*)), base,
+      Seq("u", "day"))
+    import scala.jdk.CollectionConverters._
+    def listedDirs: Seq[String] =
+      CountingLocalFileSystem.listed.asScala.toSeq
+        .filterNot(_.endsWith(".parquet"))
+    val c = CountingLocalFileSystem.listCalls
+    // WITH the manifest: resolution is ONE file read (not a listing) of
+    // `_MANIFEST` — the only listStatus calls are Spark's per-leaf-file
+    // probes on the manifest's explicit paths; no DIRECTORY (root or
+    // batch) is ever listed
+    c.set(0); CountingLocalFileSystem.listed.clear()
+    val viaManifest = RollupStore.read(spark, base)
+    assert(viaManifest.inputFiles.nonEmpty)
+    assert(c.get() === viaManifest.inputFiles.length,
+      s"flat manifest read cost ${c.get()} listStatus calls, expected " +
+        s"only ${viaManifest.inputFiles.length} leaf-file probes: " +
+        s"${CountingLocalFileSystem.listed}")
+    assert(listedDirs.isEmpty,
+      s"flat manifest read LISTED directories: $listedDirs")
+    // WITHOUT it (deleted): the fallback lists the root and the batch
+    // dirs — the per-batch cost the manifest removes
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(new Path(base), GenerationalBatches.Manifest), false)
+    c.set(0); CountingLocalFileSystem.listed.clear()
+    val viaListing = RollupStore.read(spark, base)
+    assert(viaListing.inputFiles.toSet === viaManifest.inputFiles.toSet)
+    assert(listedDirs.nonEmpty,
+      "expected the flat fallback to list directories")
+  }
 }

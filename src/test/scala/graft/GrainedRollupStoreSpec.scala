@@ -379,6 +379,42 @@ class GrainedRollupStoreSpec extends AnyFunSuite {
     } finally all.unpersist()
   }
 
+  test("a crashed default-id rewrite resumes under a differently-spelled source path") {
+    // ADVICE r17: the derived default id normalizes the source path
+    // (fs.makeQualified), so resuming with an equivalent spelling
+    // (scheme-qualified vs bare) derives the SAME id — committed grains
+    // are skipped, never re-appended (states would double-count)
+    val all = ev(allRows: _*)
+    all.cache().count()
+    try {
+      val src = fresh("regrain_spell_src")
+      RollupStore.appendStatesByGrain(dayStates(all), src,
+        Seq("u", "day"), "day")
+      val dst = fresh("regrain_spell_dst")
+      def rewrite(srcSpelling: String, onStep: String => Unit) =
+        RollupStore.regrainInto(spark, srcSpelling, dst, Seq("u", "day"),
+          "day", date_trunc("week", col("day")).cast("date"), "week",
+          BehavioralFunctions.funnel_state_combine, "state",
+          None, 2, onStep, graft.sources.Sinks.DefaultLeaseStaleMs, 0L)
+      var commits = 0
+      intercept[RuntimeException] {
+        rewrite(src, step => if (step == "committed") {
+          commits += 1
+          if (commits == 1) sys.error("injected crash after first week")
+        })
+      }
+      assert(RollupStore.grainValues(spark, dst).size === 1)
+      // resume with the QUALIFIED spelling of the same source
+      assert(rewrite(s"file:$src", _ => ()) > 0)
+      val weeks = RollupStore.grainValues(spark, dst)
+      assert(weeks.size >= 2)
+      assert(RollupStore.liveBatchCount(spark, dst) === weeks.size,
+        "a committed week was re-appended when the source spelling changed")
+      assert(storeAnswer(dst) === rawAnswer(all),
+        "the spelling-resumed rewrite double-counted states")
+    } finally all.unpersist()
+  }
+
   test("regrainInto with default ids: two sources layer into one destination without colliding") {
     // both sources hold days of the SAME WEEK, so both rewrites land in
     // the same destination grain — the exact case a shared default id

@@ -190,11 +190,16 @@ class RegrainSpec extends AnyFunSuite {
       // reads stay exact through the crash window
       assert(answer(base) === expected, s"crash at '$failAt' changed answers")
       if (failAt == "committed") {
-        // the rewrite IS committed: the store is week-grain now; any next
-        // maintenance op's recovery sweeps the dead day dirs
-        assert(RollupStore.read(spark, base).columns.contains("week"))
+        // the rewrite IS committed, but the crash landed BEFORE the
+        // manifest rewrite: a fresh read serves the previous (day)
+        // snapshot through the stale manifest — consistent staleness,
+        // same answer, never torn. The next maintenance op heals the
+        // manifest first thing after its recover() (which also sweeps
+        // the dead day dirs), after which reads serve the week store
+        assert(RollupStore.read(spark, base).columns.contains("day"))
         RollupStore.compact(spark, base, Seq("u", "week"),
           BehavioralFunctions.funnel_state_combine, targetPartitions = 2)
+        assert(RollupStore.read(spark, base).columns.contains("week"))
       } else {
         // the rewrite never happened: the day store is intact; re-running
         // it completes

@@ -200,6 +200,112 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(storeAnswer(base) === rawAnswer(rows.union(more)))
   }
 
+  test("a stale manifest is healed AT RECOVER TIME, before the op's fold job (ADVICE r17)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val all = ev(allRows: _*)
+    all.cache().count()
+    try {
+      val base = fresh("heal_timing")
+      def slice(i: Int) = all.filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+      RollupStore.appendStatesByGrain(dayStates(slice(0)), base,
+        Seq("u", "day"), "day")
+      RollupStore.appendStatesByGrain(dayStates(slice(1)), base,
+        Seq("u", "day"), "day")
+      val g0 = RollupStore.grainValues(spark, base).head
+      val gdir = new Path(base, RollupStore.grainDirName("day", g0))
+      assert(GenerationalBatches.liveBatches(fs, gdir).size === 2)
+      // a compaction of g0 crashes between its commit and the manifest
+      // rewrite: the manifest still lists the two folded batches, whose
+      // bytes survive (the crash also predates cleanup)
+      intercept[RuntimeException] {
+        RollupStore.compactGrains(spark, base, Seq("u", "day"),
+          BehavioralFunctions.funnel_state_combine, "state", _ == g0, 2,
+          (step: String) =>
+            if (step == "committed") sys.error("crash before manifest"),
+          Stale, 0L)
+      }
+      assert(GenerationalBatches.readManifest(fs, gdir).get._1.toSet ===
+        Set("batch_0", "batch_1"))
+      assert(storeAnswer(base) === rawAnswer(all))
+      // the NEXT maintenance op, paused at its "recovered" step: its
+      // recover() has just DELETED the folded dirs the stale manifest
+      // listed — the heal must already have run, not wait for the
+      // minutes-long fold job that follows
+      val recoveredL = new CountDownLatch(1)
+      val resume = new CountDownLatch(1)
+      @volatile var err: Option[Throwable] = None
+      val t = new Thread(() => {
+        try RollupStore.compactGrains(spark, base, Seq("u", "day"),
+          BehavioralFunctions.funnel_state_combine, "state", _ == g0, 2,
+          (step: String) => if (step == "recovered") {
+            recoveredL.countDown()
+            assert(resume.await(120, TimeUnit.SECONDS))
+          }, Stale, 0L)
+        catch { case e: Throwable => err = Some(e) }
+      })
+      t.start()
+      try {
+        assert(recoveredL.await(120, TimeUnit.SECONDS), "op never recovered")
+        val healed = GenerationalBatches.readManifest(fs, gdir).get
+        assert(healed._1 === Seq("batch_2"),
+          s"manifest not healed at recover time: ${healed._1}")
+        // every file the healed manifest lists exists — a reader in this
+        // window resolves cleanly instead of FileNotFound
+        assert(healed._3.forall(rel => fs.exists(new Path(gdir, rel))))
+        assert(storeAnswer(base) === rawAnswer(all))
+      } finally {
+        resume.countDown()
+        t.join(120000)
+      }
+      assert(!t.isAlive && err.isEmpty, s"compactor failed: $err")
+      assert(storeAnswer(base) === rawAnswer(all))
+      assertManifestsAgree(base, "after the healing compaction")
+    } finally all.unpersist()
+  }
+
+  test("the grace horizon survives a filesystem clock behind the writers (#ts in the marker)") {
+    val b0 = ev((1L, 0L, "a"), (1L, 10 * M, "b"))
+    val b1 = ev((2L, 5 * M, "b"), (3L, 0L, "a"))
+    val base = fresh("skew")
+    RollupStore.appendStates(dayStates(b0), base, Seq("u", "day"))
+    RollupStore.appendStates(dayStates(b1), base, Seq("u", "day"))
+    val expected = merged(RollupStore.read(spark, base))
+    RollupStore.compact(spark, base, Seq("u", "day"),
+      BehavioralFunctions.funnel_state_combine, cleanupDelayMs = 60000L)
+    val basePath = new Path(base)
+    val folded = Seq("batch_0", "batch_1")
+    assert(folded.forall(d => fs.exists(new Path(basePath, d))))
+    val marker = new Path(basePath, s"batch_2/${GenerationalBatches.Marker}")
+    val content = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(content.linesIterator.exists(_.startsWith("#ts=")),
+      "the fold's marker does not embed the writer clock")
+    // FS clock 2 h BEHIND the writer fleet: the marker's modification
+    // time says the fold is ancient; the embedded writer clock says it
+    // just happened. The horizon takes the LATER of the two — the folded
+    // dirs must stay inside the window
+    val twoHoursAgo = System.currentTimeMillis() - 2 * 3600 * 1000L
+    fs.setTimes(marker, twoHoursAgo, -1)
+    GenerationalBatches.recover(fs, basePath, 60000L)
+    assert(folded.forall(d => fs.exists(new Path(basePath, d))),
+      "a skewed filesystem clock deleted folded dirs inside the window")
+    // an OLD-FORMAT marker (no #ts line) falls back to modification
+    // time alone: the same recover now sweeps past the horizon
+    val stripped = content.linesIterator
+      .filterNot(_.startsWith("#")).mkString("\n")
+    val out = fs.create(marker, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    fs.setTimes(marker, twoHoursAgo, -1)
+    GenerationalBatches.recover(fs, basePath, 60000L)
+    assert(folded.forall(d => !fs.exists(new Path(basePath, d))),
+      "an old-format marker did not fall back to modification time")
+    // the store stayed healthy and exact throughout
+    assert(merged(RollupStore.read(spark, base)) === expected)
+  }
+
   test("cleanupDelayMs: folded dirs outlive the fold's commit; a snapshot read survives; the first op past the horizon sweeps") {
     val b0 = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, 0L, "a"))
     val b1 = ev((1L, 20 * M, "c"), (2L, 5 * M, "b"), (3L, 0L, "a"))

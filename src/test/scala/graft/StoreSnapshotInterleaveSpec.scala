@@ -80,12 +80,16 @@ class StoreSnapshotInterleaveSpec extends AnyFunSuite {
         "snapshot answer changed across a concurrent commit")
       assert(snap.inputFiles.toSet === preCompactFiles,
         "snapshot re-listed files after the commit")
-      // a FRESH read in the same window serves the compacted truth — also
-      // exact (marker protocol: folded dirs are dead from commit on)
+      // a FRESH read in the same window: the flat manifest has not yet
+      // been rewritten (that happens right after this paused step), so
+      // it serves the PREVIOUS COMMITTED SNAPSHOT — the documented
+      // manifest-staleness contract: exact and consistent, over the
+      // folded dirs' still-present bytes, never torn or doubled
       val freshInWindow = RollupStore.read(spark, base)
       assert(merged(freshInWindow) === expected)
-      assert(freshInWindow.inputFiles.toSet.intersect(preCompactFiles).isEmpty,
-        "a fresh read still served folded dirs after the commit")
+      assert(freshInWindow.inputFiles.toSet === preCompactFiles,
+        "a manifest-stale fresh read should serve exactly the previous " +
+          "snapshot's files")
     } finally {
       mayCleanup.countDown()
       compactor.join(120000)
@@ -103,7 +107,12 @@ class StoreSnapshotInterleaveSpec extends AnyFunSuite {
         Option(t.getMessage).exists(_.contains("FileNotFound")) ||
         Option(t.getMessage).exists(_.contains("does not exist"))),
       s"snapshot after cleanup failed with an unrelated error: $e")
-    // and the store itself is healthy: a fresh read is exact
-    assert(merged(RollupStore.read(spark, base)) === expected)
+    // and the store itself is healthy: the compactor's manifest rewrite
+    // landed, so a fresh read is exact AND serves only the compacted
+    // batch — none of the folded dirs' files
+    val freshAfter = RollupStore.read(spark, base)
+    assert(merged(freshAfter) === expected)
+    assert(freshAfter.inputFiles.toSet.intersect(preCompactFiles).isEmpty,
+      "a fresh read after the manifest rewrite still served folded dirs")
   }
 }

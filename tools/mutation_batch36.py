@@ -22,12 +22,15 @@ SUITES = [
 ]
 
 MUTANTS = [
+    # ST361/ST362 patterns updated in round 18 after withLeases grew the
+    # attempt-every-release hardening (the recorded batch-36 run used the
+    # round-17 text; these keep the script re-runnable on the new code)
     ("ST361", SK, "withLeases: failed acquisition keeps earlier stripes (rollback dropped)",
-     "    } finally held.reverseIterator.foreach { case (p, t) =>\n      releaseLease(fs, p, t)\n    }",
-     "    } finally if (held.size == leases.size) held.reverseIterator.foreach { case (p, t) =>\n      releaseLease(fs, p, t)\n    }"),
-    ("ST362", SK, "withLeases releases in acquisition order after clearing (release dropped entirely)",
-     "    } finally held.reverseIterator.foreach { case (p, t) =>\n      releaseLease(fs, p, t)\n    }",
-     "    } finally { held.clear(); held.reverseIterator.foreach { case (p, t) =>\n      releaseLease(fs, p, t)\n    } }"),
+     "      held.reverseIterator.foreach { case (p, t) =>\n        try releaseLease(fs, p, t)",
+     "      if (held.size == leases.size) held.reverseIterator.foreach { case (p, t) =>\n        try releaseLease(fs, p, t)"),
+    ("ST362", SK, "withLeases releases dropped entirely (held cleared before the release loop)",
+     "      var releaseErr: Throwable = null\n      held.reverseIterator.foreach",
+     "      var releaseErr: Throwable = null\n      held.clear(); held.reverseIterator.foreach"),
     ("ST363", RS, "grainLeasePath ignores the grain value (all grains share one stripe)",
      "    new Path(base, s\"$StripePrefix${hexOf(grain)}\")",
      "    new Path(base, s\"$StripePrefix\" + \"X\")"),
@@ -43,8 +46,9 @@ MUTANTS = [
     ("GR361", GB, "cleanup horizon flipped (folded dirs deleted INSIDE the grace window)",
      "      if (now - deadAt(p.getName) >= cleanupDelayMs) fs.delete(p, true) }",
      "      if (now - deadAt(p.getName) < cleanupDelayMs) fs.delete(p, true) }"),
+    # RI361 pattern updated in round 18 for the makeQualified normalization
     ("RI361", RS, "regrainInto default id no longer derived from the source (constant again)",
-     "    val id = ingestId.getOrElse(s\"regrain-into:${new Path(srcDir)}\")",
+     "    val id = ingestId.getOrElse(\n      s\"regrain-into:${fsOf(spark, srcDir).makeQualified(new Path(srcDir))}\")",
      "    val id = ingestId.getOrElse(\"regrain-into\")"),
     ("EG361", RS, "escapeGrain advances one CHAR per code point (surrogate pairs mangled)",
      "      else v.substring(i, i + n).getBytes(\"UTF-8\")\n        .foreach(b => sb.append(f\"%%${b & 0xff}%02X\"))\n      i += n",
