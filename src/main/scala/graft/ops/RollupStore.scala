@@ -514,8 +514,10 @@ object RollupStore {
     * `cleanupDelayMs` old — a snapshot read planned before the fold
     * keeps a bounded window to finish instead of dying the instant
     * cleanup runs. Pass the same window to every maintenance op on one
-    * store (the smallest value passed defines the real horizon). Returns
-    * the compacted row count. */
+    * store (the smallest value passed defines the real horizon). A store
+    * (or grain) whose maintenance cadence ENDS would keep its dead
+    * folded bytes forever — [[sweepExpired]] is the janitor for that
+    * tail. Returns the compacted row count. */
   def compact(spark: SparkSession, baseDir: String, keyCols: Seq[String],
       combine: Column => Column, stateCol: String = "state",
       targetPartitions: Int = 32,
@@ -789,6 +791,50 @@ object RollupStore {
       keyCols.map(kc => if (kc == grainCol) newGrainCol else kc),
       newGrainCol, stateCol, Some(id), onStep, leaseStaleMs,
       cleanupDelayMs)
+  }
+
+  /** Delete folded dirs whose grace window has EXPIRED — without
+    * folding, ingesting, or changing any answer. Under `cleanupDelayMs`
+    * deferred cleanup happens in a LATER op's recover(), so a grain (or
+    * flat store) that stops receiving maintenance keeps its dead folded
+    * bytes forever; this is the retention knob for that tail (the
+    * round-17 watch item): a cheap metadata-only pass — recover + heal
+    * per sub-store under the usual stripes/lease, no Spark job — that a
+    * janitor can run on any cadence. Pass the SAME `cleanupDelayMs` the
+    * store's maintenance uses (a smaller value here shortens the real
+    * horizon, as everywhere). Also sweeps crashed marker-less dirs and
+    * heals stale manifests, like any op's recovery. Grained stores sweep
+    * only the grains `grains` selects (one stripe each, so the janitor
+    * never blocks disjoint maintenance and collides fail-fast with
+    * overlapping work); flat stores sweep under the root lease. Returns
+    * the number of batch dirs deleted. */
+  def sweepExpired(spark: SparkSession, baseDir: String,
+      cleanupDelayMs: Long, grains: String => Boolean = _ => true,
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Int = {
+    val fs = fsOf(spark, baseDir)
+    val base = new Path(baseDir)
+    def sweepOne(dir: Path): Int = {
+      val before = GenerationalBatches.batchDirs(fs, dir).size
+      val live = GenerationalBatches.recover(fs, dir, cleanupDelayMs)
+      healManifestIfStale(fs, dir, live)
+      before - GenerationalBatches.batchDirs(fs, dir).size
+    }
+    val targets = listGrainDirs(fs, base)
+      .filter { case (v, _) => grains(v) }.sortBy(_._1)
+    if (targets.isEmpty)
+      // flat store (or empty grained store: recover on the bare root is
+      // a harmless no-op)
+      graft.sources.Sinks.withSingleWriterLease(fs,
+        GenerationalBatches.leasePath(base), leaseStaleMs) {
+        sweepOne(base)
+      }
+    else
+      graft.sources.Sinks.withLeases(fs,
+        targets.map { case (g, _) => grainLeasePath(base, g) },
+        leaseStaleMs) {
+        targets.filter { case (_, gdir) => fs.exists(gdir) }
+          .map { case (_, gdir) => sweepOne(gdir) }.sum
+      }
   }
 
   /** Retire whole grains from a grain-partitioned store: every grain

@@ -306,6 +306,80 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(merged(RollupStore.read(spark, base)) === expected)
   }
 
+  test("sweepExpired clears the dead tail of a store whose maintenance ended (grained + flat)") {
+    // under a grace window, deferred cleanup happens in a LATER op's
+    // recover() — a grain never touched again keeps its dead bytes
+    // forever (the round-17 watch item). sweepExpired is the janitor:
+    // metadata-only, same horizon, answers untouched
+    val all = ev(allRows: _*)
+    all.cache().count()
+    try {
+      val base = fresh("sweep")
+      def slice(i: Int) = all.filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+      RollupStore.appendStatesByGrain(dayStates(slice(0)), base,
+        Seq("u", "day"), "day")
+      RollupStore.appendStatesByGrain(dayStates(slice(1)), base,
+        Seq("u", "day"), "day")
+      val expected = rawAnswer(all)
+      RollupStore.compactGrains(spark, base, Seq("u", "day"),
+        BehavioralFunctions.funnel_state_combine, targetPartitions = 2,
+        cleanupDelayMs = 2000L)
+      def deadDirs: Int = {
+        val grains = fs.listStatus(new Path(base)).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("=")
+            && !st.getPath.getName.startsWith("."))
+        grains.map(st => GenerationalBatches.batchDirs(fs, st.getPath).size -
+          GenerationalBatches.liveBatches(fs, st.getPath).size).sum
+      }
+      val dead = deadDirs
+      assert(dead > 0, "the grace window left no dead dirs to sweep")
+      // INSIDE the horizon: the janitor deletes nothing
+      assert(RollupStore.sweepExpired(spark, base, 2000L) === 0)
+      assert(deadDirs === dead)
+      Thread.sleep(2300)
+      // PAST it: exactly the dead dirs go; answers and manifests intact
+      assert(RollupStore.sweepExpired(spark, base, 2000L) === dead)
+      assert(deadDirs === 0)
+      assert(storeAnswer(base) === expected)
+      assertManifestsAgree(base, "after the grained sweep")
+      // idempotent
+      assert(RollupStore.sweepExpired(spark, base, 2000L) === 0)
+
+      // FLAT store: same janitor under the root lease — and the fold's
+      // writer CRASHED before its manifest rewrite, so the manifest
+      // still lists the folded dirs the sweep is about to delete. The
+      // sweep must heal it (its recover-time heal), or readers resolving
+      // through the stale manifest would get FileNotFound
+      val fbase = fresh("sweep_flat")
+      val b0 = ev((1L, 0L, "a"), (1L, 10 * M, "b"))
+      val b1 = ev((2L, 5 * M, "b"), (3L, 0L, "a"))
+      RollupStore.appendStates(dayStates(b0), fbase, Seq("u", "day"))
+      RollupStore.appendStates(dayStates(b1), fbase, Seq("u", "day"))
+      val fExpected = merged(RollupStore.read(spark, fbase))
+      intercept[RuntimeException] {
+        RollupStore.compact(spark, fbase, Seq("u", "day"),
+          BehavioralFunctions.funnel_state_combine, "state", 32,
+          (step: String) =>
+            if (step == "committed") sys.error("crash before manifest"),
+          Stale, 2000L)
+      }
+      // the stale manifest serves the previous snapshot over the
+      // surviving bytes until the sweep
+      assert(merged(RollupStore.read(spark, fbase)) === fExpected)
+      Thread.sleep(2300)
+      // ONE sweep past the horizon must BOTH delete the expired dirs and
+      // heal the manifest that still lists them — in that order safety
+      // comes from the heal being part of the same recover pass
+      assert(RollupStore.sweepExpired(spark, fbase, 2000L) === 2)
+      assert(!fs.exists(new Path(fbase, "batch_0")) &&
+        !fs.exists(new Path(fbase, "batch_1")))
+      assert(GenerationalBatches.readManifest(fs, new Path(fbase)).get._1
+        === Seq("batch_2"),
+        "the sweep deleted dirs the stale manifest lists without healing it")
+      assert(merged(RollupStore.read(spark, fbase)) === fExpected)
+    } finally all.unpersist()
+  }
+
   test("cleanupDelayMs: folded dirs outlive the fold's commit; a snapshot read survives; the first op past the horizon sweeps") {
     val b0 = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, 0L, "a"))
     val b1 = ev((1L, 20 * M, "c"), (2L, 5 * M, "b"), (3L, 0L, "a"))
