@@ -267,7 +267,16 @@ object IncrementalSession {
     * for maintenance-concurrent readers, `RollupStore.read(snapshot=true)`
     * shows the eager-file-listing variant of this protocol, and a table
     * format (Iceberg/Delta) is the production answer for true snapshot
-    * isolation on object stores. */
+    * isolation on object stores.
+    *
+    * Metadata contract (why no `_MANIFEST` here, unlike RollupStore):
+    * this store's nightly compaction folds history back to ONE batch
+    * (IncrementalSessionSpec pins it), so a read lists O(1) directories
+    * — and each batch is O(events), so the scan, not the listing,
+    * dominates. A manifest would save one listStatus per read while
+    * adding a second commit artifact to keep consistent across the
+    * out/state subdir pair; the trade only pays at the rollup store's
+    * years-of-grains metadata scale, where it is implemented. */
   def read(spark: SparkSession, baseDir: String): DataFrame = {
     val fs = fsOf(spark, baseDir)
     val outs = liveBatches(fs, new org.apache.hadoop.fs.Path(baseDir))

@@ -408,11 +408,19 @@ object RollupStore {
   private[graft] val GenesisFile = "_STORE_GENESIS"
   private val GenesisLease = "_WRITER_LEASE.genesis"
 
+  /** One line per column plus the grain line, newline-joined — with
+    * embedded newlines ESCAPED, or a crafted column name (e.g.
+    * `"day:date\ncol=u"`) would make two different layouts render the
+    * same fingerprint text and pass the genesis verify. */
   private[graft] def fingerprintOf(schema: org.apache.spark.sql.types.StructType,
-      grainCol: String): String =
-    (s"grain=$grainCol" +:
-      schema.map(f => s"col=${f.name}:${f.dataType.catalogString}").sorted)
+      grainCol: String): String = {
+    def esc(s: String) = s.replace("\\", "\\\\")
+      .replace("\n", "\\n").replace("\r", "\\r")
+    (s"grain=${esc(grainCol)}" +:
+      schema.map(f => "col=" + esc(s"${f.name}:${f.dataType.catalogString}"))
+        .sorted)
       .mkString("\n")
+  }
 
   private def readGenesis(fs: FileSystem, base: Path): Option[String] =
     try {

@@ -167,6 +167,19 @@ class StoreGenesisSpec extends AnyFunSuite {
       ev((3L, 2 * D, "a"))), base, Seq("u", "day"), "day") > 0)
   }
 
+  test("fingerprint escapes embedded newlines: a crafted column name cannot spoof another layout") {
+    import org.apache.spark.sql.types._
+    // unescaped, this single crafted column renders the same fingerprint
+    // TEXT as the honest (day: date, u: bigint) layout — line-splicing
+    // through the embedded newline
+    val crafted = StructType(Seq(
+      StructField("day:date\ncol=u", LongType)))
+    val honest = StructType(Seq(
+      StructField("day", DateType), StructField("u", LongType)))
+    assert(RollupStore.fingerprintOf(crafted, "day") !==
+      RollupStore.fingerprintOf(honest, "day"))
+  }
+
   test("a different grain LAYOUT is refused even with identical columns") {
     val base = fresh("layout")
     val rows = ev((1L, 0L, "a"), (2L, D, "b"))
