@@ -194,12 +194,24 @@ object Bench {
             if ratio(name, sec) > 2.0 || (unstable && prev.nonEmpty) =>
           (name, sec)
       }.sortBy { case (n, s) => -ratio(n, s) }.take(8)
-      movers.map { case (name, sec) =>
-        System.err.println(f"[bench] probing $name (sec $sec%.2f vs prev " +
-          f"${prev.getOrElse(short(name), Double.NaN)}%.2f)")
-        val iso = isolatedMed(name)
-        System.err.println(f"[bench] probe $name isolated med $iso%.2f s")
-        (short(name), sec, prev.getOrElse(short(name), Double.NaN), iso)
+      // GLOBAL probe budget: a contended host is exactly when many
+      // queries look moved, and 8 probes x the per-child timeout must
+      // not risk the driver's bench capture — biggest movers first,
+      // remaining candidates dropped (visibly) once the budget is spent
+      val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_BUDGET",
+        "900").toLong * 1000
+      val deadline = System.currentTimeMillis() + budgetMs
+      movers.flatMap { case (name, sec) =>
+        if (System.currentTimeMillis() >= deadline) {
+          System.err.println(s"[bench] probe budget spent; skipping $name")
+          None
+        } else {
+          System.err.println(f"[bench] probing $name (sec $sec%.2f vs prev " +
+            f"${prev.getOrElse(short(name), Double.NaN)}%.2f)")
+          val iso = isolatedMed(name)
+          System.err.println(f"[bench] probe $name isolated med $iso%.2f s")
+          Some((short(name), sec, prev.getOrElse(short(name), Double.NaN), iso))
+        }
       }
     }
     def probeNum(v: Double): String = if (v.isNaN) "-1" else jf("%.2f", v)

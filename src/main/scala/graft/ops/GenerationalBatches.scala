@@ -42,10 +42,24 @@ private[graft] object GenerationalBatches {
       fs.exists(new Path(p, Marker)) }
 
   /** Batch dir names every committed compaction marker says it folded —
-    * dead even if the dir still exists (crash before cleanup). */
+    * dead even if the dir still exists (crash before cleanup). Parses
+    * names ONLY (no per-marker getFileStatus): this runs on every read's
+    * liveBatches resolution, where an extra metadata RPC per folded
+    * marker is exactly the cost the manifests exist to avoid — commit
+    * times are computed only by [[foldedDirsWithCommitTime]], whose sole
+    * caller is recover()'s horizon. */
   def foldedDirs(fs: FileSystem,
       committed: Seq[(Long, Path)]): Set[String] =
-    foldedDirsWithCommitTime(fs, committed).keySet
+    committed.flatMap { case (_, p) =>
+      markerLines(fs, new Path(p, Marker)).filterNot(_.startsWith("#"))
+    }.toSet
+
+  private def markerLines(fs: FileSystem, marker: Path): List[String] = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
 
   /** (folded dir name -> the folding marker's commit time): the
     * cleanup-horizon input — a folded dir is DEAD from its fold's commit
@@ -68,10 +82,7 @@ private[graft] object GenerationalBatches {
       committed: Seq[(Long, Path)]): Map[String, Long] =
     committed.flatMap { case (_, p) =>
       val marker = new Path(p, Marker)
-      val in = fs.open(marker)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
-      finally in.close()
+      val lines = markerLines(fs, marker)
       val names = lines.filterNot(_.startsWith("#"))
       if (names.isEmpty) Nil
       else {
@@ -168,22 +179,32 @@ private[graft] object GenerationalBatches {
       .map(_.getPath.getName)
 
   /** Rewrite `base`'s manifest from the CURRENT listing (writer-side,
-    * lease held). Published by write-temp-then-rename — readers see the
-    * previous manifest or the new one, never a torn one; the delete
-    * before the rename opens a brief no-manifest window, which readers
-    * treat as "fall back to listing" (always correct). */
+    * lease held). Published by write-temp-then-rename; the delete before
+    * the rename opens a brief no-manifest window, which readers treat as
+    * "fall back to listing" (always correct). On HDFS/local the rename
+    * is atomic; on S3A it is a COPY, so a reader can open a
+    * PARTIALLY-COPIED manifest — which is why the last line is a
+    * TERMINATOR (`e <line count>`): [[readManifest]] refuses any
+    * manifest whose terminator is missing or disagrees, so a torn copy
+    * degrades to the listing fallback instead of silently serving a
+    * subset of the store's files. (Manifests written before the
+    * terminator existed are likewise treated as absent; the next
+    * maintenance op's heal rewrites them.) */
   def writeManifest(fs: FileSystem, base: Path): Unit = {
     val live = liveBatches(fs, base).sortBy(_._1)
     val sb = new StringBuilder
-    seenIngestIds(fs, live).toSeq.sorted
-      .foreach(id => sb.append("i ").append(id).append('\n'))
+    var n = 0
+    def line(prefix: String, v: String): Unit = {
+      sb.append(prefix).append(v).append('\n'); n += 1
+    }
+    seenIngestIds(fs, live).toSeq.sorted.foreach(id => line("i ", id))
     live.foreach { case (_, p) =>
-      sb.append("b ").append(p.getName).append('\n')
+      line("b ", p.getName)
       dataFiles(fs, new Path(p, "states")).sorted.foreach { f =>
-        sb.append("f ").append(p.getName).append("/states/").append(f)
-          .append('\n')
+        line("f ", s"${p.getName}/states/$f")
       }
     }
+    sb.append("e ").append(n).append('\n')
     val tmp = new Path(base, s".$Manifest.tmp")
     val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
@@ -193,8 +214,9 @@ private[graft] object GenerationalBatches {
   }
 
   /** Parsed manifest: (live batch dir names, ingest ids, data-file paths
-    * relative to `base`), or None when absent/vanished — the caller
-    * falls back to listing. */
+    * relative to `base`), or None when absent/vanished/TORN (no
+    * terminator, or a terminator that disagrees with the line count —
+    * the S3A partial-copy case) — the caller falls back to listing. */
   def readManifest(fs: FileSystem,
       base: Path): Option[(Seq[String], Set[String], Seq[String])] =
     try {
@@ -202,9 +224,13 @@ private[graft] object GenerationalBatches {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList
       finally in.close()
-      Some((lines.collect { case s if s.startsWith("b ") => s.drop(2) },
-        lines.collect { case s if s.startsWith("i ") => s.drop(2) }.toSet,
-        lines.collect { case s if s.startsWith("f ") => s.drop(2) }))
+      val body = lines.filterNot(_.startsWith("e "))
+      val complete = lines.lastOption.exists(l =>
+        l.startsWith("e ") && l.drop(2).toIntOption.contains(body.size))
+      if (!complete) None
+      else Some((body.collect { case s if s.startsWith("b ") => s.drop(2) },
+        body.collect { case s if s.startsWith("i ") => s.drop(2) }.toSet,
+        body.collect { case s if s.startsWith("f ") => s.drop(2) }))
     } catch { case _: java.io.FileNotFoundException => None }
 
   /** Write the commit marker ATOMICALLY LAST; `folded` non-empty marks a

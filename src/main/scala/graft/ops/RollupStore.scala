@@ -161,7 +161,13 @@ object RollupStore {
       // the door check above validates the batch in ISOLATION; against an
       // existing store also require the same schema, or a funnel store
       // would accept a retention batch (both pass the type gate) and only
-      // explode at compact/read time, far from the offending ingest
+      // explode at compact/read time, far from the offending ingest.
+      // DELIBERATELY a newest-batch probe rather than a genesis file
+      // (unlike the grained path): flat [[regrain]] legitimately REWRITES
+      // the store's schema in place, which a pinned genesis would fight;
+      // the probe runs under the root lease (no first-write race), and
+      // its one footer read per ingest is trivial next to the append's
+      // own Spark job
       committed.sortBy(_._1).lastOption.foreach { case (_, p) =>
         schemaGate(spark, new Path(p, "states"), states)
       }
@@ -374,10 +380,15 @@ object RollupStore {
     if (!fs.exists(base)) return
     val entries = fs.listStatus(base).toSeq
     val held = heldGrains.map(g => grainLeasePath(base, g).getName)
+    val now = System.currentTimeMillis()
+    // a foreign stripe OLDER than staleMs is a crashed op's leftover
+    // (usurpable by the lease rules) — it must not disable the
+    // unguarded sweep forever on a store whose crashed grain is never
+    // touched again (sweepExpired clears such stripes on its cadence)
     val foreignStripe = entries.exists(st => st.isFile &&
       st.getPath.getName.startsWith(StripePrefix) &&
-      !held.contains(st.getPath.getName))
-    val now = System.currentTimeMillis()
+      !held.contains(st.getPath.getName) &&
+      now - st.getModificationTime <= staleMs)
     entries
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .filter(st => !foreignStripe ||
@@ -815,7 +826,16 @@ object RollupStore {
     * only the grains `grains` selects (one stripe each, so the janitor
     * never blocks disjoint maintenance and collides fail-fast with
     * overlapping work); flat stores sweep under the root lease. Returns
-    * the number of batch dirs deleted. */
+    * the number of batch dirs deleted.
+    *
+    * Collision behavior differs from the fail-fast maintenance ops ON
+    * PURPOSE: the janitor takes its grains ONE STRIPE AT A TIME and
+    * SKIPS any grain whose stripe a concurrent op holds (it will get it
+    * on the next cadence) — a janitor that needed every stripe at once
+    * would abort entirely whenever a busy store has any op in flight,
+    * which is exactly when it runs. Acquiring a crashed op's stale
+    * stripe also usurps-and-releases it, so the janitor doubles as the
+    * stale-stripe collector for grains nothing else touches. */
   def sweepExpired(spark: SparkSession, baseDir: String,
       cleanupDelayMs: Long, grains: String => Boolean = _ => true,
       leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Int = {
@@ -837,12 +857,16 @@ object RollupStore {
         sweepOne(base)
       }
     else
-      graft.sources.Sinks.withLeases(fs,
-        targets.map { case (g, _) => grainLeasePath(base, g) },
-        leaseStaleMs) {
-        targets.filter { case (_, gdir) => fs.exists(gdir) }
-          .map { case (_, gdir) => sweepOne(gdir) }.sum
-      }
+      targets.map { case (g, gdir) =>
+        try graft.sources.Sinks.withLeases(fs,
+          Seq(grainLeasePath(base, g)), leaseStaleMs) {
+          if (fs.exists(gdir)) sweepOne(gdir) else 0
+        } catch {
+          // a held stripe = a live op owns this grain; skip, next cadence
+          case e: IllegalStateException
+              if Option(e.getMessage).exists(_.contains("lease")) => 0
+        }
+      }.sum
   }
 
   /** Retire whole grains from a grain-partitioned store: every grain
@@ -945,12 +969,13 @@ object RollupStore {
     val base = new Path(baseDir)
     val selected = listGrainDirs(fs, base)
       .filter { case (v, _) => grains(v) }.sortBy(_._1)
-    // manifest grains resolve to explicit files; the rest to batch dirs
+    // manifest grains resolve to explicit files; the rest (missing, torn,
+    // or empty manifest — same guard as the flat read) to batch dirs
     val resolved = selected.map { case (_, gdir) =>
       GenerationalBatches.readManifest(fs, gdir) match {
-        case Some((_, _, relFiles)) =>
+        case Some((_, _, relFiles)) if relFiles.nonEmpty =>
           Left(relFiles.map(rel => new Path(gdir, rel)))
-        case None =>
+        case _ =>
           Right(GenerationalBatches.liveBatches(fs, gdir).sortBy(_._1)
             .map { case (_, p) => new Path(p, "states") })
       }
@@ -1116,16 +1141,12 @@ object RollupStore {
       // this point cannot change what the plan reads (its cleanup could
       // still delete them mid-action — at that point re-read; for true
       // snapshot isolation over object stores use a table format)
-      // explicit file paths bypass Spark's default path filter, so apply
-      // the same rules here: data files only — no '_' markers/_SUCCESS,
-      // no '.'-prefixed hidden/checksum/temp files
-      val files = dirs.flatMap { d =>
-        fs.listStatus(d).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
-            && !st.getPath.getName.startsWith("_")
-            && !st.getPath.getName.startsWith("."))
-          .map(_.getPath.toString)
-      }
+      // explicit file paths bypass Spark's default path filter —
+      // GenerationalBatches.dataFiles applies the data-file rules (no
+      // '_' markers/_SUCCESS, no '.'-prefixed hidden/checksum/temp)
+      val files = dirs.flatMap(d =>
+        GenerationalBatches.dataFiles(fs, d)
+          .map(f => new Path(d, f).toString))
       spark.read.parquet(files: _*)
     }
 

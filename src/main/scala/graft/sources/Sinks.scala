@@ -588,8 +588,10 @@ object Sinks {
     * from one fs.delete must not abandon the remaining stripes until the
     * staleMs usurpation horizon); the first release error is rethrown
     * after all attempts — or suppressed under the body's own error, which
-    * stays primary. Each stripe carries the full fencing protocol of
-    * [[withSingleWriterLease]]. */
+    * stays primary (a body exiting via non-local `return` counts as
+    * success: the release error is rethrown, never silently attached to
+    * the suppression-disabled ControlThrowable). Each stripe carries the
+    * full fencing protocol of [[withSingleWriterLease]]. */
   private[graft] def withLeases[T](
       fs: org.apache.hadoop.fs.FileSystem,
       leases: Seq[org.apache.hadoop.fs.Path],
@@ -604,10 +606,16 @@ object Sinks {
     } catch { case e: Throwable => primary = e; throw e }
     finally {
       var releaseErr: Throwable = null
+      // a non-local `return` from the body unwinds as a ControlThrowable
+      // built with suppression DISABLED — addSuppressed on it is a no-op
+      // and the release error would vanish; treat that exit as the
+      // body-succeeded case (the error is rethrown, replacing the return)
+      val suppressible = primary != null &&
+        !primary.isInstanceOf[scala.util.control.ControlThrowable]
       held.reverseIterator.foreach { case (p, t) =>
         try releaseLease(fs, p, t)
         catch { case e: Throwable =>
-          if (primary != null) primary.addSuppressed(e)
+          if (suppressible) primary.addSuppressed(e)
           else if (releaseErr == null) releaseErr = e
           else releaseErr.addSuppressed(e)
         }

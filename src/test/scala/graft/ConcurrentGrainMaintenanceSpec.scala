@@ -202,6 +202,41 @@ class ConcurrentGrainMaintenanceSpec extends AnyFunSuite {
     } finally all.unpersist()
   }
 
+  test("a crashed op's STALE stripe does not disable the garbage sweep forever") {
+    val base = fresh("stale_stripe")
+    val basePath = new Path(base)
+    fs.mkdirs(basePath)
+    // a long-crashed run left a foreign stripe (no live holder) and a
+    // YOUNG hidden stage dir from some other recent crash: with the
+    // stripe counted foreign forever, the young stage would be deferred
+    // to the staleMs horizon on EVERY future op of this store — the
+    // stripe's own age must bound its vote
+    val staleStripe = new Path(basePath, "_WRITER_LEASE.g-DEAD")
+    val out = fs.create(staleStripe, true)
+    try out.write("pid=1\nhost=gone\nstart_ms=0\ntoken=x\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.setTimes(staleStripe, System.currentTimeMillis() - 2 * 3600 * 1000L, -1)
+    fs.mkdirs(new Path(basePath, ".ingest-crashed-young"))
+    val rows = ev((1L, 0L, "a"), (1L, 10 * M, "b"))
+    assert(RollupStore.appendStatesByGrain(dayStates(rows), base,
+      Seq("u", "day"), "day") > 0)
+    assert(!fs.exists(new Path(basePath, ".ingest-crashed-young")),
+      "a stale foreign stripe blocked the garbage sweep")
+    // a FRESH foreign stripe (a live op may own the stage) still guards
+    val freshStripe = new Path(basePath, "_WRITER_LEASE.g-LIVE")
+    val out2 = fs.create(freshStripe, true)
+    try out2.write("pid=1\nhost=live\nstart_ms=0\ntoken=y\n".getBytes("UTF-8"))
+    finally out2.close()
+    fs.mkdirs(new Path(basePath, ".ingest-live-young"))
+    assert(RollupStore.appendStatesByGrain(dayStates(
+      ev((2L, D, "a"))), base, Seq("u", "day"), "day") > 0)
+    assert(fs.exists(new Path(basePath, ".ingest-live-young")),
+      "a fresh foreign stripe no longer guards a possibly-live stage")
+    // hygiene
+    fs.delete(freshStripe, false)
+    fs.delete(new Path(basePath, ".ingest-live-young"), true)
+  }
+
   test("a drop of grains under active maintenance fails fast; a disjoint drop proceeds") {
     val all = ev(seedRows: _*)
     all.cache().count()

@@ -62,6 +62,30 @@ class LeaseReleaseFailureSpec extends AnyFunSuite {
       _.getPath.getName.startsWith("_WRITER_LEASE")))
   }
 
+  test("a non-local return from the body does not swallow a release error") {
+    // a `return` inside the body unwinds as a ControlThrowable built
+    // with suppression DISABLED — addSuppressed on it is a silent no-op,
+    // so without the carve-out the release error would vanish and the
+    // op would report success while a stripe's grave file leaked
+    val dir = freshDir("nonlocal")
+    val armed = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val fs = failingFs(armed)
+    fs.mkdirs(dir)
+    val stripes = Seq("g-AA", "g-BB")
+      .map(n => new Path(dir, s"_WRITER_LEASE.$n"))
+    def opWithEarlyReturn(): Long =
+      graft.sources.Sinks.withLeases(fs, stripes) { return 7L }
+    // sanity: the non-local return itself works
+    assert(opWithEarlyReturn() === 7L)
+    armed.set("_WRITER_LEASE.g-AA.release-")
+    val e = intercept[java.io.IOException] { opWithEarlyReturn() }
+    assert(e.getMessage.contains("injected"),
+      s"release error was swallowed by the non-local return: $e")
+    // and the other stripe was still released
+    assert(!fs.exists(stripes(1)))
+    graft.sources.Sinks.withLeases(fs, stripes) { () }
+  }
+
   test("a body error stays primary; the release error is suppressed under it") {
     val dir = freshDir("primary")
     val armed = new java.util.concurrent.atomic.AtomicReference[String](null)

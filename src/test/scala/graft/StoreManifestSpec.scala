@@ -200,6 +200,89 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(storeAnswer(base) === rawAnswer(rows.union(more)))
   }
 
+  test("a TORN manifest (S3A partial copy) is refused; readers fall back to the listing") {
+    val rows = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, D + M, "a"))
+    val base = fresh("torn")
+    RollupStore.appendStatesByGrain(dayStates(rows), base,
+      Seq("u", "day"), "day")
+    val expected = storeAnswer(base)
+    val gdir = new Path(base, RollupStore.grainDirName("day", "1970-01-01"))
+    val mpath = new Path(gdir, GenerationalBatches.Manifest)
+    val full = {
+      val in = fs.open(mpath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(full.linesIterator.toSeq.last.startsWith("e "),
+      "manifest lacks the completeness terminator")
+    // simulate S3A's rename-as-copy dying mid-copy: a PREFIX of the
+    // manifest lands (terminator and some f-lines missing)
+    val torn = full.linesIterator.toSeq.dropRight(2).mkString("\n")
+    val out = fs.create(mpath, true)
+    try out.write(torn.getBytes("UTF-8")) finally out.close()
+    // the torn manifest is treated as ABSENT — never trusted with a
+    // subset of the store's files
+    assert(GenerationalBatches.readManifest(fs, gdir).isEmpty,
+      "a torn manifest was parsed as complete")
+    assert(storeAnswer(base) === expected,
+      "the torn-manifest fallback did not serve the full listing")
+    // the next op heals it back to a complete, terminated manifest
+    RollupStore.compactGrains(spark, base, Seq("u", "day"),
+      BehavioralFunctions.funnel_state_combine, targetPartitions = 2)
+    assert(GenerationalBatches.readManifest(fs, gdir).isDefined)
+    assert(storeAnswer(base) === expected)
+  }
+
+  test("sweepExpired SKIPS a grain whose stripe a live op holds, and sweeps the rest") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val all = ev(allRows: _*)
+    all.cache().count()
+    try {
+      val base = fresh("sweep_skip")
+      def slice(i: Int) = all.filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+      RollupStore.appendStatesByGrain(dayStates(slice(0)), base,
+        Seq("u", "day"), "day")
+      RollupStore.appendStatesByGrain(dayStates(slice(1)), base,
+        Seq("u", "day"), "day")
+      val grains = RollupStore.grainValues(spark, base)
+      val g0 = grains.head
+      // compact ALL grains under a grace window, then age past it:
+      // every grain now carries expired dead dirs
+      RollupStore.compactGrains(spark, base, Seq("u", "day"),
+        BehavioralFunctions.funnel_state_combine, targetPartitions = 2,
+        cleanupDelayMs = 1200L)
+      Thread.sleep(1500)
+      // a compactor holds g0's stripe, paused mid-flight (its own
+      // recover already cleaned g0's expired dirs)
+      val staged = new CountDownLatch(1)
+      val resume = new CountDownLatch(1)
+      @volatile var err: Option[Throwable] = None
+      val t = new Thread(() => {
+        try RollupStore.compactGrains(spark, base, Seq("u", "day"),
+          BehavioralFunctions.funnel_state_combine, "state", _ == g0, 2,
+          (step: String) => if (step == "staged") {
+            staged.countDown()
+            assert(resume.await(120, TimeUnit.SECONDS))
+          }, Stale, 0L)
+        catch { case e: Throwable => err = Some(e) }
+      })
+      t.start()
+      try {
+        assert(staged.await(120, TimeUnit.SECONDS))
+        // the janitor must not abort on g0's held stripe: it skips g0
+        // and clears the OTHER grains' expired dirs (2 dead dirs each)
+        val swept = RollupStore.sweepExpired(spark, base, 1200L)
+        assert(swept === 2 * (grains.size - 1),
+          s"janitor swept $swept, expected ${2 * (grains.size - 1)}")
+      } finally {
+        resume.countDown()
+        t.join(120000)
+      }
+      assert(!t.isAlive && err.isEmpty, s"compactor failed: $err")
+      assert(storeAnswer(base) === rawAnswer(all))
+    } finally all.unpersist()
+  }
+
   test("a stale manifest is healed AT RECOVER TIME, before the op's fold job (ADVICE r17)") {
     import java.util.concurrent.{CountDownLatch, TimeUnit}
     val all = ev(allRows: _*)

@@ -29,8 +29,8 @@ MUTANTS = [
      "      held.reverseIterator.foreach { case (p, t) =>\n        try releaseLease(fs, p, t)",
      "      if (held.size == leases.size) held.reverseIterator.foreach { case (p, t) =>\n        try releaseLease(fs, p, t)"),
     ("ST362", SK, "withLeases releases dropped entirely (held cleared before the release loop)",
-     "      var releaseErr: Throwable = null\n      held.reverseIterator.foreach",
-     "      var releaseErr: Throwable = null\n      held.clear(); held.reverseIterator.foreach"),
+     "      held.reverseIterator.foreach { case (p, t) =>\n        try releaseLease(fs, p, t)\n        catch",
+     "      held.clear(); held.reverseIterator.foreach { case (p, t) =>\n        try releaseLease(fs, p, t)\n        catch"),
     ("ST363", RS, "grainLeasePath ignores the grain value (all grains share one stripe)",
      "    new Path(base, s\"$StripePrefix${hexOf(grain)}\")",
      "    new Path(base, s\"$StripePrefix\" + \"X\")"),
