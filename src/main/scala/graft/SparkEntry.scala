@@ -1067,6 +1067,112 @@ object SparkEntry {
           get(col("r"), lit(2)).as("d3"))
     },
 
+    // ---- STORE LIFECYCLE JANITOR + GENESIS GATE, IN-QUERY: the two
+    // round-18 protocol additions driven through one day-grained funnel
+    // cycle. Pins, in order: (1) a WRONG-FAMILY ingest (BIGINT retention
+    // states into the funnel store) is REFUSED at the `_STORE_GENESIS`
+    // verify and leaves the store untouched — the loud failure that
+    // replaced the silent mixed-store creation; (2) `sweepExpired` run
+    // with the SAME grace window the fold passed deletes NOTHING (the
+    // janitor honors the horizon, folded bytes stay readable for
+    // snapshot plans); (3) a janitor pass with a zero window — the
+    // documented smallest-window-wins horizon shortening — clears every
+    // expired dir EXCEPT the one grain whose stripe a concurrent op
+    // holds (skip-on-collision: the janitor never blocks live work and
+    // never deletes under someone else's stripe); (4) after the stripe
+    // releases, the next cadence collects exactly that grain's tail and
+    // the store's batch dirs equal its live count; (5) a post-sweep
+    // dashboard read still resolves through the grain's healed
+    // _MANIFEST. Oracle = q03's raw-scan funnel SQL over ALL events:
+    // the entire janitor cycle is answer-invisible.
+    "q126_rollup_store_janitor" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val base = sources.Sinks.scratchDir("q126_rollup") + "/store"
+      sources.Sinks.clearDir(base)
+      val keys = Seq("user_id", "day")
+      val cutoff = "2024-01-15"
+      def states(i: Int) = ev
+        .filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      ops.RollupStore.appendStatesByGrain(states(0), base, keys, "day")
+      ops.RollupStore.appendStatesByGrain(states(1), base, keys, "day")
+      val liveBefore = ops.RollupStore.liveBatchCount(s, base)
+      // (1) genesis gate: a retention-family batch must be refused
+      // loudly, before any grain stripe is taken, store unchanged
+      val wrong = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.retention_state(
+          to_date(col("ts")) === lit("2024-01-01"),
+          to_date(col("ts")) === lit("2024-01-02")).as("state"))
+      val refusal =
+        try { ops.RollupStore.appendStatesByGrain(wrong, base, keys, "day")
+              None }
+        catch { case e: IllegalArgumentException => Option(e.getMessage) }
+      require(refusal.exists(_.contains("genesis")),
+        s"wrong-family ingest was not refused at the genesis gate: $refusal")
+      require(ops.RollupStore.liveBatchCount(s, base) == liveBefore,
+        "the refused ingest changed the store")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def grainDir(g: String) =
+        new org.apache.hadoop.fs.Path(base, s"day=$g")
+      def deadDirs(g: String): Int = {
+        val d = grainDir(g)
+        ops.GenerationalBatches.batchDirs(fs, d).size -
+          ops.GenerationalBatches.liveBatches(fs, d).size
+      }
+      val grace = 10L * 60 * 1000
+      ops.RollupStore.compactGrains(s, base, keys,
+        BehavioralFunctions.funnel_state_combine,
+        grains = _ < cutoff, targetPartitions = 4, cleanupDelayMs = grace)
+      val folded = ops.RollupStore.grainValues(s, base).filter(_ < cutoff)
+      val deadTotal = folded.map(deadDirs).sum
+      require(folded.nonEmpty && deadTotal >= folded.size,
+        s"range compaction under the grace window left no dead dirs " +
+          s"(${folded.size} grains, $deadTotal dead)")
+      // (2) janitor at the fold's own window: nothing has expired
+      require(ops.RollupStore.sweepExpired(s, base, grace) == 0 &&
+          folded.map(deadDirs).sum == deadTotal,
+        "sweepExpired deleted inside the grace window")
+      // (3) zero-window sweep with one grain's stripe held by a
+      // concurrent op: that grain is skipped, every other tail clears
+      val held = folded.head
+      val stripe = ops.RollupStore.grainLeasePath(
+        new org.apache.hadoop.fs.Path(base), held)
+      val token = sources.Sinks.acquireLease(fs, stripe, 60L * 1000)
+      val sweptAround =
+        try ops.RollupStore.sweepExpired(s, base, 0L)
+        finally sources.Sinks.releaseLease(fs, stripe, token)
+      require(sweptAround == deadTotal - deadDirs(held) &&
+          deadDirs(held) > 0,
+        s"janitor did not skip exactly the held grain ($sweptAround " +
+          s"swept, ${deadDirs(held)} left under the stripe)")
+      // (4) next cadence collects the released grain's tail; the store
+      // is now exactly its live batches
+      val sweptTail = ops.RollupStore.sweepExpired(s, base, 0L)
+      require(sweptTail > 0 && folded.map(deadDirs).sum == 0,
+        s"post-release sweep left dead dirs (swept $sweptTail)")
+      // (5) the post-sweep dashboard read resolves through the healed
+      // manifest: the scan pins exactly the manifest's file list
+      val manFiles = ops.GenerationalBatches.readManifest(fs, grainDir(held))
+        .getOrElse(sys.error(s"no manifest under ${grainDir(held)}"))._3
+        .map(rel => new org.apache.hadoop.fs.Path(grainDir(held), rel)
+          .toUri.getPath)
+        .toSet
+      val oneDay = ops.RollupStore.readGrains(s, base, _ == held)
+      require(oneDay.inputFiles.nonEmpty && oneDay.inputFiles.map(f =>
+          new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet == manFiles,
+        "a post-sweep read did not pin exactly its grain's manifest files")
+      ops.RollupStore.readGrains(s, base)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
     // ---- STREAMING INGEST BRIDGE, DRIVEN END-TO-END: a real
     // foreachBatch stream feeds the store (the continuous version of
     // q118's nightly cycle) — each micro-batch folds to per-(user, day)
@@ -2800,7 +2906,8 @@ object SparkEntry {
     // q125: the grained cycle on the BIGINT retention branch (manifest
     // + grace window pinned in-query) — answer-invisible, so the oracle
     // is q02's raw-scan retention SQL
-    "q125_rollup_store_grained_retention" -> oracleSqlBase("q02_retention"))
+    "q125_rollup_store_grained_retention" -> oracleSqlBase("q02_retention"),
+    "q126_rollup_store_janitor" -> oracleSqlBase("q03_window_funnel"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 
