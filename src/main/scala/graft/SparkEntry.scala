@@ -1173,6 +1173,75 @@ object SparkEntry {
           col("state")).as("steps"))
     },
 
+    // ---- SNAPSHOT READER, EVALUATED THROUGH THE GRACE WINDOW: q125/
+    // q126 pin that a fold under `cleanupDelayMs` leaves the folded
+    // dirs' BYTES on disk — this row pins the promise those bytes
+    // exist FOR: a read PLANNED before the fold (readGrains resolves
+    // manifests to explicit files at call time — a built-in snapshot)
+    // still evaluates EXACTLY after the fold commits, and its rows are
+    // part of this query's oracle-gated answer. Pins: (1) post-fold,
+    // the snapshot's input files are disjoint from a fresh read's (it
+    // genuinely reads superseded bytes); (2) a pre-fold plan over the
+    // OTHER grain range, evaluated after the janitor clears that
+    // range's tail at a zero window, dies with a vanished-file error —
+    // availability, never wrong data; (3) the final answer UNIONs the
+    // snapshot half (dead bytes) with a fresh post-sweep read of the
+    // swept half and must match q03's raw-scan funnel SQL exactly.
+    "q127_rollup_store_snapshot_reader" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val base = sources.Sinks.scratchDir("q127_rollup") + "/store"
+      sources.Sinks.clearDir(base)
+      val keys = Seq("user_id", "day")
+      val cutoff = "2024-01-15"
+      def states(i: Int) = ev
+        .filter(pmod(xxhash64(col("ts")), lit(2)) === i)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(BehavioralFunctions.funnel_state(col("ts"),
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase").as("state"))
+      ops.RollupStore.appendStatesByGrain(states(0), base, keys, "day")
+      ops.RollupStore.appendStatesByGrain(states(1), base, keys, "day")
+      // two plans pinned BEFORE the fold: explicit pre-fold file lists
+      val snapHigh = ops.RollupStore.readGrains(s, base, _ >= cutoff)
+      val doomedLow = ops.RollupStore.readGrains(s, base, _ < cutoff)
+      require(doomedLow.count() > 0, "pre-fold plan read nothing")
+      val grace = 10L * 60 * 1000
+      ops.RollupStore.compactGrains(s, base, keys,
+        BehavioralFunctions.funnel_state_combine,
+        targetPartitions = 4, cleanupDelayMs = grace)
+      // (1) the snapshot reads only bytes the fold superseded
+      val freshHighFiles = ops.RollupStore.readGrains(s, base, _ >= cutoff)
+        .inputFiles.toSet
+      require(snapHigh.inputFiles.nonEmpty &&
+          snapHigh.inputFiles.toSet.intersect(freshHighFiles).isEmpty,
+        "the fold did not supersede the snapshot's files")
+      // (2) the janitor clears the LOW range's tail at a zero window;
+      // the pre-fold plan over it now fails on vanished files
+      require(ops.RollupStore.sweepExpired(s, base, 0L, _ < cutoff) > 0,
+        "the zero-window sweep collected nothing")
+      val died =
+        try { doomedLow.count(); false }
+        catch {
+          case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+              .exists { t =>
+                t.isInstanceOf[java.io.FileNotFoundException] ||
+                  Option(t.getMessage).exists(m =>
+                    m.contains("FileNotFound") ||
+                      m.contains("does not exist"))
+              }
+        }
+      require(died,
+        "a pre-fold plan outlived the swept grace window without failing")
+      // (3) snapshot half (superseded bytes, still exact) + fresh half
+      val freshLow = ops.RollupStore.readGrains(s, base, _ < cutoff)
+      snapHigh.unionByName(freshLow)
+        .groupBy(col("user_id"))
+        .agg(BehavioralFunctions.funnel_merge(expr("INTERVAL '1' HOUR"),
+          col("state")).as("steps"))
+    },
+
     // ---- STREAMING INGEST BRIDGE, DRIVEN END-TO-END: a real
     // foreachBatch stream feeds the store (the continuous version of
     // q118's nightly cycle) — each micro-batch folds to per-(user, day)
@@ -2907,7 +2976,8 @@ object SparkEntry {
     // + grace window pinned in-query) — answer-invisible, so the oracle
     // is q02's raw-scan retention SQL
     "q125_rollup_store_grained_retention" -> oracleSqlBase("q02_retention"),
-    "q126_rollup_store_janitor" -> oracleSqlBase("q03_window_funnel"))
+    "q126_rollup_store_janitor" -> oracleSqlBase("q03_window_funnel"),
+    "q127_rollup_store_snapshot_reader" -> oracleSqlBase("q03_window_funnel"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 
