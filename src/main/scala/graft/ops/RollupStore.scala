@@ -549,8 +549,9 @@ object RollupStore {
       keyCols: Seq[String], combine: Column => Column, stateCol: String,
       targetPartitions: Int, onStep: String => Unit,
       leaseStaleMs: Long, cleanupDelayMs: Long): Long = {
-    require(targetPartitions > 0,
-      s"targetPartitions must be positive, got $targetPartitions")
+    require(targetPartitions >= 0,
+      s"targetPartitions must be positive (or 0 for auto-sizing from " +
+        s"input bytes), got $targetPartitions")
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
     graft.sources.Sinks.withSingleWriterLease(fs,
@@ -594,8 +595,9 @@ object RollupStore {
       grains: String => Boolean, targetPartitions: Int,
       onStep: String => Unit, leaseStaleMs: Long,
       cleanupDelayMs: Long): Long = {
-    require(targetPartitions > 0,
-      s"targetPartitions must be positive, got $targetPartitions")
+    require(targetPartitions >= 0,
+      s"targetPartitions must be positive (or 0 for auto-sizing from " +
+        s"input bytes), got $targetPartitions")
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
     val targets = listGrainDirs(fs, base)
@@ -633,10 +635,12 @@ object RollupStore {
       // targetPartitions while keeping the write parallel
       val allPaths = perGrain.flatMap { case (_, _, committed) =>
         committed.map { case (_, p) => new Path(p, "states").toString } }
-      val folded = spark.read.parquet(allPaths: _*)
+      val scan = spark.read.parquet(allPaths: _*)
+      val folded = scan
         .groupBy(keyCols.map(col): _*)
         .agg(combine(col(stateCol)).as(stateCol))
-        .repartition(targetPartitions, keyCols.map(col): _*)
+        .repartition(foldPartitions(spark, scan, targetPartitions),
+          keyCols.map(col): _*)
         .persist()
       try {
         val counts = folded
@@ -723,8 +727,9 @@ object RollupStore {
     require(!keyCols.filterNot(_ == grainCol).contains(newGrainCol) &&
         newGrainCol != stateCol,
       s"new grain column $newGrainCol collides with an existing column")
-    require(targetPartitions > 0,
-      s"targetPartitions must be positive, got $targetPartitions")
+    require(targetPartitions >= 0,
+      s"targetPartitions must be positive (or 0 for auto-sizing from " +
+        s"input bytes), got $targetPartitions")
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
     val groupCols = keyCols.map(kc =>
@@ -802,10 +807,11 @@ object RollupStore {
       s"regrain-into:${fsOf(spark, srcDir).makeQualified(new Path(srcDir))}")
     val foldKeys = keyCols.map(kc =>
       if (kc == grainCol) newGrain.as(newGrainCol) else col(kc))
-    val folded = readGrains(spark, srcDir, snapshot = true)
+    val src = readGrains(spark, srcDir, snapshot = true)
+    val folded = src
       .groupBy(foldKeys: _*)
       .agg(combine(col(stateCol)).as(stateCol))
-      .repartition(targetPartitions)
+      .repartition(foldPartitions(spark, src, targetPartitions))
     appendStatesByGrain(folded, dstDir,
       keyCols.map(kc => if (kc == grainCol) newGrainCol else kc),
       newGrainCol, stateCol, Some(id), onStep, leaseStaleMs,
@@ -970,8 +976,15 @@ object RollupStore {
     val selected = listGrainDirs(fs, base)
       .filter { case (v, _) => grains(v) }.sortBy(_._1)
     // manifest grains resolve to explicit files; the rest (missing, torn,
-    // or empty manifest — same guard as the flat read) to batch dirs
-    val resolved = selected.map { case (_, gdir) =>
+    // or empty manifest — same guard as the flat read) to batch dirs.
+    // Grains resolve CONCURRENTLY: each is an independent metadata read
+    // (one manifest open, or the listing fallback), and on an object
+    // store each read is an ~ms RPC — serial resolution makes a wide
+    // dashboard read O(grains × RPC) on the DRIVER before the scan even
+    // plans (a year of daily grains ≈ 365 ms; 100k grains ≈ 100 s).
+    // Order is preserved (futures joined in `selected` order), so the
+    // resolved file list is identical to the serial one.
+    val resolved = inParallel(selected) { case (_, gdir) =>
       GenerationalBatches.readManifest(fs, gdir) match {
         case Some((_, _, relFiles)) if relFiles.nonEmpty =>
           Left(relFiles.map(rel => new Path(gdir, rel)))
@@ -1016,6 +1029,66 @@ object RollupStore {
   }
 
   // ---- shared internals ----------------------------------------------
+
+  /** Driver-side parallelism for per-grain metadata resolution. Sized
+    * for object-store RPC latency hiding, small enough not to trip
+    * request-rate throttles (S3 allows thousands of GETs/s per prefix;
+    * 16 concurrent manifest opens is far under any limit). */
+  private val ManifestReadParallelism = 16
+
+  /** Run `f` over `xs` on a bounded pool, preserving order; the first
+    * failure propagates with its ORIGINAL exception (unwrapped from the
+    * pool's ExecutionException) so callers' error contracts are the same
+    * as the serial loop's. Single-element and empty inputs stay on the
+    * calling thread — no pool churn on the common pruned-dashboard read
+    * of one grain. */
+  private def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.lengthCompare(1) <= 0) return xs.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(ManifestReadParallelism, xs.size))
+    try {
+      val futures = xs.map { x =>
+        pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(x)
+        })
+      }
+      futures.map { fu =>
+        try fu.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdownNow()
+  }
+
+  /** Shuffle-partition count for a fold when the caller asks for AUTO
+    * (`targetPartitions = 0`): one partition per
+    * `spark.sql.files.maxPartitionBytes` of input (the same knob that
+    * sizes scan splits, so one setting governs both sides), clamped to
+    * [1, 4096]. A FIXED count cannot be right across the store's life —
+    * 32 partitions on a year-long backfill fold puts tens of GB in one
+    * shuffle partition (spill, OOM, a single straggler task), while 32
+    * on a single quiet day's fold writes 32 near-empty files per grain.
+    * Input bytes come from the scan's own file statistics (the
+    * FileIndex already stat'ed every file — no extra RPCs). */
+  private[graft] def autoFoldPartitions(totalBytes: BigInt,
+      bytesPerPartition: Long): Int = {
+    require(bytesPerPartition > 0,
+      s"bytesPerPartition must be positive, got $bytesPerPartition")
+    val want = (totalBytes + bytesPerPartition - 1) / bytesPerPartition
+    want.max(1).min(4096).toInt
+  }
+
+  /** Resolve a fold's partition count: explicit when positive, AUTO
+    * from the scan's size statistics when 0 (see
+    * [[autoFoldPartitions]]). */
+  private def foldPartitions(spark: SparkSession, scan: DataFrame,
+      targetPartitions: Int): Int =
+    if (targetPartitions > 0) targetPartitions
+    else autoFoldPartitions(
+      scan.queryExecution.optimizedPlan.stats.sizeInBytes,
+      spark.sessionState.conf.filesMaxPartitionBytes)
 
   /** Column-set and state-type door checks, batch in isolation. */
   private def requireStateBatch(states: DataFrame, keyCols: Seq[String],
@@ -1107,7 +1180,7 @@ object RollupStore {
     val dataPath = new Path(batchPath, "states")
     val folded = all.groupBy(groupCols: _*)
       .agg(combine(col(stateCol)).as(stateCol))
-      .repartition(targetPartitions)
+      .repartition(foldPartitions(spark, all, targetPartitions))
       .persist()
     val written = try {
       val expected = folded.count()
