@@ -159,7 +159,12 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq.filterNot(_.startsWith("-agentlib"))
-      val cmd = (Seq("java") ++ jvmArgs ++
+      // resolve the JVM from java.home, not PATH — the bench may run
+      // from a launcher whose environment never exported one
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java")
+        .getAbsolutePath
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
       val tmp = java.io.File.createTempFile("bench_probe_", ".out")
       try {
@@ -182,7 +187,13 @@ object Bench {
           .getOrElse(Double.NaN)
       } finally tmp.delete()
     }
-    val probes: Seq[(String, Double, Double, Double)] = if (isProbe) Seq.empty else {
+    // The probe pass runs AFTER every measurement but BEFORE any result
+    // line is printed — a probe-infrastructure failure (unreadable
+    // BENCH_r*.json, a JVM that cannot fork, a malformed budget env)
+    // must degrade to "no probes", never abort a finished ~2-minute run
+    // with its output unprinted. Probes protect the measurements'
+    // interpretation; they must not be able to destroy the measurements.
+    val probes: Seq[(String, Double, Double, Double)] = if (isProbe) Seq.empty else try {
       val prev = prevRoundQueries
       def ratio(name: String, sec: Double): Double = {
         val p = prev.getOrElse(short(name), Double.NaN)
@@ -213,6 +224,11 @@ object Bench {
           Some((short(name), sec, prev.getOrElse(short(name), Double.NaN), iso))
         }
       }
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] probe pass failed ($e); reporting without probes")
+        Seq.empty
     }
     def probeNum(v: Double): String = if (v.isNaN) "-1" else jf("%.2f", v)
     val probesJson =

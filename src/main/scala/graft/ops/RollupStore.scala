@@ -345,6 +345,13 @@ object RollupStore {
       case Some((bNames, _, _))
           if bNames.toSet != live.map(_._2.getName).toSet =>
         GenerationalBatches.writeManifest(fs, dir)
+      // ABSENT or TORN (missing terminator, crashed delete-before-rename
+      // window) also heals — otherwise a sub-store that thereafter sees
+      // only no-commit ops (replayed ingests, janitor passes) would
+      // never regain its manifest and every read would pay the
+      // per-batch listing fallback forever
+      case None if live.nonEmpty =>
+        GenerationalBatches.writeManifest(fs, dir)
       case _ => ()
     }
 
@@ -396,6 +403,30 @@ object RollupStore {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
+  /** Collect stale stripes of grains that NO LONGER EXIST (dropped, or
+    * a crashed first ingest that never landed a dir) — the per-grain
+    * maintenance passes collect stale stripes only by acquiring them,
+    * which never happens for a grain nothing lists anymore. Usurps and
+    * releases through the lease rules, so a FRESH foreign stripe (a
+    * live op mid-first-ingest re-creating the grain) throws and is
+    * skipped, never deleted. */
+  private def collectOrphanStripes(fs: FileSystem, base: Path,
+      staleMs: Long): Unit = {
+    if (!fs.exists(base)) return
+    val liveGrainStripes = listGrainDirs(fs, base)
+      .map { case (g, _) => grainLeasePath(base, g).getName }.toSet
+    fs.listStatus(base).toSeq
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(StripePrefix) &&
+        !liveGrainStripes.contains(st.getPath.getName))
+      .foreach { st =>
+        try {
+          val t = graft.sources.Sinks.acquireLease(fs, st.getPath, staleMs)
+          graft.sources.Sinks.releaseLease(fs, st.getPath, t)
+        } catch { case _: IllegalStateException => () }
+      }
+  }
+
   /** STORE-GENESIS marker for grained stores: `_STORE_GENESIS` at the
     * root records the state family + layout fingerprint (grain column +
     * every column's name:type), written ONCE under its own root stripe
@@ -433,21 +464,45 @@ object RollupStore {
       .mkString("\n")
   }
 
+  /** Read the genesis fingerprint, refusing a TORN file: the last line
+    * is a completeness terminator (`e <fingerprint line count>`) under
+    * the same tear model as the manifest — on S3A a rename is a COPY,
+    * so a reader can observe a partially-copied file, and a crash
+    * mid-copy leaves a byte prefix behind. A missing or disagreeing
+    * terminator (torn copy, or a pre-terminator genesis from an older
+    * store) reads as ABSENT, which is SAFE: [[ensureGenesis]]'s None
+    * path re-derives the fingerprint under the genesis lease — from the
+    * store's own batches when any exist, so the store's family wins,
+    * never a torn read or a mismatched ingest — and rewrites the file
+    * complete. Without the terminator a torn genesis would brick every
+    * subsequent ingest on a fingerprint compare that can never match. */
   private def readGenesis(fs: FileSystem, base: Path): Option[String] =
     try {
       val in = fs.open(new Path(base, GenesisFile))
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n", -1).toSeq
+      if (lines.size < 2 || lines.last != s"e ${lines.size - 1}") None
+      else Some(lines.dropRight(1).mkString("\n"))
     } catch { case _: java.io.FileNotFoundException => None }
 
-  /** Publish by temp+rename like every other marker: complete or absent,
-    * never torn. */
+  /** Publish by temp+rename with a completeness terminator (see
+    * [[readGenesis]]): complete or observably-absent, never silently
+    * torn. The delete before the rename lets a heal REWRITE a torn or
+    * pre-terminator file (rename onto an existing path fails on HDFS);
+    * the brief absent window is serialized away by the genesis lease —
+    * a concurrent ingest's fast-path read of the window falls into its
+    * own None path and collides loudly on that lease. */
   private def writeGenesis(fs: FileSystem, base: Path, fp: String): Unit = {
     fs.mkdirs(base)
     val tmp = new Path(base, s".$GenesisFile.tmp")
     val out = fs.create(tmp, true)
-    try out.write(fp.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(base, GenesisFile)))
+    val terminated = fp + s"\ne ${fp.split("\n", -1).length}"
+    try out.write(terminated.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(base, GenesisFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"could not publish genesis in $base")
   }
 
@@ -803,6 +858,9 @@ object RollupStore {
     require(!keyCols.filterNot(_ == grainCol).contains(newGrainCol) &&
         newGrainCol != stateCol,
       s"new grain column $newGrainCol collides with an existing column")
+    require(targetPartitions >= 0,
+      s"targetPartitions must be positive (or 0 for auto-sizing from " +
+        s"input bytes), got $targetPartitions")
     val id = ingestId.getOrElse(
       s"regrain-into:${fsOf(spark, srcDir).makeQualified(new Path(srcDir))}")
     val foldKeys = keyCols.map(kc =>
@@ -828,7 +886,14 @@ object RollupStore {
     * janitor can run on any cadence. Pass the SAME `cleanupDelayMs` the
     * store's maintenance uses (a smaller value here shortens the real
     * horizon, as everywhere). Also sweeps crashed marker-less dirs and
-    * heals stale manifests, like any op's recovery. Grained stores sweep
+    * heals stale, torn, or MISSING manifests, like any op's recovery —
+    * plus the ROOT garbage no grain-scoped op reliably reaches: crashed
+    * `.ingest-*`/`.compact-*` stage dirs (a crashed fold's stage can
+    * hold a full copy of the folded bytes), crashed drop tombstones,
+    * and stale stripes of since-DROPPED grains (usurp-and-release;
+    * fresh foreign stripes are always skipped — root hygiene is
+    * store-wide, the `grains` filter scopes only the per-grain pass).
+    * Grained stores sweep
     * only the grains `grains` selects (one stripe each, so the janitor
     * never blocks disjoint maintenance and collides fail-fast with
     * overlapping work); flat stores sweep under the root lease. Returns
@@ -853,6 +918,20 @@ object RollupStore {
       healManifestIfStale(fs, dir, live)
       before - GenerationalBatches.batchDirs(fs, dir).size
     }
+    // ROOT hygiene first, before any stripe is held: crashed stage dirs
+    // (.ingest-*/.compact-* — a crashed fold's stage can hold a full
+    // copy of the folded bytes, the largest dead-byte class), crashed
+    // drop tombstones, and stale stripes of since-DROPPED grains (the
+    // per-grain pass below collects stale stripes only for grains that
+    // still list). All guarded exactly like an op's own sweep: a fresh
+    // foreign stripe defers young stage entries to that op, and a fresh
+    // orphan stripe (a live first ingest re-creating a grain) is
+    // skipped, never deleted. Store-wide on purpose — root garbage
+    // belongs to no grain, so the `grains` filter does not apply.
+    sweepStageDirs(fs, base, ".ingest-", Set.empty, leaseStaleMs)
+    sweepStageDirs(fs, base, ".compact-", Set.empty, leaseStaleMs)
+    sweepStageDirs(fs, base, ".dropped-", Set.empty, leaseStaleMs)
+    collectOrphanStripes(fs, base, leaseStaleMs)
     val targets = listGrainDirs(fs, base)
       .filter { case (v, _) => grains(v) }.sortBy(_._1)
     if (targets.isEmpty)

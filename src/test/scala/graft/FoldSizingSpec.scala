@@ -145,5 +145,12 @@ class FoldSizingSpec extends AnyFunSuite {
         BehavioralFunctions.funnel_state_combine, targetPartitions = -1)
     }
     assert(e.getMessage.contains("targetPartitions"))
+    // regrainInto shares the door (it must not silently auto-size)
+    val e2 = intercept[IllegalArgumentException] {
+      RollupStore.regrainInto(spark, base, base + "_dst", Seq("u", "day"),
+        "day", date_trunc("week", col("day")).cast("date"), "week",
+        BehavioralFunctions.funnel_state_combine, targetPartitions = -1)
+    }
+    assert(e2.getMessage.contains("targetPartitions"))
   }
 }
