@@ -1089,27 +1089,29 @@ object SparkEntry {
       val ev = events(s, dir)
       val base = sources.Sinks.scratchDir("q126_rollup") + "/store"
       sources.Sinks.clearDir(base)
-      val keys = Seq("user_id", "day")
+      val keys = Seq("user_id", "week")
       val cutoff = "2024-01-15"
       def states(i: Int) = ev
         .filter(pmod(xxhash64(col("ts")), lit(2)) === i)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
         .agg(BehavioralFunctions.funnel_state(col("ts"),
           col("event_type") === "view",
           col("event_type") === "click",
           col("event_type") === "purchase").as("state"))
-      ops.RollupStore.appendStatesByGrain(states(0), base, keys, "day")
-      ops.RollupStore.appendStatesByGrain(states(1), base, keys, "day")
+      ops.RollupStore.appendStatesByGrain(states(0), base, keys, "week")
+      ops.RollupStore.appendStatesByGrain(states(1), base, keys, "week")
       val liveBefore = ops.RollupStore.liveBatchCount(s, base)
       // (1) genesis gate: a retention-family batch must be refused
       // loudly, before any grain stripe is taken, store unchanged
       val wrong = ev
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
         .agg(BehavioralFunctions.retention_state(
           to_date(col("ts")) === lit("2024-01-01"),
           to_date(col("ts")) === lit("2024-01-02")).as("state"))
       val refusal =
-        try { ops.RollupStore.appendStatesByGrain(wrong, base, keys, "day")
+        try { ops.RollupStore.appendStatesByGrain(wrong, base, keys, "week")
               None }
         catch { case e: IllegalArgumentException => Option(e.getMessage) }
       require(refusal.exists(_.contains("genesis")),
@@ -1119,7 +1121,7 @@ object SparkEntry {
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sessionState.newHadoopConf())
       def grainDir(g: String) =
-        new org.apache.hadoop.fs.Path(base, s"day=$g")
+        new org.apache.hadoop.fs.Path(base, s"week=$g")
       def deadDirs(g: String): Int = {
         val d = grainDir(g)
         ops.GenerationalBatches.batchDirs(fs, d).size -
@@ -1163,8 +1165,8 @@ object SparkEntry {
         .map(rel => new org.apache.hadoop.fs.Path(grainDir(held), rel)
           .toUri.getPath)
         .toSet
-      val oneDay = ops.RollupStore.readGrains(s, base, _ == held)
-      require(oneDay.inputFiles.nonEmpty && oneDay.inputFiles.map(f =>
+      val oneWeek = ops.RollupStore.readGrains(s, base, _ == held)
+      require(oneWeek.inputFiles.nonEmpty && oneWeek.inputFiles.map(f =>
           new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet == manFiles,
         "a post-sweep read did not pin exactly its grain's manifest files")
       ops.RollupStore.readGrains(s, base)
@@ -1191,17 +1193,18 @@ object SparkEntry {
       val ev = events(s, dir)
       val base = sources.Sinks.scratchDir("q127_rollup") + "/store"
       sources.Sinks.clearDir(base)
-      val keys = Seq("user_id", "day")
+      val keys = Seq("user_id", "week")
       val cutoff = "2024-01-15"
       def states(i: Int) = ev
         .filter(pmod(xxhash64(col("ts")), lit(2)) === i)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
         .agg(BehavioralFunctions.funnel_state(col("ts"),
           col("event_type") === "view",
           col("event_type") === "click",
           col("event_type") === "purchase").as("state"))
-      ops.RollupStore.appendStatesByGrain(states(0), base, keys, "day")
-      ops.RollupStore.appendStatesByGrain(states(1), base, keys, "day")
+      ops.RollupStore.appendStatesByGrain(states(0), base, keys, "week")
+      ops.RollupStore.appendStatesByGrain(states(1), base, keys, "week")
       // two plans pinned BEFORE the fold: explicit pre-fold file lists
       val snapHigh = ops.RollupStore.readGrains(s, base, _ >= cutoff)
       val doomedLow = ops.RollupStore.readGrains(s, base, _ < cutoff)
