@@ -113,6 +113,19 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   * (or of the whole — still small — store when flat), and queries never
   * touch the log.
   */
+/** One row of [[RollupStore.stats]]: the metadata a maintenance
+  * scheduler or capacity dashboard reads per sub-store. `grain` is the
+  * grain value, or the empty string for a flat store's root. */
+case class StoreGrainStats(
+    grain: String,
+    live_batches: Int,
+    dead_dirs: Int,
+    data_files: Int,
+    bytes: Long,
+    dead_bytes: Long,
+    ingest_ids: Int,
+    manifest: String)
+
 object RollupStore {
 
   import org.apache.hadoop.fs.{FileSystem, Path}
@@ -1105,6 +1118,55 @@ object RollupStore {
     if (grains.isEmpty) GenerationalBatches.liveBatches(fs, base).size
     else grains.map { case (_, g) =>
       GenerationalBatches.liveBatches(fs, g).size }.sum
+  }
+
+  /** Per-sub-store METADATA inventory — the observability view a
+    * maintenance scheduler or capacity dashboard reads: one row per
+    * grain (flat store: one row with `grain = ""`) with the live batch
+    * count, the folded-but-not-yet-swept dir count and their DEAD BYTES
+    * (what [[sweepExpired]] reclaims once the grace horizon passes —
+    * the number that decides the janitor's cadence), the data files and
+    * bytes currently served, the distinct ingest ids carried (replay-
+    * guard growth), and the manifest's state (`ok` — matches the live
+    * listing; `stale` — one op behind, readers serve the previous
+    * snapshot; `absent` — listing fallback in effect, healed by the
+    * next op; `none` — empty sub-store). Metadata-only: listings plus
+    * one manifest read per grain, resolved on the same bounded driver
+    * pool as [[readGrains]]; no Spark job, no lease — numbers can move
+    * under a concurrent op, which is fine for a dashboard and wrong for
+    * a commit decision (the marker protocol stays the truth). */
+  def stats(spark: SparkSession, baseDir: String): DataFrame = {
+    val fs = fsOf(spark, baseDir)
+    val base = new Path(baseDir)
+    def one(grain: String, dir: Path): StoreGrainStats = {
+      val committed = GenerationalBatches.committedBatches(fs, dir)
+      val deadNames = GenerationalBatches.foldedDirs(fs, committed)
+      val (dead, live) = committed.partition { case (_, p) =>
+        deadNames.contains(p.getName) }
+      def filesOf(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+        val states = new Path(p, "states")
+        if (!fs.exists(states)) Seq.empty
+        else fs.listStatus(states).toSeq.filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      }
+      val liveFiles = live.flatMap { case (_, p) => filesOf(p) }
+      val manifest = GenerationalBatches.readManifest(fs, dir) match {
+        case None => if (committed.isEmpty) "none" else "absent"
+        case Some((b, _, _)) =>
+          if (b.toSet == live.map(_._2.getName).toSet) "ok" else "stale"
+      }
+      StoreGrainStats(grain, live.size, dead.size, liveFiles.size,
+        liveFiles.map(_.getLen).sum,
+        dead.flatMap { case (_, p) => filesOf(p) }.map(_.getLen).sum,
+        GenerationalBatches.seenIngestIds(fs, live).size, manifest)
+    }
+    val grains = listGrainDirs(fs, base).sortBy(_._1)
+    val rows =
+      if (grains.isEmpty) Seq(one("", base))
+      else inParallel(grains) { case (g, gdir) => one(g, gdir) }
+    spark.createDataFrame(rows)
   }
 
   // ---- shared internals ----------------------------------------------

@@ -119,6 +119,52 @@ class StoreHygieneSpec extends AnyFunSuite {
       GenerationalBatches.liveBatches(fs, gdir).map(_._2.getName).toSet)
   }
 
+  test("stats: live/dead counts, dead bytes, manifest state, per grain") {
+    val base = fresh("stats")
+    ingest(base, 0)
+    ingest(base, 1)
+    val grace = 10L * 60 * 1000
+    val weeks = RollupStore.grainValues(spark, base)
+    RollupStore.compactGrains(spark, base, Seq("u", "day"),
+      BehavioralFunctions.funnel_state_combine,
+      grains = _ == weeks.head, cleanupDelayMs = grace)
+    def byGrain = RollupStore.stats(spark, base).collect()
+      .map(r => r.getAs[String]("grain") -> r).toMap
+    val s0 = byGrain
+    val folded = s0(weeks.head)
+    assert(folded.getAs[Int]("live_batches") == 1 &&
+      folded.getAs[Int]("dead_dirs") == 2 &&
+      folded.getAs[Long]("dead_bytes") > 0 &&
+      folded.getAs[String]("manifest") == "ok",
+      s"folded grain stats wrong: $folded")
+    weeks.tail.foreach { g =>
+      assert(s0(g).getAs[Int]("live_batches") == 2 &&
+        s0(g).getAs[Int]("dead_dirs") == 0 &&
+        s0(g).getAs[String]("manifest") == "ok", s"grain $g: ${s0(g)}")
+    }
+    // an absent manifest is reported, not healed (stats is read-only)
+    val fs = fsFor(base)
+    val gdir = new Path(base, s"day=${weeks.head}")
+    fs.delete(new Path(gdir, GenerationalBatches.Manifest), false)
+    assert(byGrain(weeks.head).getAs[String]("manifest") == "absent")
+    assert(GenerationalBatches.readManifest(fs, gdir).isEmpty,
+      "stats must not mutate the store")
+    // after the janitor: dead bytes reclaimed, manifest healed
+    RollupStore.sweepExpired(spark, base, 0L)
+    val s1 = byGrain
+    assert(s1(weeks.head).getAs[Int]("dead_dirs") == 0 &&
+      s1(weeks.head).getAs[Long]("dead_bytes") == 0L &&
+      s1(weeks.head).getAs[String]("manifest") == "ok",
+      s"post-sweep stats wrong: ${s1(weeks.head)}")
+    // flat store: one row, empty grain value
+    val flat = fresh("stats_flat")
+    RollupStore.appendStates(dayStates(slice(0)), flat, Seq("u", "day"))
+    val rows = RollupStore.stats(spark, flat).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("grain") == "" &&
+      rows.head.getAs[Int]("live_batches") == 1 &&
+      rows.head.getAs[String]("manifest") == "ok")
+  }
+
   test("sweepExpired clears stale root garbage, spares fresh artifacts") {
     val base = fresh("root_garbage")
     ingest(base, 0)
