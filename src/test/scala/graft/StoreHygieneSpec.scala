@@ -156,13 +156,45 @@ class StoreHygieneSpec extends AnyFunSuite {
       s1(weeks.head).getAs[Long]("dead_bytes") == 0L &&
       s1(weeks.head).getAs[String]("manifest") == "ok",
       s"post-sweep stats wrong: ${s1(weeks.head)}")
-    // flat store: one row, empty grain value
+    // flat store: one grain row (empty value) + the store-level root row
     val flat = fresh("stats_flat")
     RollupStore.appendStates(dayStates(slice(0)), flat, Seq("u", "day"))
     val rows = RollupStore.stats(spark, flat).collect()
-    assert(rows.length == 1 && rows.head.getAs[String]("grain") == "" &&
-      rows.head.getAs[Int]("live_batches") == 1 &&
-      rows.head.getAs[String]("manifest") == "ok")
+      .map(r => r.getAs[String]("grain") -> r).toMap
+    assert(rows.size == 2 && rows.contains("") &&
+      rows.contains(RollupStore.StatsRootGrain))
+    assert(rows("").getAs[Int]("live_batches") == 1 &&
+      rows("").getAs[String]("manifest") == "ok")
+  }
+
+  test("stats' root row inventories crashed stage bytes; sweepIfWorthIt gates the janitor on them") {
+    val base = fresh("stats_root")
+    ingest(base, 0)
+    val fs = fsFor(base)
+    // a crashed fold's stage dir holding real bytes — the largest
+    // dead-byte class, invisible to the per-grain rows (ADVICE r18)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    val crashed = new Path(base, ".compact-crashed")
+    fs.mkdirs(crashed)
+    val out = fs.create(new Path(crashed, "part-0.parquet"), true)
+    try out.write(Array.fill[Byte](4096)(7)) finally out.close()
+    fs.setTimes(crashed, old, old)
+    def rootRow = RollupStore.stats(spark, base).collect()
+      .find(_.getAs[String]("grain") == RollupStore.StatsRootGrain).get
+    val r0 = rootRow
+    assert(r0.getAs[Int]("dead_dirs") == 1 &&
+      r0.getAs[Long]("dead_bytes") >= 4096L &&
+      r0.getAs[String]("manifest") == "root", s"root row wrong: $r0")
+    // below threshold: the janitor SKIPS (the stage dir survives) …
+    assert(RollupStore.sweepIfWorthIt(spark, base, 0L,
+      minDeadBytes = 1L << 20) == 0)
+    assert(fs.exists(crashed), "a skipped sweep must not delete anything")
+    // … at-or-below the inventory: it sweeps, and the root row zeroes
+    RollupStore.sweepIfWorthIt(spark, base, 0L, minDeadBytes = 4096L)
+    assert(!fs.exists(crashed), "the gated sweep must clear stale stages")
+    val r1 = rootRow
+    assert(r1.getAs[Int]("dead_dirs") == 0 &&
+      r1.getAs[Long]("dead_bytes") == 0L, s"post-sweep root row: $r1")
   }
 
   test("sweepExpired clears stale root garbage, spares fresh artifacts") {
