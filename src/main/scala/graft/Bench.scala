@@ -308,7 +308,21 @@ object Bench {
           System.err.println(f"[bench] probing $name (sec $sec%.2f vs prev " +
             f"${prevQ.getOrElse(short(name), Double.NaN)}%.2f, " +
             f"floor-rel ${floorRel(name, sec)}%.2f)")
-          val (iso, isoFloor) = isolatedMed(name)
+          var (iso, isoFloor) = isolatedMed(name)
+          // a probe child whose OWN floor reads >2x the main pass's is
+          // itself contended — its mover number adjudicates nothing
+          // (observed: a mid-pass host burst put one child's floor at
+          // 3x and its mover at 9x the idle-host hand-run). One retry,
+          // keeping whichever attempt saw the calmer host.
+          if (!isoFloor.isNaN && floor.exists(f => isoFloor > 2 * f) &&
+              System.currentTimeMillis() < deadline) {
+            System.err.println(f"[bench] probe $name child floor " +
+              f"$isoFloor%.4f > 2x main floor — contended child, retrying")
+            val (iso2, isoFloor2) = isolatedMed(name)
+            if (!isoFloor2.isNaN && (isoFloor.isNaN || isoFloor2 < isoFloor)) {
+              iso = iso2; isoFloor = isoFloor2
+            }
+          }
           System.err.println(
             f"[bench] probe $name isolated med $iso%.2f s (child floor $isoFloor%.4f)")
           Some((short(name), sec,
