@@ -12,8 +12,56 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** The host-floor anchor: a pure no-shuffle codegen'd scan whose time
     * is the per-query floor of the machine at that moment. Every
-    * cross-round comparison normalizes by it (see `floorRel`). */
-  private val FloorQuery = "q12_text_stats"
+    * cross-round comparison normalizes by it (see [[floorRelOf]]). */
+  private[graft] val FloorQuery = "q12_text_stats"
+
+  /** Short query key: `q12_text_stats` -> `q12` — the compact line's
+    * namespace, also how prev-round maps are keyed regardless of which
+    * record (full-name detail vs short-name tail) they came from. */
+  private[graft] def short(n: String): String = n.takeWhile(_ != '_')
+
+  /** Parse (per-query seconds keyed by SHORT name, floor_sec) out of a
+    * bench record — either the BENCH_DETAIL.json line or a driver
+    * BENCH_r*.json tail (already unescaped). The queries object taken
+    * is the LAST `"queries":{...}` in the text: a clipped tail loses
+    * its HEAD, so the last occurrence is the one that survived whole;
+    * same rule for floor_sec. Empty map / NaN when absent. */
+  private[graft] def parseQueriesAndFloor(
+      text: String): (Map[String, Double], Double) = {
+    val blocks = "\"queries\":\\{([^}]*)\\}".r.findAllMatchIn(text).toSeq
+    val qs =
+      if (blocks.isEmpty) Map.empty[String, Double]
+      else "\"(q\\w+)\":(-?\\d+(?:\\.\\d+)?)".r
+        .findAllMatchIn(blocks.last.group(1))
+        .map(m => short(m.group(1)) -> m.group(2).toDouble).toMap
+    val fl = "\"floor_sec\":(-?[\\d.]+)".r.findAllMatchIn(text).toSeq
+      .lastOption.map(_.group(1).toDouble).getOrElse(Double.NaN)
+    (qs, fl)
+  }
+
+  /** Does a record's recorded sf match this run's sf dir? Accepts a
+    * full path ("/root/testdata/sf0.1"), a basename ("sf0.1"), or the
+    * driver header's bare number ("0.1"). A prev record at a DIFFERENT
+    * scale factor is not a baseline — comparing sf0.01 numbers against
+    * an sf0.1 run would fire a spurious probe per query. */
+  private[graft] def sfMatches(recorded: String, sfDir: String): Boolean = {
+    val mine = new java.io.File(sfDir).getName
+    new java.io.File(recorded).getName == mine || ("sf" + recorded) == mine
+  }
+
+  /** This round's floor-ratio over the previous round's: the host term
+    * cancels when both floors are present (a uniformly slower machine
+    * moves sec and floor together), leaving pure per-query movement;
+    * with either floor missing it degrades to the absolute ratio
+    * (better than probing nothing). NaN when prev is missing, tiny
+    * (<= 0.05 s — below that the ratio is noise), or sec is invalid. */
+  private[graft] def floorRelOf(sec: Double, prev: Double,
+      floorNow: Double, prevFloor: Double): Double = {
+    if (prev.isNaN || prev <= 0.05 || sec <= 0) return Double.NaN
+    if (!floorNow.isNaN && floorNow > 0 && !prevFloor.isNaN && prevFloor > 0)
+      (sec / floorNow) / (prev / prevFloor)
+    else sec / prev
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,7 +175,6 @@ object Bench {
     def jf(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
     def num(v: Double): String = if (v.isNaN) "-1" else v.toString
-    def short(n: String) = n.takeWhile(_ != '_')
 
     // ROUND-OVER-ROUND SELF-ADJUDICATION (VERDICT r17 #3, r18 #2): any
     // query whose FLOOR-RELATIVE time moved >2x against the previous
@@ -149,27 +196,13 @@ object Bench {
     // (a local sf0.01 iteration must not become sf0.1's baseline).
     // Fallback: the newest BENCH_r*.json driver capture, whose tail
     // keeps the compact line (short names).
-    def parseQueriesAndFloor(text: String): (Map[String, Double], Double) = {
-      val blocks = "\"queries\":\\{([^}]*)\\}".r.findAllMatchIn(text).toSeq
-      val qs =
-        if (blocks.isEmpty) Map.empty[String, Double]
-        else "\"(q\\w+)\":(-?\\d+(?:\\.\\d+)?)".r
-          .findAllMatchIn(blocks.last.group(1))
-          .map(m => short(m.group(1)) -> m.group(2).toDouble).toMap
-      val fl = "\"floor_sec\":(-?[\\d.]+)".r.findAllMatchIn(text).toSeq
-        .lastOption.map(_.group(1).toDouble).getOrElse(Double.NaN)
-      (qs, fl)
-    }
     def prevRound: (Map[String, Double], Double) = {
       val detail = new java.io.File("BENCH_DETAIL.json")
       if (detail.isFile) {
         val text = new String(
           java.nio.file.Files.readAllBytes(detail.toPath), "UTF-8")
-        // the detail record stores the full sfDir path; match on the
-        // basename so /root/testdata/sf0.1 == sf0.1
         val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(text)
-          .exists(m => new java.io.File(m.group(1)).getName ==
-            new java.io.File(sfDir).getName)
+          .exists(m => sfMatches(m.group(1), sfDir))
         if (sfOk) {
           val parsed = parseQueriesAndFloor(text)
           if (parsed._1.nonEmpty) return parsed
@@ -183,20 +216,13 @@ object Bench {
         "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
       // the tail blob is a JSON-escaped string (quotes arrive as \") —
       // unescape before matching; the COMPACT line's queries object is
-      // the LAST one in the text. Same sf guard as the detail path:
-      // prev numbers from a different scale factor are not a baseline
-      // (they would fire a spurious probe per query).
+      // the LAST one in the text. Same sf guard as the detail path
+      // (the driver's own header records bare numbers — "sf": 0.1).
       val text = new String(
         java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
         .replace("\\\"", "\"")
       val sfOk = "\"sf\":\\s*\"?([^\",}]*)\"?".r.findAllMatchIn(text).toSeq
-        .lastOption.exists { m =>
-          val v = m.group(1)
-          val mine = new java.io.File(sfDir).getName
-          new java.io.File(v).getName == mine ||
-            // the driver's own header records bare numbers ("sf": 0.1)
-            ("sf" + v) == mine
-        }
+        .lastOption.exists(m => sfMatches(m.group(1), sfDir))
       if (!sfOk) return (Map.empty, Double.NaN)
       parseQueriesAndFloor(text)
     }
@@ -252,19 +278,11 @@ object Bench {
       case (FloorQuery, s, _, _, _, _) if s > 0 => s }
     val (prevQ, prevFloor) = if (isProbe) (Map.empty[String, Double],
       Double.NaN) else prevRound
-    // this-round floor-ratio / prev-round floor-ratio; 1.0 when either
-    // side is missing. Both floors present => the host term cancels and
-    // this is pure per-query movement; floors missing => falls back to
-    // the absolute ratio (better than probing nothing)
-    def floorRel(name: String, sec: Double): Double = {
-      val p = prevQ.getOrElse(short(name), Double.NaN)
-      if (p.isNaN || p <= 0.05 || sec <= 0) return Double.NaN
-      val norm =
-        if (floor.nonEmpty && !prevFloor.isNaN && prevFloor > 0)
-          (sec / floor.get) / (p / prevFloor)
-        else sec / p
-      norm
-    }
+    // this-round floor-ratio / prev-round floor-ratio — see
+    // [[floorRelOf]] for the arithmetic and its degradations
+    def floorRel(name: String, sec: Double): Double =
+      floorRelOf(sec, prevQ.getOrElse(short(name), Double.NaN),
+        floor.getOrElse(Double.NaN), prevFloor)
     def moveRatio(name: String, sec: Double): Double = {
       val r = floorRel(name, sec)
       if (r.isNaN) 1.0 else math.max(r, 1.0 / r)
@@ -336,14 +354,15 @@ object Bench {
         Seq.empty
     }
     def probeNum(v: Double): String = if (v.isNaN) "-1" else jf("%.2f", v)
-    val probesJson =
-      if (probes.isEmpty) ""
-      else probes.map { case (k, sec, p, iso, isoFloor) =>
+    def probesJsonOf(ps: Seq[(String, Double, Double, Double, Double)]): String =
+      if (ps.isEmpty) ""
+      else ps.map { case (k, sec, p, iso, isoFloor) =>
         "\"" + k + "\":{\"sec\":" + probeNum(sec) + ",\"prev\":" +
           probeNum(p) + ",\"isolated\":" + probeNum(iso) +
           ",\"iso_floor\":" + (if (isoFloor.isNaN) "-1"
             else jf("%.4f", isoFloor)) + "}"
       }.mkString(",\"probes\":{", ",", "}")
+    val probesJson = probesJsonOf(probes)
     val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, mn, mx, med, unstable) =>
@@ -440,9 +459,12 @@ object Bench {
     // probes go on their OWN line just before the compact line: the
     // driver keeps the last 2000 chars of output, and a separate line
     // degrades gracefully (its head clips first) instead of pushing the
-    // compact line's head out of the tail window
+    // compact line's head out of the tail window. The stdout line lists
+    // probes in REVERSE significance order — head-clipping then eats
+    // the least significant movers first, and the biggest (nearest the
+    // tail) survive; BENCH_DETAIL.json keeps the full ordered set.
     if (probesJson.nonEmpty)
-      println(s"""{"metric":"probes"$probesJson}""")
+      println(s"""{"metric":"probes"${probesJsonOf(probes.reverse)}}""")
     println(compact)
     spark.stop() // idempotent if the probe pass already stopped it
     if (errors.nonEmpty) sys.exit(1)
