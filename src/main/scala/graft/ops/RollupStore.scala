@@ -388,6 +388,10 @@ object RollupStore {
   private[graft] def grainLeasePath(base: Path, grain: String): Path =
     new Path(base, s"$StripePrefix${hexOf(grain)}")
 
+  /** Root stage/tombstone dir prefixes — what [[sweepExpired]]'s root
+    * pass deletes when stale and what [[stats]]'s `<root>` row counts. */
+  private val StageDirPrefixes = Seq(".ingest-", ".compact-", ".dropped-")
+
   /** Delete hidden garbage dirs (`.ingest-*` / `.compact-*` stages,
     * `.dropped-*` tombstones) a crashed earlier maintenance run left
     * behind — hygiene under the caller's stripes. Never served either
@@ -398,10 +402,6 @@ object RollupStore {
     * its lease and is usurpable anyway — size `staleMs` to the job);
     * with no foreign stripe present, no concurrent grained op exists and
     * everything matching is garbage. */
-  /** Root stage/tombstone dir prefixes — what [[sweepExpired]]'s root
-    * pass deletes when stale and what [[stats]]'s `<root>` row counts. */
-  private val StageDirPrefixes = Seq(".ingest-", ".compact-", ".dropped-")
-
   private def sweepStageDirs(fs: FileSystem, base: Path, prefix: String,
       heldGrains: Set[String], staleMs: Long): Unit = {
     if (!fs.exists(base)) return
