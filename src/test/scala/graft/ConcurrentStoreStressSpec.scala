@@ -105,7 +105,17 @@ class ConcurrentStoreStressSpec extends AnyFunSuite {
                   targetPartitions = 2))
               }
               if (trnd.nextInt(3) == 0)
-                retry(RollupStore.sweepExpired(spark, base, 0L))
+                // half the janitor passes go through the cadence gate:
+                // its statsRows read runs with NO lease while the other
+                // threads rename/commit/delete — the dashboard must
+                // tolerate any interleaving (minDeadBytes=1 sweeps when
+                // anything is reclaimable, so both the read-only skip
+                // and the gated sweep get stressed)
+                retry(
+                  if (trnd.nextBoolean())
+                    RollupStore.sweepIfWorthIt(spark, base, 0L,
+                      minDeadBytes = 1L)
+                  else RollupStore.sweepExpired(spark, base, 0L))
             }
             // a REPLAY mid-contention: the same id must be a committed
             // no-op even while other threads mutate disjoint grains
