@@ -84,4 +84,20 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.short("q127_rollup_store_snapshot_reader") == "q127")
     assert(Bench.short("q12") == "q12")
   }
+
+  test("the committed BENCH_DETAIL.json parses as a usable baseline") {
+    // the artifact the next round's probe trigger reads — a broken
+    // commit of it would silently disable round-over-round adjudication
+    val f = new java.io.File("BENCH_DETAIL.json")
+    assume(f.isFile, "no committed detail record in this checkout")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val (qs, floor) = Bench.parseQueriesAndFloor(text)
+    assert(qs.size >= 100,
+      s"committed detail has only ${qs.size} queries — clobbered by a filtered run?")
+    assert(!floor.isNaN && floor > 0 && floor < 10,
+      s"committed detail floor_sec is unusable: $floor")
+    assert(qs.contains(Bench.short(Bench.FloorQuery)),
+      "the floor query itself is missing from the committed record")
+  }
 }
