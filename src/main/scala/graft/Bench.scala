@@ -12,47 +12,125 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** The host-floor anchor: a pure no-shuffle codegen'd scan whose time
     * is the per-query floor of the machine at that moment. Every
-    * cross-round comparison normalizes by it (see [[floorRelOf]]). */
+    * cross-round comparison normalizes by it (see [[floorRelOf]]) —
+    * except the parallel-shaped families, which track [[FloorQuery2]]. */
   private[graft] val FloorQuery = "q12_text_stats"
+
+  /** The PARALLEL-SHAPED anchor (VERDICT r19 #2): a plain groupBy-count
+    * shuffle over the events table — one map-side partial, one
+    * 32-partition exchange, one final aggregate, no behavioral code.
+    * A single scalar floor cannot represent non-uniform contention: the
+    * r19 capture's scan floor read 0.93x the previous round while the
+    * streaming family read 2-5x slower, because contention hit the
+    * multithreaded shuffle/state-store/fsync paths the scan never
+    * touches. Queries in [[Floor2Queries]] normalize by this anchor. */
+  private[graft] val FloorQuery2 = "q128_floor_shuffle"
+
+  /** Short names of the queries whose wall time is dominated by parallel
+    * infrastructure — micro-batch state stores and their commit-log
+    * fsyncs (the streaming family), store-protocol metadata passes and
+    * many small jobs (the rollup-store and incremental families) —
+    * rather than a single codegen pipeline. Their round-over-round
+    * comparison uses the [[FloorQuery2]] anchor; everything else uses
+    * the scan floor. Both anchors self-normalize (an anchor compared
+    * against itself is 1.0 by construction). */
+  private[graft] val Floor2Queries: Set[String] =
+    (Set(71, 72) ++ (77 to 84) ++ Set(106, 107) ++ (118 to 128))
+      .map("q" + _)
 
   /** Short query key: `q12_text_stats` -> `q12` — the compact line's
     * namespace, also how prev-round maps are keyed regardless of which
     * record (full-name detail vs short-name tail) they came from. */
   private[graft] def short(n: String): String = n.takeWhile(_ != '_')
 
-  /** Parse (per-query seconds keyed by SHORT name, floor_sec) out of a
-    * bench record — either the BENCH_DETAIL.json line or a driver
-    * BENCH_r*.json tail (already unescaped). The queries object taken
-    * is the LAST `"queries":{...}` in the text: a clipped tail loses
-    * its HEAD, so the last occurrence is the one that survived whole;
-    * same rule for floor_sec. Empty map / NaN when absent. */
-  private[graft] def parseQueriesAndFloor(
-      text: String): (Map[String, Double], Double) = {
+  /** One parsed bench record: per-query seconds keyed by SHORT name plus
+    * the record's own two floor anchors (NaN when absent — records from
+    * before round 20 carry no `floor2_sec`). */
+  private[graft] final case class BenchRec(
+      queries: Map[String, Double], floor: Double, floor2: Double)
+
+  /** Parse a bench record — either the BENCH_DETAIL.json line or a
+    * driver BENCH_r*.json tail (already unescaped). The queries object
+    * taken is the LAST `"queries":{...}` in the text: a clipped tail
+    * loses its HEAD, so the last occurrence is the one that survived
+    * whole; same rule for the floors. Empty map / NaN when absent. */
+  private[graft] def parseQueriesAndFloor(text: String): BenchRec = {
     val blocks = "\"queries\":\\{([^}]*)\\}".r.findAllMatchIn(text).toSeq
     val qs =
       if (blocks.isEmpty) Map.empty[String, Double]
       else "\"(q\\w+)\":(-?\\d+(?:\\.\\d+)?)".r
         .findAllMatchIn(blocks.last.group(1))
         .map(m => short(m.group(1)) -> m.group(2).toDouble).toMap
-    val fl = "\"floor_sec\":(-?[\\d.]+)".r.findAllMatchIn(text).toSeq
-      .lastOption.map(_.group(1).toDouble).getOrElse(Double.NaN)
-    (qs, fl)
+    def lastNum(key: String): Double =
+      ("\"" + key + "\":(-?[\\d.]+)").r.findAllMatchIn(text).toSeq
+        .lastOption.map(_.group(1).toDouble).getOrElse(Double.NaN)
+    BenchRec(qs, lastNum("floor_sec"), lastNum("floor2_sec"))
   }
 
   /** Does a record's recorded sf match this run's sf dir? Accepts a
     * full path ("/root/testdata/sf0.1"), a basename ("sf0.1"), or the
     * driver header's bare number ("0.1"). A prev record at a DIFFERENT
     * scale factor is not a baseline — comparing sf0.01 numbers against
-    * an sf0.1 run would fire a spurious probe per query. */
+    * an sf0.1 run would fire a spurious probe per query. When BOTH
+    * sides carry a directory the full paths must also agree (ADVICE
+    * r19): a /tmp/sf0.1 local fixture is not /root/testdata/sf0.1's
+    * baseline even though the basenames — the scale identity for
+    * bare-name records like the driver's header — coincide. */
   private[graft] def sfMatches(recorded: String, sfDir: String): Boolean = {
     val mine = new java.io.File(sfDir).getName
-    new java.io.File(recorded).getName == mine || ("sf" + recorded) == mine
+    val byName =
+      new java.io.File(recorded).getName == mine || ("sf" + recorded) == mine
+    if (byName && recorded.contains('/') && sfDir.contains('/'))
+      new java.io.File(recorded).getAbsolutePath ==
+        new java.io.File(sfDir).getAbsolutePath
+    else byName
   }
 
-  /** This round's floor-ratio over the previous round's: the host term
-    * cancels when both floors are present (a uniformly slower machine
-    * moves sec and floor together), leaving pure per-query movement;
-    * with either floor missing it degrades to the absolute ratio
+  /** The floor anchor a query tracks, out of a record's pair: the
+    * parallel-shaped families take `floor2` when the record carries one
+    * (pre-round-20 records don't — they degrade to the scan floor, so
+    * old baselines stay usable); everything else takes `floor`. */
+  private[graft] def anchorOf(
+      name: String, floor: Double, floor2: Double): Double =
+    if (Floor2Queries(short(name)) && !floor2.isNaN && floor2 > 0) floor2
+    else floor
+
+  /** COMPOSITE per-query baseline (VERDICT r19 #1): for each query, the
+    * entry with the MINIMUM anchor-relative time across several recent
+    * records. One contended capture must not become the baseline — the
+    * r19 driver capture recorded q71 at 10.07 s where a same-host
+    * hand-run read 2.66 s; had that record alone been next round's
+    * baseline, a real 3-4x streaming regression would have read as an
+    * improvement. Taking the per-query minimum RATIO (seconds over the
+    * record's own anchor, so each entry stays coherent with the floors
+    * it was measured beside) means an inflated record loses to any
+    * quieter one, and the surviving baseline is the hardest to beat —
+    * the trigger errs toward firing, never toward masking. Entries with
+    * no usable anchor fall back to minimum absolute seconds. */
+  private[graft] def compositeBaseline(
+      recs: Seq[BenchRec]): Map[String, (Double, Double, Double)] = {
+    val entries = recs.flatMap { r =>
+      r.queries.toSeq.map { case (q, s) => q -> (s, r.floor, r.floor2) }
+    }
+    entries.groupBy(_._1).map { case (q, es) =>
+      val cands = es.map(_._2).filter(_._1 > 0)
+      def ratio(e: (Double, Double, Double)): Double = {
+        val a = anchorOf(q, e._2, e._3)
+        if (a.isNaN || a <= 0) Double.NaN else e._1 / a
+      }
+      val anchored = cands.filter(e => !ratio(e).isNaN)
+      val best =
+        if (anchored.nonEmpty) anchored.minBy(ratio)
+        else if (cands.nonEmpty) cands.minBy(_._1)
+        else es.head._2
+      q -> best
+    }
+  }
+
+  /** This round's anchor-ratio over the baseline's: the host term
+    * cancels when both anchors are present (a uniformly slower machine
+    * moves sec and anchor together), leaving pure per-query movement;
+    * with either anchor missing it degrades to the absolute ratio
     * (better than probing nothing). NaN when prev is missing, tiny
     * (<= 0.05 s — below that the ratio is noise), or sec is invalid. */
   private[graft] def floorRelOf(sec: Double, prev: Double,
@@ -63,15 +141,97 @@ object Bench {
     else sec / prev
   }
 
+  /** JSON numeric formatting MUST be locale-independent: the
+    * f-interpolator delegates to String.format under the JVM default
+    * locale, which emits comma decimals (invalid JSON) under e.g.
+    * de_DE. */
+  private[graft] def jf(fmt: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
+
+  /** One rung of the compact line's degrade ladder: per-query seconds at
+    * `prec` decimals, both floors, the unstable list capped at
+    * `maxUnstable` entries (the remainder as a count), the first five
+    * errors unless `dropErrors` (then just their count). */
+  private[graft] def compactJson(prec: Int, total: Double,
+      entries: Seq[(String, Double)], unstable: Seq[String],
+      errors: Seq[(String, String)], floor: Option[Double],
+      floor2: Option[Double], sfName: String,
+      dropErrors: Boolean, maxUnstable: Int): String = {
+    def numC(v: Double): String = if (v.isNaN) "-1" else jf(s"%.${prec}f", v)
+    val cQs = entries.map { case (k, v) => "\"" + short(k) + "\":" + numC(v) }
+      .mkString("{", ",", "}")
+    val kept = unstable.take(maxUnstable)
+    val cUnstable = kept.map("\"" + short(_) + "\"").mkString("[", ",", "]") +
+      (if (unstable.size > kept.size)
+         ",\"unstable_more\":" + (unstable.size - kept.size)
+       else "")
+    val cErr =
+      if (errors.isEmpty) ""
+      else if (dropErrors) ",\"errors_n\":" + errors.size
+      else errors.take(5).map { case (k, v) =>
+        "\"" + short(k) + "\":\"" + v.take(40) + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    val cFloor = floor.map(f => ",\"floor_sec\":" + jf("%.4f", f))
+      .getOrElse("") +
+      floor2.map(f => ",\"floor2_sec\":" + jf("%.4f", f)).getOrElse("")
+    s"""{"metric":"total","value":${jf("%.2f", total)},"unit":"sec","queries":$cQs$cFloor,"unstable":$cUnstable$cErr,"sf":"$sfName"}"""
+  }
+
+  private[graft] val CompactBudget = 1850
+
+  /** Pick the first ladder rung that fits the budget. The rungs only
+    * remove or shorten content, and the final rung (precision 0, errors
+    * as a count, unstable as a count) stays under the budget up to
+    * ~160 queries — the backstop warning fires only if the suite ever
+    * outgrows even that, and then the oversized final rung is emitted
+    * anyway (the committed BENCH_DETAIL.json is the full record either
+    * way; a long line merely risks the driver tail clipping its head,
+    * which [[parseQueriesAndFloor]]'s last-occurrence rule tolerates). */
+  private[graft] def fitCompact(steps: Seq[() => String],
+      budget: Int = CompactBudget,
+      warn: String => Unit = m => System.err.println(m)): String =
+    steps.view.map(_.apply()).find(_.length <= budget).getOrElse {
+      val last = steps.last()
+      warn(s"[bench] WARNING: compact line ${last.length} chars exceeds " +
+        s"the $budget budget even fully degraded — the driver tail may " +
+        "clip its head")
+      last
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Streaming state-store checkpoints go to a ramdisk when one exists
+    // (VERDICT r19 #3): every micro-batch writes offset/commit WAL files
+    // and state-store deltas with fsync, and on a contended disk that
+    // latency dominated the streaming family's max/min spread (r19
+    // capture: q78 min 4.29 / max 12.41 on untouched code). Harness
+    // plumbing only — the queries and their oracles are unchanged, and
+    // Verify keeps Spark's default temp checkpoint location.
+    val ckptBase: Option[java.io.File] = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm,
+          s"graft_bench_ckpt_${ProcessHandle.current().pid()}")
+        if (d.mkdirs() || d.isDirectory) Some(d) else None
+      } else None
+    }
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+      ()
+    }
+    // shutdown hook, not finally: the error path exits via sys.exit(1)
+    ckptBase.foreach(d => Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRec(d))))
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    val spark = ckptBase.fold(builder0)(d => builder0
+      .config("spark.sql.streaming.checkpointLocation", d.getAbsolutePath))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: spin up executors/codegen, and cache the shared input tables —
@@ -169,34 +329,29 @@ object Bench {
         errors.get(name).map(m => s" ERROR: $m").getOrElse(""))
       (name, sec, mn, mx, med, unstable)
     }
-    // JSON numeric formatting MUST be locale-independent: the f-interpolator
-    // delegates to String.format under the JVM default locale, which emits
-    // comma decimals (invalid JSON) under e.g. de_DE
-    def jf(fmt: String, v: Double): String =
-      String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
     def num(v: Double): String = if (v.isNaN) "-1" else v.toString
 
-    // ROUND-OVER-ROUND SELF-ADJUDICATION (VERDICT r17 #3, r18 #2): any
-    // query whose FLOOR-RELATIVE time moved >2x against the previous
-    // round's recorded BENCH — or that this run flagged unstable — gets
-    // an automatic ISOLATED re-probe: a fresh single-query JVM (same
-    // flags and classpath — run is forked, so java.class.path is the
-    // real app classpath), med of 3 timed runs, reported in a `probes`
-    // block. Round 17's headline "regression" (q109 "5.8x") was pure
-    // suite-neighbor contention; round 18 then probed ~8 queries of
-    // which ~6 were pure host-floor shift (the whole host was 1.38x
-    // slower, so every absolute ratio moved together). Normalizing both
-    // sides by their run's own floor (q12_text_stats, a pure codegen'd
-    // scan) cancels the host term, so probes fire on genuine per-query
-    // movement only. Disabled inside a probe child.
+    // ROUND-OVER-ROUND SELF-ADJUDICATION (VERDICT r17 #3, r18 #2, r19
+    // #1/#2): any query whose ANCHOR-RELATIVE time moved >2x against the
+    // composite baseline — or that this run flagged unstable — gets an
+    // automatic ISOLATED re-probe: a fresh single-query JVM (same flags
+    // and classpath — run is forked, so java.class.path is the real app
+    // classpath), med of 3 timed runs, reported in a `probes` block.
+    // Round 17's headline "regression" (q109 "5.8x") was pure
+    // suite-neighbor contention; round 18 probed ~8 queries of which ~6
+    // were pure host-floor shift; round 19's capture proved one scalar
+    // floor cannot represent NON-uniform contention (scan floor calm,
+    // streaming 2-5x slow), hence the per-family anchor. Disabled inside
+    // a probe child.
     val isProbe = sys.env.contains("SPARK_GRAFT_BENCH_PROBE")
-    // previous round's (per-query seconds, floor_sec). Preferred source:
-    // BENCH_DETAIL.json — the committed full record (complete queries
-    // map, full names, floor) — but ONLY when its sf matches this run's
-    // (a local sf0.01 iteration must not become sf0.1's baseline).
-    // Fallback: the newest BENCH_r*.json driver capture, whose tail
-    // keeps the compact line (short names).
-    def prevRound: (Map[String, Double], Double) = {
+    // BASELINE RECORDS (VERDICT r19 #1): the committed BENCH_DETAIL.json
+    // plus the newest three driver BENCH_r*.json tails, each sf-guarded,
+    // feed the per-query-min composite — a single contended capture
+    // (r19's recorded q71 at 10.07 s vs a 2.66 s same-host hand-run)
+    // can no longer become the sole baseline and mask a genuine
+    // regression behind its inflated prev.
+    def baselineRecords(): Seq[(String, BenchRec)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, BenchRec)]()
       val detail = new java.io.File("BENCH_DETAIL.json")
       if (detail.isFile) {
         val text = new String(
@@ -204,36 +359,40 @@ object Bench {
         val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(text)
           .exists(m => sfMatches(m.group(1), sfDir))
         if (sfOk) {
-          val parsed = parseQueriesAndFloor(text)
-          if (parsed._1.nonEmpty) return parsed
+          val rec = parseQueriesAndFloor(text)
+          if (rec.queries.nonEmpty) out += detail.getName -> rec
         }
       }
       val files = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      if (files.isEmpty) return (Map.empty, Double.NaN)
-      val newest = files.maxBy(f =>
-        "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
-      // the tail blob is a JSON-escaped string (quotes arrive as \") —
-      // unescape before matching; the COMPACT line's queries object is
-      // the LAST one in the text. Same sf guard as the detail path
-      // (the driver's own header records bare numbers — "sf": 0.1).
-      val text = new String(
-        java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
-        .replace("\\\"", "\"")
-      val sfOk = "\"sf\":\\s*\"?([^\",}]*)\"?".r.findAllMatchIn(text).toSeq
-        .lastOption.exists(m => sfMatches(m.group(1), sfDir))
-      if (!sfOk) return (Map.empty, Double.NaN)
-      parseQueriesAndFloor(text)
+        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+        .take(3)
+      for (f <- files) {
+        // the tail blob is a JSON-escaped string (quotes arrive as \") —
+        // unescape before matching; the COMPACT line's queries object is
+        // the LAST one in the text. Same sf guard as the detail path
+        // (the driver's own header records bare numbers — "sf": 0.1).
+        val text = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .replace("\\\"", "\"")
+        val sfOk = "\"sf\":\\s*\"?([^\",}]*)\"?".r.findAllMatchIn(text).toSeq
+          .lastOption.exists(m => sfMatches(m.group(1), sfDir))
+        if (sfOk) {
+          val rec = parseQueriesAndFloor(text)
+          if (rec.queries.nonEmpty) out += f.getName -> rec
+        }
+      }
+      out.toSeq
     }
-    // one probe child: runs the mover AND the floor query
-    // (q12_text_stats) in the same fresh JVM, so the probe's number is
-    // floor-NORMALIZABLE — r18's children read up to 5x high because
-    // the paused 32-thread parent still held its session; the parent is
-    // now stopped before any fork (below), and the in-child floor lets
-    // the record say "isolated med = N x the child's own floor" even if
-    // the host is busy. Returns (moverMed, floorMed).
-    def isolatedMed(name: String): (Double, Double) = {
+    // one probe child: runs the mover AND both floor anchors in the same
+    // fresh JVM, so the probe's number is anchor-NORMALIZABLE — r18's
+    // children read up to 5x high because the paused 32-thread parent
+    // still held its session; the parent is now stopped before any fork
+    // (below), and the in-child anchors let the record say "isolated
+    // med = N x the child's own anchor" even if the host is busy.
+    // Returns (moverMed, floorMed, floor2Med).
+    def isolatedMed(name: String): (Double, Double, Double) = {
       import scala.jdk.CollectionConverters._
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq.filterNot(_.startsWith("-agentlib"))
@@ -250,16 +409,16 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_BENCH_PROBE", "1")
         // the ONLY filter is substring-match on full query names, so
         // "q12_text_stats" selects exactly the floor query (a bare
-        // "q12" would also catch q120-q127)
+        // "q12" would also catch q120-q128)
         pb.environment().put("SPARK_GRAFT_BENCH_ONLY",
-          if (name == FloorQuery) name else s"$name,$FloorQuery")
+          (Seq(name, FloorQuery, FloorQuery2).distinct).mkString(","))
         pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "3")
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.redirectOutput(tmp)
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val proc = pb.start()
         if (!proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
-          proc.destroyForcibly(); return (Double.NaN, Double.NaN)
+          proc.destroyForcibly(); return (Double.NaN, Double.NaN, Double.NaN)
         }
         val text = new String(
           java.nio.file.Files.readAllBytes(tmp.toPath), "UTF-8")
@@ -268,21 +427,33 @@ object Bench {
             "\":\\{\"min\":(-?[\\d.]+),\"med\":(-?[\\d.]+)").r
             .findFirstMatchIn(text).map(_.group(2).toDouble)
             .getOrElse(Double.NaN)
-        (medOf(name), medOf(FloorQuery))
+        (medOf(name), medOf(FloorQuery), medOf(FloorQuery2))
       } finally tmp.delete()
     }
-    // contention self-diagnosis anchor: FloorQuery is a pure no-shuffle
-    // codegen'd scan — its time is the host's per-query floor, and each
-    // query's floor-ratio is scale-invariant across hosts
+    // contention self-diagnosis anchors: FloorQuery is a pure no-shuffle
+    // codegen'd scan (the single-thread floor); FloorQuery2 is a pure
+    // shuffle groupBy-count (the parallel floor). Each query's
+    // anchor-ratio is scale-invariant across hosts.
     val floor = results.collectFirst {
       case (FloorQuery, s, _, _, _, _) if s > 0 => s }
-    val (prevQ, prevFloor) = if (isProbe) (Map.empty[String, Double],
-      Double.NaN) else prevRound
-    // this-round floor-ratio / prev-round floor-ratio — see
+    val floor2 = results.collectFirst {
+      case (FloorQuery2, s, _, _, _, _) if s > 0 => s }
+    val (baseFiles, baseline) =
+      if (isProbe) (Seq.empty[String], Map.empty[String, (Double, Double, Double)])
+      else {
+        val recs = baselineRecords()
+        (recs.map(_._1), compositeBaseline(recs.map(_._2)))
+      }
+    def anchorNow(name: String): Double =
+      anchorOf(name, floor.getOrElse(Double.NaN), floor2.getOrElse(Double.NaN))
+    // this-round anchor-ratio / baseline anchor-ratio — see
     // [[floorRelOf]] for the arithmetic and its degradations
     def floorRel(name: String, sec: Double): Double =
-      floorRelOf(sec, prevQ.getOrElse(short(name), Double.NaN),
-        floor.getOrElse(Double.NaN), prevFloor)
+      baseline.get(short(name)) match {
+        case None => Double.NaN
+        case Some((prev, pf, pf2)) =>
+          floorRelOf(sec, prev, anchorNow(name), anchorOf(name, pf, pf2))
+      }
     def moveRatio(name: String, sec: Double): Double = {
       val r = floorRel(name, sec)
       if (r.isNaN) 1.0 else math.max(r, 1.0 / r)
@@ -300,7 +471,7 @@ object Bench {
       if (isProbe) Seq.empty else try {
       val movers = results.collect {
         case (name, sec, _, _, _, unstable)
-            if moveRatio(name, sec) > 2.0 || (unstable && prevQ.nonEmpty) =>
+            if moveRatio(name, sec) > 2.0 || (unstable && baseline.nonEmpty) =>
           (name, sec)
       }.sortBy { case (n, s) => -moveRatio(n, s) }.take(8)
       // the main session still holds 32 executor threads and the cached
@@ -324,27 +495,35 @@ object Bench {
           None
         } else {
           System.err.println(f"[bench] probing $name (sec $sec%.2f vs prev " +
-            f"${prevQ.getOrElse(short(name), Double.NaN)}%.2f, " +
-            f"floor-rel ${floorRel(name, sec)}%.2f)")
-          var (iso, isoFloor) = isolatedMed(name)
-          // a probe child whose OWN floor reads >2x the main pass's is
-          // itself contended — its mover number adjudicates nothing
-          // (observed: a mid-pass host burst put one child's floor at
-          // 3x and its mover at 9x the idle-host hand-run). One retry,
-          // keeping whichever attempt saw the calmer host.
-          if (!isoFloor.isNaN && floor.exists(f => isoFloor > 2 * f) &&
+            f"${baseline.get(short(name)).map(_._1).getOrElse(Double.NaN)}%.2f, " +
+            f"anchor-rel ${floorRel(name, sec)}%.2f)")
+          var (iso, isoFloor, isoFloor2) = isolatedMed(name)
+          // a probe child whose OWN tracked anchor reads >2x the main
+          // pass's is itself contended — its mover number adjudicates
+          // nothing (observed: a mid-pass host burst put one child's
+          // floor at 3x and its mover at 9x the idle-host hand-run).
+          // One retry, keeping whichever attempt saw the calmer host.
+          def childAnchor(f1: Double, f2: Double): Double =
+            anchorOf(name, f1, f2)
+          val mainAnchor = anchorNow(name)
+          if (!childAnchor(isoFloor, isoFloor2).isNaN && !mainAnchor.isNaN &&
+              childAnchor(isoFloor, isoFloor2) > 2 * mainAnchor &&
               System.currentTimeMillis() < deadline) {
-            System.err.println(f"[bench] probe $name child floor " +
-              f"$isoFloor%.4f > 2x main floor — contended child, retrying")
-            val (iso2, isoFloor2) = isolatedMed(name)
-            if (!isoFloor2.isNaN && (isoFloor.isNaN || isoFloor2 < isoFloor)) {
-              iso = iso2; isoFloor = isoFloor2
+            System.err.println(f"[bench] probe $name child anchor " +
+              f"${childAnchor(isoFloor, isoFloor2)}%.4f > 2x main anchor " +
+              "— contended child, retrying")
+            val (iso2, isoF2, isoF22) = isolatedMed(name)
+            if (!childAnchor(isoF2, isoF22).isNaN &&
+                childAnchor(isoF2, isoF22) < childAnchor(isoFloor, isoFloor2)) {
+              iso = iso2; isoFloor = isoF2; isoFloor2 = isoF22
             }
           }
           System.err.println(
-            f"[bench] probe $name isolated med $iso%.2f s (child floor $isoFloor%.4f)")
+            f"[bench] probe $name isolated med $iso%.2f s (child anchor " +
+              f"${childAnchor(isoFloor, isoFloor2)}%.4f)")
           Some((short(name), sec,
-            prevQ.getOrElse(short(name), Double.NaN), iso, isoFloor))
+            baseline.get(short(name)).map(_._1).getOrElse(Double.NaN),
+            iso, childAnchor(isoFloor, isoFloor2)))
         }
       }
     } catch {
@@ -356,11 +535,11 @@ object Bench {
     def probeNum(v: Double): String = if (v.isNaN) "-1" else jf("%.2f", v)
     def probesJsonOf(ps: Seq[(String, Double, Double, Double, Double)]): String =
       if (ps.isEmpty) ""
-      else ps.map { case (k, sec, p, iso, isoFloor) =>
+      else ps.map { case (k, sec, p, iso, isoAnchor) =>
         "\"" + k + "\":{\"sec\":" + probeNum(sec) + ",\"prev\":" +
           probeNum(p) + ",\"isolated\":" + probeNum(iso) +
-          ",\"iso_floor\":" + (if (isoFloor.isNaN) "-1"
-            else jf("%.4f", isoFloor)) + "}"
+          ",\"iso_floor\":" + (if (isoAnchor.isNaN) "-1"
+            else jf("%.4f", isoAnchor)) + "}"
       }.mkString(",\"probes\":{", ",", "}")
     val probesJson = probesJsonOf(probes)
     val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + num(v) }
@@ -372,27 +551,38 @@ object Bench {
     }.mkString(",\"runs\":{", ",", "}")
     val good = results.collect { case (_, v, _, _, _, _) if !v.isNaN => v }
     val total = good.sum
-    // floor_ratios: each query / this run's floor (scale-invariant
+    // floor_ratios: each query / this run's scan floor (scale-invariant
     // across hosts — a run where EVERY ratio looks normal but the floor
     // itself is 4x is contended; one exploded ratio is a regression).
-    // floor_rel: this round's floor-ratio / prev round's (VERDICT r18
-    // #2) — the judge re-derived "1.39x absolute = 1.01x floor-relative"
-    // by hand last round; now the record carries it per query, alongside
-    // prev_floor_sec so the arithmetic is checkable from the artifact.
+    // floor2_sec: the parallel anchor alongside it. floor_rel: this
+    // round's ANCHOR-ratio / the composite baseline's (VERDICT r18 #2,
+    // r19 #1/#2), with the per-query baseline pair in `baseline` so the
+    // arithmetic is checkable from the artifact alone.
     val ratios = floor.map { f =>
       results.map { case (k, v, _, _, _, _) =>
         s"\"" + k + "\":" + (if (v.isNaN) "-1" else jf("%.2f", v / f))
-      }.mkString(",\"floor_sec\":" + jf("%.4f", f) + ",\"floor_ratios\":{", ",", "}")
-    }.getOrElse("")
+      }.mkString(",\"floor_sec\":" + jf("%.4f", f) +
+        floor2.map(f2 => ",\"floor2_sec\":" + jf("%.4f", f2)).getOrElse("") +
+        ",\"floor_ratios\":{", ",", "}")
+    }.getOrElse(floor2.map(f2 => ",\"floor2_sec\":" + jf("%.4f", f2))
+      .getOrElse(""))
     val frel =
-      if (prevQ.isEmpty) ""
-      else results.flatMap { case (k, v, _, _, _, _) =>
-        val r = floorRel(k, v)
-        if (r.isNaN) None else Some(s"\"" + k + "\":" + jf("%.2f", r))
-      }.mkString(
-        (if (prevFloor.isNaN) ""
-         else ",\"prev_floor_sec\":" + jf("%.4f", prevFloor)) +
-          ",\"floor_rel\":{", ",", "}")
+      if (baseline.isEmpty) ""
+      else {
+        val baseJson = results.flatMap { case (k, _, _, _, _, _) =>
+          baseline.get(short(k)).map { case (p, pf, pf2) =>
+            "\"" + short(k) + "\":[" + probeNum(p) + "," +
+              (if (anchorOf(k, pf, pf2).isNaN) "-1"
+               else jf("%.4f", anchorOf(k, pf, pf2))) + "]"
+          }
+        }.mkString(",\"baseline_files\":" +
+          baseFiles.map("\"" + _ + "\"").mkString("[", ",", "]") +
+          ",\"baseline\":{", ",", "}")
+        baseJson + results.flatMap { case (k, v, _, _, _, _) =>
+          val r = floorRel(k, v)
+          if (r.isNaN) None else Some(s"\"" + k + "\":" + jf("%.2f", r))
+        }.mkString(",\"floor_rel\":{", ",", "}")
+      }
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -400,13 +590,13 @@ object Bench {
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$ratios$frel$errJson$probesJson,"sf":"$sfDir"}"""
     println(detail)
     // the driver's bench capture keeps only the LAST 2000 chars of output
-    // (BENCH_r09.json: "tail": 2000) — the detailed line above is ~8 KB, so
-    // its head would be truncated away; persist the full record to a file
-    // (this is the committed permanent record), then print the budgeted
-    // COMPACT line LAST (below). A FILTERED run (SPARK_GRAFT_BENCH_ONLY)
-    // is a local iteration, not a full record — writing it would clobber
-    // the committed full-suite baseline that prevRound (and the judge)
-    // read
+    // (BENCH_r09.json: "tail": 2000) — the detailed line above is ~10 KB,
+    // so its head would be truncated away; persist the full record to a
+    // file (this is the committed permanent record), then print the
+    // budgeted COMPACT line LAST (below). A FILTERED run
+    // (SPARK_GRAFT_BENCH_ONLY) is a local iteration, not a full record —
+    // writing it would clobber the committed full-suite baseline that
+    // the composite baseline (and the judge) read
     if (!isProbe && only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))
@@ -415,45 +605,27 @@ object Bench {
     // 2000 chars of output, and sbt appends its own ~80-char "[success]
     // Total time" line AFTER ours — r18's compact line carried spread
     // (~450 chars) + med (~450 chars) blocks and overflowed, clipping
-    // its own head, so BENCH_r18.json had `parsed: null`. Spread, med,
-    // min/max, floor_ratios, and floor_rel now live ONLY in
+    // its own head, so BENCH_r18.json's tail lost data. Spread, med,
+    // min/max, floor_ratios, baseline, and floor_rel live ONLY in
     // BENCH_DETAIL.json (written above and committed every round — that
     // IS the permanent full record); the compact line keeps exactly what
-    // round-over-round comparison needs inline: per-query seconds,
-    // floor_sec, unstable flags, first errors. A hard length check
-    // degrades precision and then warns rather than ever exceeding the
-    // window again.
-    def compactLine(prec: Int): String = {
-      def numC(v: Double): String =
-        if (v.isNaN) "-1" else jf(s"%.${prec}f", v)
-      val cQs = results.map { case (k, v, _, _, _, _) =>
-        "\"" + short(k) + "\":" + numC(v) }.mkString("{", ",", "}")
-      val cUnstable = results.collect {
-        case (k, _, _, _, _, true) => "\"" + short(k) + "\"" }
-        .mkString("[", ",", "]")
-      val cErr =
-        if (errors.isEmpty) ""
-        else errors.take(5).map { case (k, v) =>
-          "\"" + short(k) + "\":\"" + v.take(40) + "\"" }
-          .mkString(",\"errors\":{", ",", "}")
-      val cFloor = floor.map(f => ",\"floor_sec\":" + jf("%.4f", f))
-        .getOrElse("")
-      val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${jf("%.2f", total)},"unit":"sec","queries":$cQs$cFloor,"unstable":$cUnstable$cErr,"sf":"$sfName"}"""
-    }
-    val CompactBudget = 1850
-    val compact = {
-      val two = compactLine(2)
-      if (two.length <= CompactBudget) two
-      else {
-        val one = compactLine(1)
-        if (one.length > CompactBudget)
-          System.err.println(s"[bench] WARNING: compact line " +
-            s"${one.length} chars exceeds the $CompactBudget budget — " +
-            "the driver tail may clip it; shrink the line format")
-        one
-      }
-    }
+    // round-over-round comparison needs inline: per-query seconds, both
+    // floors, unstable flags, first errors. The degrade ladder
+    // ([[fitCompact]]) guarantees the budget for any plausible suite
+    // size, with a warning backstop beyond it.
+    val sfName = new java.io.File(sfDir).getName
+    val entries = results.map { case (k, v, _, _, _, _) => (k, v) }
+    val unstableList = results.collect { case (k, _, _, _, _, true) => k }
+    val errList = errors.toSeq
+    def rung(prec: Int, dropErrors: Boolean, maxUnstable: Int)(): String =
+      compactJson(prec, total, entries, unstableList, errList,
+        floor, floor2, sfName, dropErrors, maxUnstable)
+    val compact = fitCompact(Seq(
+      rung(2, dropErrors = false, maxUnstable = Int.MaxValue) _,
+      rung(1, dropErrors = false, maxUnstable = Int.MaxValue) _,
+      rung(1, dropErrors = true, maxUnstable = Int.MaxValue) _,
+      rung(1, dropErrors = true, maxUnstable = 8) _,
+      rung(0, dropErrors = true, maxUnstable = 0) _))
     // probes go on their OWN line just before the compact line: the
     // driver keeps the last 2000 chars of output, and a separate line
     // degrades gracefully (its head clips first) instead of pushing the

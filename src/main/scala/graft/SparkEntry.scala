@@ -2833,6 +2833,23 @@ object SparkEntry {
           k = 8, w = 4, minDocs = 25)
         .select(col("doc_id"), col("n_fp"), col("n_common"),
           round(col("boilerplate_frac"), 6).as("boilerplate_frac"))
+    },
+
+    // ---- BENCH ANCHOR: the parallel-shaped floor (VERDICT r19 #2) --------
+    // q12 (the scan floor) is one single-threaded codegen pipeline — host
+    // contention that lands on shuffle / state-store / fsync paths can
+    // leave it FLAT while every multithreaded query slows (the r19 capture:
+    // floor read 0.93x the previous round while the streaming family read
+    // 2-5x slower, so the floor-relative trigger over-fired on exactly the
+    // queries contention hits hardest). q128 is the second anchor: one
+    // map-side partial count + a 32-partition exchange + final aggregate
+    // over the events table, no behavioral code, nothing this library can
+    // regress — its time tracks the machine's parallel/shuffle health, and
+    // Bench normalizes the parallel-shaped families (streaming, store
+    // protocol, incremental) by it instead of the scan floor.
+    "q128_floor_shuffle" -> { (s, dir) =>
+      events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
     }
   )
 
@@ -2980,7 +2997,12 @@ object SparkEntry {
     // is q02's raw-scan retention SQL
     "q125_rollup_store_grained_retention" -> oracleSqlBase("q02_retention"),
     "q126_rollup_store_janitor" -> oracleSqlBase("q03_window_funnel"),
-    "q127_rollup_store_snapshot_reader" -> oracleSqlBase("q03_window_funnel"))
+    "q127_rollup_store_snapshot_reader" -> oracleSqlBase("q03_window_funnel"),
+    // q128: the bench harness's parallel-shaped floor anchor — a plain
+    // shuffle groupBy-count, trivially SQL-expressible, oracle-gated like
+    // every other query so the anchor itself can never silently break
+    "q128_floor_shuffle" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id")
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
 

@@ -1022,8 +1022,10 @@ object RollupStore {
     * it is worth a pass. Reads [[statsRows]] — no Spark job, no lease —
     * and sums the dead bytes of the selected grains (grace-window
     * folded dirs) plus the store-level root row (crashed stage dirs and
-    * tombstones, the largest dead-byte class); sweeps only when the sum
-    * meets `minDeadBytes`. A deployment schedules this as often as it
+    * tombstones, the largest dead-byte class — counting only entries
+    * older than `leaseStaleMs`, since a LIVE op's young stage is not
+    * reclaimable and must not trigger futile sweeps); sweeps only when
+    * the sum meets `minDeadBytes`. A deployment schedules this as often as it
     * likes — hourly is fine — because the skip path costs one metadata
     * listing pass; the sweep's rename/delete traffic happens only when
     * enough garbage accumulated to pay for it. The inventory is
@@ -1041,7 +1043,16 @@ object RollupStore {
       cleanupDelayMs: Long, minDeadBytes: Long,
       grains: String => Boolean = _ => true,
       leaseStaleMs: Long = graft.sources.Sinks.DefaultLeaseStaleMs): Int = {
-    val rows = statsRows(spark, baseDir)
+    // The root inventory here is the JANITOR'S, not the dashboard's
+    // (ADVICE r19): stage dirs younger than leaseStaleMs are a LIVE
+    // op's working set — sweepExpired will not delete them either (a
+    // fresh foreign stripe defers young entries), so counting them
+    // would make every scheduled pass escalate to a full sweep that
+    // reclaims nothing, exactly while the store is busiest with a
+    // long-running large ingest/fold. The janitor, unlike the
+    // dashboard, can legitimately judge staleness from mtimes — its
+    // decision and the sweep's use the same age horizon.
+    val rows = statsRows(spark, baseDir, minStageAgeMs = leaseStaleMs)
     val reclaimable = rows.collect {
       case r if r.grain == StatsRootGrain || grains(r.grain) => r.dead_bytes
     }.sum
@@ -1231,9 +1242,14 @@ object RollupStore {
     spark.createDataFrame(statsRows(spark, baseDir))
 
   /** [[stats]] as driver-local rows — what [[sweepIfWorthIt]] reads
-    * (no Spark job for a cadence decision). */
+    * (no Spark job for a cadence decision). `minStageAgeMs` > 0 makes
+    * the `<root>` row a JANITOR'S inventory: stage dirs younger than
+    * the horizon are excluded from its dead count/bytes, because a
+    * live op's working set is not reclaimable and the sweep itself
+    * defers such entries (ADVICE r19). The dashboard ([[stats]]) keeps
+    * 0 — it reports everything and judges nothing. */
   private[graft] def statsRows(spark: SparkSession,
-      baseDir: String): Seq[StoreGrainStats] = {
+      baseDir: String, minStageAgeMs: Long = 0L): Seq[StoreGrainStats] = {
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
     def one(grain: String, dir: Path): StoreGrainStats = {
@@ -1264,8 +1280,10 @@ object RollupStore {
     val rootRow = {
       val entries =
         if (fs.exists(base)) fs.listStatus(base).toSeq else Seq.empty
+      val now = System.currentTimeMillis()
       val stage = entries.filter(st => st.isDirectory &&
-        StageDirPrefixes.exists(st.getPath.getName.startsWith))
+        StageDirPrefixes.exists(st.getPath.getName.startsWith) &&
+        (minStageAgeMs <= 0 || now - st.getModificationTime > minStageAgeMs))
       // per-dir recursive byte count; a dir a concurrent op deletes
       // mid-listing counts 0 (read-only dashboard, not a commit input)
       val bytes = stage.map { st =>

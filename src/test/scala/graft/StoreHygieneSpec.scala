@@ -197,6 +197,38 @@ class StoreHygieneSpec extends AnyFunSuite {
       r1.getAs[Long]("dead_bytes") == 0L, s"post-sweep root row: $r1")
   }
 
+  test("a LIVE op's young stage bytes never escalate the janitor's cadence (ADVICE r19)") {
+    val base = fresh("young_stage")
+    ingest(base, 0)
+    val fs = fsFor(base)
+    val staleMs = 60L * 60 * 1000
+    // a long-running ingest's YOUNG stage holding real bytes: the
+    // dashboard reports it, but the janitor's cadence must not count it
+    // — the sweep defers young entries, so escalating on them makes
+    // every scheduled pass a full sweep that reclaims nothing, exactly
+    // while the store is busiest
+    val young = new Path(base, ".ingest-live-big")
+    fs.mkdirs(young)
+    val out = fs.create(new Path(young, "part-0.parquet"), true)
+    try out.write(Array.fill[Byte](8192)(3)) finally out.close()
+    val rootRow = RollupStore.stats(spark, base).collect()
+      .find(_.getAs[String]("grain") == RollupStore.StatsRootGrain).get
+    assert(rootRow.getAs[Long]("dead_bytes") >= 8192L,
+      "the DASHBOARD still inventories a young stage (it judges nothing)")
+    assert(RollupStore.sweepIfWorthIt(spark, base, 0L,
+      minDeadBytes = 4096L, leaseStaleMs = staleMs) == 0,
+      "the janitor must skip when the only dead bytes are a live op's young stage")
+    assert(fs.exists(young), "a skipped pass must not touch the stage")
+    // once the stage outlives the lease horizon it IS reclaimable — the
+    // same bytes now escalate the pass and the sweep clears them
+    val old = System.currentTimeMillis() - 2 * staleMs
+    fs.setTimes(young, old, old)
+    RollupStore.sweepIfWorthIt(spark, base, 0L,
+      minDeadBytes = 4096L, leaseStaleMs = staleMs)
+    assert(!fs.exists(young),
+      "an outlived stage must escalate the cadence and be swept")
+  }
+
   test("sweepExpired clears stale root garbage, spares fresh artifacts") {
     val base = fresh("root_garbage")
     ingest(base, 0)

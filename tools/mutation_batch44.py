@@ -21,11 +21,11 @@ MUTANTS = [
      """  private[graft] def short(n: String): String = n.takeWhile(_ != '_')""",
      """  private[graft] def short(n: String): String = n"""),
     ("BP443", B, [SPEC],
-     "sfMatches always true — a different-scale record becomes the baseline",
-     """    val mine = new java.io.File(sfDir).getName
-    new java.io.File(recorded).getName == mine || ("sf" + recorded) == mine""",
-     """    val mine = new java.io.File(sfDir).getName
-    new java.io.File(recorded).getName == mine || ("sf" + recorded) == mine || true"""),
+     "sfMatches name check always true — a different-scale record becomes the baseline",
+     """    val byName =
+      new java.io.File(recorded).getName == mine || ("sf" + recorded) == mine""",
+     """    val byName =
+      new java.io.File(recorded).getName == mine || ("sf" + recorded) == mine || true"""),
     ("BP444", B, [SPEC],
      "floorRelOf never cancels the host term (always the absolute ratio)",
      """    if (!floorNow.isNaN && floorNow > 0 && !prevFloor.isNaN && prevFloor > 0)
