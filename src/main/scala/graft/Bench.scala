@@ -363,12 +363,15 @@ object Bench {
           if (rec.queries.nonEmpty) out += detail.getName -> rec
         }
       }
+      // newest-first, stopping after three USABLE records — an unusable
+      // capture (clipped tail with no surviving queries block, wrong sf)
+      // must not consume a slot a quieter older record could fill
       val files = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => -"\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
-        .take(3)
-      for (f <- files) {
+      var tailSlots = 3
+      for (f <- files if tailSlots > 0) {
         // the tail blob is a JSON-escaped string (quotes arrive as \") —
         // unescape before matching; the COMPACT line's queries object is
         // the LAST one in the text. Same sf guard as the detail path
@@ -380,7 +383,7 @@ object Bench {
           .lastOption.exists(m => sfMatches(m.group(1), sfDir))
         if (sfOk) {
           val rec = parseQueriesAndFloor(text)
-          if (rec.queries.nonEmpty) out += f.getName -> rec
+          if (rec.queries.nonEmpty) { out += f.getName -> rec; tailSlots -= 1 }
         }
       }
       out.toSeq
