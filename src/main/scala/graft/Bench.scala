@@ -95,6 +95,23 @@ object Bench {
     if (Floor2Queries(short(name)) && !floor2.isNaN && floor2 > 0) floor2
     else floor
 
+  /** The anchor pair for a two-sided comparison, SAME KIND on both
+    * sides: floor2 only when the query tracks it and BOTH sides carry a
+    * valid one; otherwise the scan floor on both sides. Mixing kinds —
+    * this run's floor2 against a pre-round-20 baseline's floor1 — would
+    * bias every floor2-family ratio by floor2now/floor1now (~1.25 on
+    * this host), masking regressions up to that factor during the
+    * transition rounds; measured on the round-20 run, q118's drift
+    * reads 1.43 mixed but 1.80 coherent. */
+  private[graft] def coherentAnchors(name: String,
+      nowF: Double, nowF2: Double,
+      prevF: Double, prevF2: Double): (Double, Double) = {
+    def ok(v: Double) = !v.isNaN && v > 0
+    if (Floor2Queries(short(name)) && ok(nowF2) && ok(prevF2))
+      (nowF2, prevF2)
+    else (nowF, prevF)
+  }
+
   /** COMPOSITE per-query baseline (VERDICT r19 #1): for each query, the
     * entry with the MINIMUM anchor-relative time across several recent
     * records. One contended capture must not become the baseline — the
@@ -447,15 +464,17 @@ object Bench {
         val recs = baselineRecords()
         (recs.map(_._1), compositeBaseline(recs.map(_._2)))
       }
-    def anchorNow(name: String): Double =
-      anchorOf(name, floor.getOrElse(Double.NaN), floor2.getOrElse(Double.NaN))
-    // this-round anchor-ratio / baseline anchor-ratio — see
-    // [[floorRelOf]] for the arithmetic and its degradations
+    // this-round anchor-ratio / baseline anchor-ratio, same anchor KIND
+    // on both sides ([[coherentAnchors]]) — see [[floorRelOf]] for the
+    // arithmetic and its degradations
     def floorRel(name: String, sec: Double): Double =
       baseline.get(short(name)) match {
         case None => Double.NaN
         case Some((prev, pf, pf2)) =>
-          floorRelOf(sec, prev, anchorNow(name), anchorOf(name, pf, pf2))
+          val (now, prevA) = coherentAnchors(name,
+            floor.getOrElse(Double.NaN), floor2.getOrElse(Double.NaN),
+            pf, pf2)
+          floorRelOf(sec, prev, now, prevA)
       }
     def moveRatio(name: String, sec: Double): Double = {
       val r = floorRel(name, sec)
@@ -506,27 +525,35 @@ object Bench {
           // nothing (observed: a mid-pass host burst put one child's
           // floor at 3x and its mover at 9x the idle-host hand-run).
           // One retry, keeping whichever attempt saw the calmer host.
-          def childAnchor(f1: Double, f2: Double): Double =
-            anchorOf(name, f1, f2)
-          val mainAnchor = anchorNow(name)
-          if (!childAnchor(isoFloor, isoFloor2).isNaN && !mainAnchor.isNaN &&
-              childAnchor(isoFloor, isoFloor2) > 2 * mainAnchor &&
+          // Child-vs-main compares the SAME anchor kind on both sides
+          // ([[coherentAnchors]]; a child whose floor2 leg failed falls
+          // back to scan-floor-vs-scan-floor, never floor1-vs-floor2).
+          def childVsMain(cf: Double, cf2: Double): (Double, Double) =
+            coherentAnchors(name, cf, cf2,
+              floor.getOrElse(Double.NaN), floor2.getOrElse(Double.NaN))
+          def contended(cf: Double, cf2: Double): Boolean = {
+            val (c, m) = childVsMain(cf, cf2)
+            !c.isNaN && !m.isNaN && c > 2 * m
+          }
+          if (contended(isoFloor, isoFloor2) &&
               System.currentTimeMillis() < deadline) {
             System.err.println(f"[bench] probe $name child anchor " +
-              f"${childAnchor(isoFloor, isoFloor2)}%.4f > 2x main anchor " +
+              f"${childVsMain(isoFloor, isoFloor2)._1}%.4f > 2x main anchor " +
               "— contended child, retrying")
             val (iso2, isoF2, isoF22) = isolatedMed(name)
-            if (!childAnchor(isoF2, isoF22).isNaN &&
-                childAnchor(isoF2, isoF22) < childAnchor(isoFloor, isoFloor2)) {
+            val newC = childVsMain(isoF2, isoF22)._1
+            val oldC = childVsMain(isoFloor, isoFloor2)._1
+            if (!newC.isNaN && (oldC.isNaN || newC < oldC)) {
               iso = iso2; isoFloor = isoF2; isoFloor2 = isoF22
             }
           }
+          val isoAnchor = childVsMain(isoFloor, isoFloor2)._1
           System.err.println(
             f"[bench] probe $name isolated med $iso%.2f s (child anchor " +
-              f"${childAnchor(isoFloor, isoFloor2)}%.4f)")
+              f"$isoAnchor%.4f)")
           Some((short(name), sec,
             baseline.get(short(name)).map(_._1).getOrElse(Double.NaN),
-            iso, childAnchor(isoFloor, isoFloor2)))
+            iso, isoAnchor))
         }
       }
     } catch {
@@ -572,11 +599,16 @@ object Bench {
     val frel =
       if (baseline.isEmpty) ""
       else {
+        // the emitted prev anchor is the one floorRel USED (the
+        // coherent-kind prev side), so [prev, prev_anchor] + floor_sec/
+        // floor2_sec reproduce each floor_rel entry from the artifact
         val baseJson = results.flatMap { case (k, _, _, _, _, _) =>
           baseline.get(short(k)).map { case (p, pf, pf2) =>
+            val prevA = coherentAnchors(k,
+              floor.getOrElse(Double.NaN), floor2.getOrElse(Double.NaN),
+              pf, pf2)._2
             "\"" + short(k) + "\":[" + probeNum(p) + "," +
-              (if (anchorOf(k, pf, pf2).isNaN) "-1"
-               else jf("%.4f", anchorOf(k, pf, pf2))) + "]"
+              (if (prevA.isNaN) "-1" else jf("%.4f", prevA)) + "]"
           }
         }.mkString(",\"baseline_files\":" +
           baseFiles.map("\"" + _ + "\"").mkString("[", ",", "]") +

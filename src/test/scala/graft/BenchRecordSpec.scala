@@ -132,6 +132,24 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.anchorOf("q71_stream_seq_count", 0.1, -1.0) === 0.1)
   }
 
+  test("coherentAnchors never mixes kinds across the two sides of a comparison") {
+    val q = "q71_stream_seq_count"
+    // both sides have floor2 and the query tracks it -> floor2/floor2
+    assert(Bench.coherentAnchors(q, 0.15, 0.20, 0.10, 0.30) === ((0.20, 0.30)))
+    // the baseline predates floor2 -> BOTH sides degrade to the scan
+    // floor (this run's floor2 must not ratio against the prev floor1 —
+    // that biases every floor2-family ratio by floor2now/floor1now and
+    // can mask a regression during the transition rounds)
+    assert(Bench.coherentAnchors(q, 0.15, 0.20, 0.10, Double.NaN) ===
+      ((0.15, 0.10)))
+    // this run's floor2 leg failed -> same degradation, other direction
+    assert(Bench.coherentAnchors(q, 0.15, Double.NaN, 0.10, 0.30) ===
+      ((0.15, 0.10)))
+    // a scan-floor query never touches floor2 even when both sides have it
+    assert(Bench.coherentAnchors("q01_sessionize", 0.15, 0.20, 0.10, 0.30) ===
+      ((0.15, 0.10)))
+  }
+
   // ---- round 20: composite per-query-min baseline ----------------------
 
   test("compositeBaseline: a contended capture does not move the baseline (VERDICT r19 #1)") {

@@ -51,6 +51,14 @@ MUTANTS = [
         new java.io.File(sfDir).getAbsolutePath
     else byName""",
      """    byName"""),
+    ("CA451", B, [SPEC],
+     "coherentAnchors mixes kinds — this run's floor2 ratios against a pre-round-20 baseline's floor1",
+     """    if (Floor2Queries(short(name)) && ok(nowF2) && ok(prevF2))
+      (nowF2, prevF2)
+    else (nowF, prevF)""",
+     """    if (Floor2Queries(short(name)) && ok(nowF2))
+      (nowF2, if (ok(prevF2)) prevF2 else prevF)
+    else (nowF, prevF)"""),
     ("SR451", RS, [HYG],
      "janitor's root inventory counts a live op's young stage — every busy pass escalates to a futile sweep",
      """        (minStageAgeMs <= 0 || now - st.getModificationTime > minStageAgeMs))""",
