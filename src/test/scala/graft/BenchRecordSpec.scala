@@ -273,5 +273,12 @@ class BenchRecordSpec extends AnyFunSuite {
       s"committed detail floor_sec is unusable: ${rec.floor}")
     assert(rec.queries.contains(Bench.short(Bench.FloorQuery)),
       "the floor query itself is missing from the committed record")
+    // round 20+: the committed record must carry the parallel anchor
+    // too, or every floor2-family comparison silently degrades to the
+    // scan floor against it
+    assert(!rec.floor2.isNaN && rec.floor2 > 0 && rec.floor2 < 10,
+      s"committed detail floor2_sec is unusable: ${rec.floor2}")
+    assert(rec.queries.contains(Bench.short(Bench.FloorQuery2)),
+      "the parallel floor query is missing from the committed record")
   }
 }
