@@ -101,16 +101,14 @@ object IncrementalSession {
       .drop("__graft_prev")
     local.persist()
     try {
-    val nBatch = local.count()
-    // an empty delta is a NORMAL day, not an error: commit a no-op (no
-    // batch dir, state untouched) so a quiet-day nightly run succeeds and
-    // subsequent batches are unaffected
-    if (nBatch == 0) { onStep("committed"); return 0L }
-
-    // -- stitch: per-user batch summary joined against the O(users) state
+    // -- stitch: per-user batch summary joined against the O(users) state.
+    // The batch row count rides the same aggregate (`__rows`), so the
+    // empty-delta check, the interleave check, and the stitch all come
+    // from ONE job over the persisted batch — the old separate count()
+    // was a full extra pass (guide §1.2).
     val summary = local.groupBy(u.as("__u"))
       .agg(min(ts).as("__first"), max(col(tsCol)).as("__last"),
-        max(col("__graft_local")).as("__n"))
+        max(col("__graft_local")).as("__n"), count(lit(1)).as("__rows"))
     val joined = state match {
       case Some(st) => summary.join(st, summary("__u") === st(userCol), "left")
       case None => summary.withColumn(LastTsCol, lit(null).cast("long"))
@@ -121,17 +119,23 @@ object IncrementalSession {
       when(col(LastTsCol).isNotNull &&
         col("__first") - col(LastTsCol) <= gapMicros, 1L).otherwise(0L)
         .as("__merged"),
-      col("__n"),
+      col("__n"), col("__rows"),
       // a batch event BEFORE the user's last seen ts would have needed to
       // relabel history — reject the batch instead of mislabeling it
       (col(LastTsCol).isNotNull && col("__first") < col(LastTsCol))
         .as("__violates"))
     val adjusted = adjusted0.persist()
     try {
-    val bad = adjusted.filter(col("__violates")).limit(1)
-      .select(col("__u")).collect()
+    val checks = adjusted.agg(sum(col("__rows")).as("__total"),
+      max(when(col("__violates"), col("__u"))).as("__bad")).collect()(0)
+    val nBatch = if (checks.isNullAt(0)) 0L else checks.getLong(0)
+    // an empty delta is a NORMAL day, not an error: commit a no-op (no
+    // batch dir, state untouched) so a quiet-day nightly run succeeds and
+    // subsequent batches are unaffected
+    if (nBatch == 0) { onStep("committed"); return 0L }
+    val bad = if (checks.isNullAt(1)) None else Some(checks.get(1))
     require(bad.isEmpty,
-      s"batch interleaves in time with history for user ${bad.headOption.map(_.get(0))}; " +
+      s"batch interleaves in time with history for user $bad; " +
         "incremental sessionize requires per-user time-ordered batches")
 
     // -- write out + new state, verify, then commit ----------------------
@@ -225,11 +229,13 @@ object IncrementalSession {
     all.repartition(targetPartitions).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(batchPath, "out").toString)
     // the latest state IS the post-fold state: it already reflects every
-    // folded batch (each append writes the COMPLETE per-user state)
-    spark.read.parquet(
-        new org.apache.hadoop.fs.Path(committed.last._2, "state").toString)
-      .write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(batchPath, "state").toString)
+    // folded batch (each append writes the COMPLETE per-user state) — so
+    // carry it forward as a VERBATIM byte copy (driver-side FileUtil, no
+    // Spark job to decode and re-encode parquet whose bytes are already
+    // exactly right)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(committed.last._2, "state"), fs,
+      new org.apache.hadoop.fs.Path(batchPath, "state"), false, hconf)
     val written = graft.sources.Sinks.parquetRowCount(fs,
       new org.apache.hadoop.fs.Path(batchPath, "out"),
       spark.sessionState.newHadoopConf())

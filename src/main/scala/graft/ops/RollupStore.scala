@@ -234,112 +234,154 @@ object RollupStore {
     val spark = states.sparkSession
     val fs = fsOf(spark, baseDir)
     val base = new Path(baseDir)
-    val cached = states.persist()
+    // ONE pass over the delta (guide §1.2: no extra passes, no cached
+    // copy): the hidden staged partitioned write IS the delta's only
+    // computation, observing the NULL gates in the same job; the grain
+    // inventory and the per-grain row counts the footer verification
+    // checks against then come from the staged files' own footers —
+    // driver metadata reads, not jobs. The old shape persisted the whole
+    // delta and paid a separate stats aggregate first (two jobs + cache
+    // memory), and the persist pinned the shuffle partitioning so a tiny
+    // delta staged one near-empty file per shuffle partition per grain.
+    // Staging before the stripes is safe: the stage dir is hidden and
+    // UUID-named (readers list only visible `<col>=` dirs; no two ops
+    // share a stage), and a crashed stage is swept by a later op exactly
+    // as before. Replays stage and then discard instead of skipping the
+    // write — the replay path pays the staged bytes, the common path
+    // saves a whole pass; at-least-once channels replay rarely.
+    fs.mkdirs(base)
+    // STORE-GENESIS gate FIRST — before the staged write, before any
+    // stripe (see [[ensureGenesis]]): the fingerprint verify needs only
+    // the batch's schema, so a mismatched family fails here without
+    // paying a staged write of its delta (the old stats-job order also
+    // refused before writing anything). A refused ingest can leave a
+    // fresh store with a stamped genesis and no batches — the same state
+    // as a first ingest that crashed right after its genesis, which the
+    // protocol already handles (same-family retry proceeds, other
+    // families fail loudly, deliberate re-stamp = delete the file).
+    ensureGenesis(spark, fs, base, states.schema, grainCol, leaseStaleMs)
+    onStep("genesis")
+    val stageId = java.util.UUID.randomUUID().toString
+    val stage = new Path(base, s".ingest-$stageId")
+    // STAGE GUARD: a stripe-prefixed lease held for the whole op, taken
+    // BEFORE the staged write. Staging now precedes the grain stripes
+    // (the grain set is only known from the staged footers), so without
+    // this a CONCURRENT op's stage sweep — seeing no fresh foreign
+    // stripe — would treat our live stage as garbage and delete it
+    // mid-write. The guard is what the grain stripes used to provide
+    // implicitly: "a fresh foreign stripe means a live op's working set
+    // may be here, sweep only stale entries". Unique path per op (no
+    // contention); released on every exit; a crashed op's guard goes
+    // stale and is collected like any orphan stripe.
+    val stageGuard = new Path(base, StripePrefix + hexOf(s"stage:$stageId"))
+    val guardToken = graft.sources.Sinks.acquireLease(fs, stageGuard,
+      leaseStaleMs)
     try {
-      // ONE aggregate scan of the delta yields the NULL gates, the
-      // grain inventory, and the per-grain row counts the footer
-      // verification checks against — O(grains) driver rows, which the
-      // ingest cadence bounds. Pure delta facts, so it runs BEFORE any
-      // lease: the striped critical section starts only once the grain
-      // set is known
-      val stats = cached.groupBy(col(grainCol).cast("string").as("g"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col(stateCol).isNull, 1L).otherwise(0L)).as("nulls"))
-        .collect()
-      val nullGrains = stats.filter(_.isNullAt(0)).map(_.getLong(1)).sum
-      require(nullGrains == 0,
-        s"$nullGrains NULL $grainCol rows; a NULL grain names no " +
-          "partition — filter placeholder rows before ingest")
-      val nullStates = stats.map(_.getLong(2)).sum
-      require(nullStates == 0,
-        s"$nullStates NULL $stateCol rows; the *_state producers never " +
-          "emit NULL — filter placeholder rows before ingest")
-      val counts = stats.filter(!_.isNullAt(0))
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (counts.isEmpty) { onStep("committed"); return 0L }
-      require(!counts.contains(""),
-        "empty-string grain value names no directory — filter or " +
-          "re-encode placeholder rows before ingest")
-      val grains = counts.keys.toSeq.sorted
-      // STORE-GENESIS gate BEFORE any grain stripe is taken (see
-      // [[ensureGenesis]]): the fingerprint verify replaces the old
-      // newest-batch schema probe — no parquet read per ingest, no
-      // vanished-batch retry window, and two simultaneous FIRST ingests
-      // with different families can no longer both pass an empty-store
-      // gate and mix the store
-      ensureGenesis(spark, fs, base, cached.schema, grainCol, leaseStaleMs)
-      onStep("genesis")
-      // one stripe per delta grain, sorted: disjoint ingests proceed in
-      // parallel, overlapping ones fail fast on the first shared stripe
-      graft.sources.Sinks.withLeases(fs,
-        grains.map(g => grainLeasePath(base, g)), leaseStaleMs) {
-        sweepStageDirs(fs, base, ".ingest-", grains.toSet, leaseStaleMs)
-        // per-grain replay guard BEFORE the write: already-committed
-        // grains never re-enter the job. The recover() pass also heals
-        // each existing grain's stale manifest IMMEDIATELY — before the
-        // staging job, not after it (healManifestIfStale)
-        val recovered = grains.map { g =>
-          val gdir = new Path(base, grainDirName(grainCol, g))
-          (g, gdir, GenerationalBatches.recover(fs, gdir, cleanupDelayMs))
-        }
-        recovered.foreach { case (_, gdir, live) =>
-          if (fs.exists(gdir)) healManifestIfStale(fs, gdir, live) }
-        onStep("recovered")
-        val pending = recovered.collect { case (g, _, live)
-            if !ingestId.exists(
-              GenerationalBatches.seenIngestIds(fs, live).contains) => g }
-        if (pending.isEmpty) { onStep("committed-all"); return 0L }
-        // ONE partitioned write stages every pending grain's rows
-        val stage = new Path(base,
-          s".ingest-${java.util.UUID.randomUUID()}")
-        val delta =
-          if (pending.size == grains.size) cached
-          else cached.filter(
-            col(grainCol).cast("string").isin(pending: _*))
-        delta.withColumn(StageHexCol, hex(col(grainCol).cast("string")))
-          .write.partitionBy(StageHexCol).parquet(stage.toString)
-        onStep("staged")
-        val conf = spark.sessionState.newHadoopConf()
-        var appended = 0L
-        for (g <- pending) {
-          val gdir = new Path(base, grainDirName(grainCol, g))
-          // recover again at commit time: batch numbering must see any
-          // crashed-dir cleanup recover() performs
-          val committed = GenerationalBatches.recover(fs, gdir,
-            cleanupDelayMs)
-          val k = committed.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
-          val batchPath = new Path(gdir, s"batch_$k")
-          val dataPath = new Path(batchPath, "states")
-          fs.mkdirs(batchPath)
-          val part = new Path(stage, s"$StageHexCol=${hexOf(g)}")
-          require(fs.exists(part),
-            s"staged partition missing for grain '$g' ($part)")
-          if (!fs.rename(part, dataPath))
-            throw new java.io.IOException(
-              s"could not move staged grain '$g' into $dataPath")
-          val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
-            conf)
-          require(written == counts(g),
-            s"grain '$g' wrote $written of ${counts(g)} staged rows; " +
-              s"batch_$k left uncommitted")
-          onStep("written")
-          GenerationalBatches.commit(fs, batchPath, Seq.empty,
-            ingestId.toSet)
-          onStep("committed")
-          // manifest AFTER the marker (the onStep seam between them is the
-          // crash window the manifest spec exercises): a crash here leaves
-          // the manifest one op stale — readers fall back or serve the
-          // previous snapshot; the next touch of this grain heals it
-          GenerationalBatches.writeManifest(fs, gdir)
-          appended += written
-        }
-        // (replay-skipped grains were already healed by the post-recover
-        // healManifestIfStale pass above)
-        fs.delete(stage, true)
-        onStep("committed-all")
-        appended
+    val grainStr = col(grainCol).cast("string")
+    val m = graft.sources.Sinks.writeParquetObserved(
+      states.withColumn(StageHexCol, hex(grainStr)), stage.toString,
+      Seq(count(lit(1)).as("n"),
+        sum(when(grainStr.isNull, 1L).otherwise(0L)).as("null_grains"),
+        sum(when(grainStr === "", 1L).otherwise(0L)).as("empty_grains"),
+        sum(when(col(stateCol).isNull, 1L).otherwise(0L)).as("null_states")),
+      Seq(StageHexCol))
+    def refuse(cond: Boolean, msg: => String): Unit =
+      if (!cond) { fs.delete(stage, true); require(cond, msg) }
+    val nullGrains = graft.sources.Sinks.observedLong(m, "null_grains")
+    refuse(nullGrains == 0,
+      s"$nullGrains NULL $grainCol rows; a NULL grain names no " +
+        "partition — filter placeholder rows before ingest")
+    val nullStates = graft.sources.Sinks.observedLong(m, "null_states")
+    refuse(nullStates == 0,
+      s"$nullStates NULL $stateCol rows; the *_state producers never " +
+        "emit NULL — filter placeholder rows before ingest")
+    if (graft.sources.Sinks.observedLong(m, "n") == 0) {
+      fs.delete(stage, true); onStep("committed"); return 0L
+    }
+    refuse(graft.sources.Sinks.observedLong(m, "empty_grains") == 0,
+      "empty-string grain value names no directory — filter or " +
+        "re-encode placeholder rows before ingest")
+    val conf = spark.sessionState.newHadoopConf()
+    // inventory + per-grain counts from the staged footers, resolved on
+    // the bounded pool (one parquetRowCount per grain)
+    val stagedGrains = fs.listStatus(stage).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(StageHexCol + "="))
+      .map(st => unhexOf(st.getPath.getName.drop(StageHexCol.length + 1))
+        -> st.getPath)
+    val counts = inParallel(stagedGrains) { case (g, p) =>
+      g -> graft.sources.Sinks.parquetRowCount(fs, p, conf) }.toMap
+    require(counts.values.sum == graft.sources.Sinks.observedLong(m, "n"),
+      s"staged delta footers carry ${counts.values.sum} of " +
+        s"${graft.sources.Sinks.observedLong(m, "n")} rows; nothing " +
+        "committed")
+    val grains = counts.keys.toSeq.sorted
+    // one stripe per delta grain, sorted: disjoint ingests proceed in
+    // parallel, overlapping ones fail fast on the first shared stripe
+    graft.sources.Sinks.withLeases(fs,
+      grains.map(g => grainLeasePath(base, g)), leaseStaleMs) {
+      sweepStageDirs(fs, base, ".ingest-", grains.toSet, leaseStaleMs,
+        exclude = Set(stage.getName),
+        heldStripes = Set(stageGuard.getName))
+      // per-grain replay guard BEFORE any rename: already-committed
+      // grains' staged partitions are discarded, never published. The
+      // recover() pass also heals each existing grain's stale manifest
+      // IMMEDIATELY (healManifestIfStale)
+      val recovered = grains.map { g =>
+        val gdir = new Path(base, grainDirName(grainCol, g))
+        (g, gdir, GenerationalBatches.recover(fs, gdir, cleanupDelayMs))
       }
-    } finally cached.unpersist()
+      recovered.foreach { case (_, gdir, live) =>
+        if (fs.exists(gdir)) healManifestIfStale(fs, gdir, live) }
+      onStep("recovered")
+      val pending = recovered.collect { case (g, _, live)
+          if !ingestId.exists(
+            GenerationalBatches.seenIngestIds(fs, live).contains) => g }
+      if (pending.isEmpty) {
+        fs.delete(stage, true); onStep("committed-all"); return 0L
+      }
+      onStep("staged")
+      var appended = 0L
+      for (g <- pending) {
+        val gdir = new Path(base, grainDirName(grainCol, g))
+        // recover again at commit time: batch numbering must see any
+        // crashed-dir cleanup recover() performs
+        val committed = GenerationalBatches.recover(fs, gdir,
+          cleanupDelayMs)
+        val k = committed.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+        val batchPath = new Path(gdir, s"batch_$k")
+        val dataPath = new Path(batchPath, "states")
+        fs.mkdirs(batchPath)
+        val part = new Path(stage, s"$StageHexCol=${hexOf(g)}")
+        require(fs.exists(part),
+          s"staged partition missing for grain '$g' ($part)")
+        if (!fs.rename(part, dataPath))
+          throw new java.io.IOException(
+            s"could not move staged grain '$g' into $dataPath")
+        val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
+          conf)
+        require(written == counts(g),
+          s"grain '$g' wrote $written of ${counts(g)} staged rows; " +
+            s"batch_$k left uncommitted")
+        onStep("written")
+        GenerationalBatches.commit(fs, batchPath, Seq.empty,
+          ingestId.toSet)
+        onStep("committed")
+        // manifest AFTER the marker (the onStep seam between them is the
+        // crash window the manifest spec exercises): a crash here leaves
+        // the manifest one op stale — readers fall back or serve the
+        // previous snapshot; the next touch of this grain heals it
+        GenerationalBatches.writeManifest(fs, gdir)
+        appended += written
+      }
+      // (replay-skipped grains were already healed by the post-recover
+      // healManifestIfStale pass above; their staged partitions vanish
+      // with the stage dir)
+      fs.delete(stage, true)
+      onStep("committed-all")
+      appended
+    }
+    } finally graft.sources.Sinks.releaseLease(fs, stageGuard, guardToken)
   }
 
   /** Heal a sub-store's manifest IMMEDIATELY when it disagrees with the
@@ -379,6 +421,12 @@ object RollupStore {
   private def hexOf(v: String): String =
     v.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
 
+  /** Inverse of [[hexOf]] — decodes a staged partition dir's hex back to
+    * the grain string (the staged footers are the ingest's inventory). */
+  private def unhexOf(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8")
+
   /** Lease stripe for one grain, AT THE STORE ROOT (not inside the grain
     * dir, so a dropped-and-recreated grain reuses the same stripe path
     * and a drop's dir rename never moves a held lease). Named by the
@@ -403,10 +451,13 @@ object RollupStore {
     * with no foreign stripe present, no concurrent grained op exists and
     * everything matching is garbage. */
   private def sweepStageDirs(fs: FileSystem, base: Path, prefix: String,
-      heldGrains: Set[String], staleMs: Long): Unit = {
+      heldGrains: Set[String], staleMs: Long,
+      exclude: Set[String] = Set.empty,
+      heldStripes: Set[String] = Set.empty): Unit = {
     if (!fs.exists(base)) return
     val entries = fs.listStatus(base).toSeq
-    val held = heldGrains.map(g => grainLeasePath(base, g).getName)
+    val held =
+      heldGrains.map(g => grainLeasePath(base, g).getName) ++ heldStripes
     val now = System.currentTimeMillis()
     // a foreign stripe OLDER than staleMs is a crashed op's leftover
     // (usurpable by the lease rules) — it must not disable the
@@ -417,7 +468,8 @@ object RollupStore {
       !held.contains(st.getPath.getName) &&
       now - st.getModificationTime <= staleMs)
     entries
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix)
+        && !exclude.contains(st.getPath.getName))
       .filter(st => !foreignStripe ||
         now - st.getModificationTime > staleMs)
       .foreach(st => fs.delete(st.getPath, true))
@@ -760,54 +812,65 @@ object RollupStore {
         .agg(combine(col(stateCol)).as(stateCol))
         .repartition(foldPartitions(spark, scan, targetPartitions),
           keyCols.map(col): _*)
-        .persist()
-      try {
-        val counts = folded
-          .groupBy(col(grainCol).cast("string").as("g")).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val stage = new Path(base,
-          s".compact-${java.util.UUID.randomUUID()}")
-        folded.withColumn(StageHexCol, hex(col(grainCol).cast("string")))
-          .write.partitionBy(StageHexCol).parquet(stage.toString)
-        onStep("staged")
-        val conf = spark.sessionState.newHadoopConf()
-        var total = 0L
-        for ((g, gdir, committed) <- perGrain) {
-          val k = committed.last._1 + 1
-          val batchPath = new Path(gdir, s"batch_$k")
-          val dataPath = new Path(batchPath, "states")
-          fs.mkdirs(batchPath)
-          val part = new Path(stage, s"$StageHexCol=${hexOf(g)}")
-          require(fs.exists(part),
-            s"staged fold missing for grain '$g' ($part)")
-          if (!fs.rename(part, dataPath))
-            throw new java.io.IOException(
-              s"could not move staged fold for grain '$g' into $dataPath")
-          val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
-            conf)
-          require(written == counts(g),
-            s"grain '$g' compaction wrote $written of ${counts(g)} " +
-              s"folded rows; batch_$k left uncommitted, batches intact")
-          onStep("written")
-          GenerationalBatches.commit(fs, batchPath,
-            committed.map(_._2.getName),
-            GenerationalBatches.seenIngestIds(fs, committed))
-          onStep("committed")
-          // manifest BEFORE the folded dirs vanish: manifest readers
-          // switch to the fold while the old files still exist
-          GenerationalBatches.writeManifest(fs, gdir)
-          // a positive cleanupDelayMs defers deletion to a later run's
-          // recover(): the folded dirs are dead (the marker lists them)
-          // but their bytes outlive the commit by the grace window, so a
-          // snapshot reader planned before the fold can still finish
-          if (cleanupDelayMs <= 0L)
-            committed.foreach { case (_, p) => fs.delete(p, true) }
-          onStep("cleaned")
-          total += written
-        }
-        fs.delete(stage, true)
-        total
-      } finally folded.unpersist()
+      val stage = new Path(base,
+        s".compact-${java.util.UUID.randomUUID()}")
+      // ONE job: the staged partitioned write observes the fold's total
+      // row count — the old persist + per-grain count() pass cached the
+      // whole folded result and paid a second aggregate job for counts
+      // the staged files' own FOOTERS already record per grain. Write
+      // loss shows as sum(staged footers) != observed total (checked
+      // BEFORE any grain commits); rename loss as a post-rename footer
+      // count that disagrees with the same files' pre-rename count.
+      val observedTotal = graft.sources.Sinks.observedLong(
+        graft.sources.Sinks.writeParquetObserved(
+          folded.withColumn(StageHexCol, hex(col(grainCol).cast("string"))),
+          stage.toString, Seq(count(lit(1)).as("n")), Seq(StageHexCol)),
+        "n")
+      onStep("staged")
+      val conf = spark.sessionState.newHadoopConf()
+      val stagedCounts = perGrain.map { case (g, _, _) =>
+        val part = new Path(stage, s"$StageHexCol=${hexOf(g)}")
+        require(fs.exists(part),
+          s"staged fold missing for grain '$g' ($part)")
+        g -> graft.sources.Sinks.parquetRowCount(fs, part, conf)
+      }.toMap
+      require(stagedCounts.values.sum == observedTotal,
+        s"staged fold footers carry ${stagedCounts.values.sum} of " +
+          s"$observedTotal folded rows; nothing committed, batches intact")
+      var total = 0L
+      for ((g, gdir, committed) <- perGrain) {
+        val k = committed.last._1 + 1
+        val batchPath = new Path(gdir, s"batch_$k")
+        val dataPath = new Path(batchPath, "states")
+        fs.mkdirs(batchPath)
+        val part = new Path(stage, s"$StageHexCol=${hexOf(g)}")
+        if (!fs.rename(part, dataPath))
+          throw new java.io.IOException(
+            s"could not move staged fold for grain '$g' into $dataPath")
+        val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
+          conf)
+        require(written == stagedCounts(g),
+          s"grain '$g' compaction wrote $written of ${stagedCounts(g)} " +
+            s"folded rows; batch_$k left uncommitted, batches intact")
+        onStep("written")
+        GenerationalBatches.commit(fs, batchPath,
+          committed.map(_._2.getName),
+          GenerationalBatches.seenIngestIds(fs, committed))
+        onStep("committed")
+        // manifest BEFORE the folded dirs vanish: manifest readers
+        // switch to the fold while the old files still exist
+        GenerationalBatches.writeManifest(fs, gdir)
+        // a positive cleanupDelayMs defers deletion to a later run's
+        // recover(): the folded dirs are dead (the marker lists them)
+        // but their bytes outlive the commit by the grace window, so a
+        // snapshot reader planned before the fold can still finish
+        if (cleanupDelayMs <= 0L)
+          committed.foreach { case (_, p) => fs.delete(p, true) }
+        onStep("cleaned")
+        total += written
+      }
+      fs.delete(stage, true)
+      total
     }
   }
 
@@ -1401,32 +1464,40 @@ object RollupStore {
       ingestId: Option[String], onStep: String => Unit): Long = {
     val k = committed.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
     val batchPath = new Path(base, s"batch_$k")
-    val cached = states.persist()
-    try {
-      val n = cached.count()
-      // a quiet day commits as a no-op, like the session store's empty delta
-      if (n == 0) { onStep("committed"); return 0L }
-      val nulls = cached.filter(col(stateCol).isNull).count()
-      require(nulls == 0,
-        s"$nulls NULL $stateCol rows; the *_state producers never emit " +
-          "NULL — filter placeholder rows before ingest")
-      val dataPath = new Path(batchPath, "states")
-      cached.write.mode("overwrite").parquet(dataPath.toString)
-      // footer-metadata verify, no re-scan (Sinks.parquetRowCount)
-      val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
-        spark.sessionState.newHadoopConf())
-      require(written == n,
-        s"state batch changed the row count ($n -> $written); " +
-          s"batch_$k left uncommitted")
-      onStep("written")
-      GenerationalBatches.commit(fs, batchPath, Seq.empty, ingestId.toSet)
-      onStep("committed")
-      // manifest AFTER the marker, same contract as the grained path: a
-      // crash between them leaves it one op stale — readers fall back or
-      // serve the previous snapshot; the next op's heal rewrites it
-      GenerationalBatches.writeManifest(fs, base)
-      n
-    } finally cached.unpersist()
+    val dataPath = new Path(batchPath, "states")
+    // ONE pass over the delta: the write itself observes the row count
+    // and the NULL-state count (the old persist/count/filter-count/write
+    // quadruple was three jobs and a cached copy of the whole delta —
+    // and the persist pinned the shuffle partitioning, so a tiny delta
+    // wrote one near-empty file per shuffle partition). The batch dir is
+    // marker-less until commit, so an empty or NULL-carrying delta just
+    // deletes the unpublished dir — readers never saw it, exactly like
+    // the old refuse-at-the-door paths.
+    val m = graft.sources.Sinks.writeParquetObserved(states,
+      dataPath.toString, Seq(count(lit(1)).as("n"),
+        sum(when(col(stateCol).isNull, 1L).otherwise(0L)).as("nulls")))
+    val n = graft.sources.Sinks.observedLong(m, "n")
+    // a quiet day commits as a no-op, like the session store's empty delta
+    if (n == 0) { fs.delete(batchPath, true); onStep("committed"); return 0L }
+    val nulls = graft.sources.Sinks.observedLong(m, "nulls")
+    if (nulls > 0) fs.delete(batchPath, true)
+    require(nulls == 0,
+      s"$nulls NULL $stateCol rows; the *_state producers never emit " +
+        "NULL — filter placeholder rows before ingest")
+    // footer-metadata verify, no re-scan (Sinks.parquetRowCount)
+    val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
+      spark.sessionState.newHadoopConf())
+    require(written == n,
+      s"state batch changed the row count ($n -> $written); " +
+        s"batch_$k left uncommitted")
+    onStep("written")
+    GenerationalBatches.commit(fs, batchPath, Seq.empty, ingestId.toSet)
+    onStep("committed")
+    // manifest AFTER the marker, same contract as the grained path: a
+    // crash between them leaves it one op stale — readers fall back or
+    // serve the previous snapshot; the next op's heal rewrites it
+    GenerationalBatches.writeManifest(fs, base)
+    n
   }
 
   /** Fold all committed batches under `base` into one (lease already
@@ -1454,17 +1525,20 @@ object RollupStore {
     val folded = all.groupBy(groupCols: _*)
       .agg(combine(col(stateCol)).as(stateCol))
       .repartition(foldPartitions(spark, all, targetPartitions))
-      .persist()
-    val written = try {
-      val expected = folded.count()
-      folded.write.mode("overwrite").parquet(dataPath.toString)
-      val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
+    // ONE job: the fold's write observes its own row count — the old
+    // persist/count/write triple paid an extra pass and cached the whole
+    // folded store in executor memory for no second consumer
+    val expected = graft.sources.Sinks.observedLong(
+      graft.sources.Sinks.writeParquetObserved(folded, dataPath.toString,
+        Seq(count(lit(1)).as("n"))), "n")
+    val written = {
+      val w = graft.sources.Sinks.parquetRowCount(fs, dataPath,
         spark.sessionState.newHadoopConf())
-      require(written == expected,
-        s"compaction wrote $written of $expected folded rows; " +
+      require(w == expected,
+        s"compaction wrote $w of $expected folded rows; " +
           s"batch_$k left uncommitted, folded batches intact")
-      written
-    } finally folded.unpersist()
+      w
+    }
     onStep("written")
     GenerationalBatches.commit(fs, batchPath, committed.map(_._2.getName),
       GenerationalBatches.seenIngestIds(fs, committed))

@@ -452,10 +452,14 @@ object Sinks {
       else hadoopRename(fs, old, dst)
     }
     val before = spark.read.parquet(dst.toString)
-    val n = before.count()
     hadoopDeleteStrict(fs, tmp)
-    before.repartition(targetPartitions).write.mode("overwrite")
-      .parquet(tmp.toString)
+    // ONE job: the rewrite itself observes its input row count — the old
+    // separate count() was a second full scan of the directory being
+    // compacted (guide §1.2: no extra passes)
+    val n = observedLong(writeParquetObserved(
+      before.repartition(targetPartitions), tmp.toString,
+      Seq(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))), "n")
     // footer-metadata verify of the rewrite, no re-scan (parquetRowCount)
     val nAfter = parquetRowCount(fs, tmp, spark.sessionState.newHadoopConf())
     require(nAfter == n,
@@ -486,12 +490,64 @@ object Sinks {
       conf: org.apache.hadoop.conf.Configuration): Long = {
     val files = fs.listStatus(dir).toSeq.filter(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet"))
-    files.map { st =>
+    def countOf(st: org.apache.hadoop.fs.FileStatus): Long = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
-    }.sum
+    }
+    // footer opens in PARALLEL on a bounded pool (same rationale as the
+    // manifest-resolution pool in RollupStore): each footer is an
+    // independent ~ms metadata read — on an object store an RPC — and a
+    // multi-file batch verified serially pays files x latency on the
+    // driver after every ingest. Order is irrelevant (the counts sum).
+    if (files.lengthCompare(1) <= 0) files.map(countOf).sum
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      try files.map(st => pool.submit(
+          new java.util.concurrent.Callable[Long] { def call(): Long = countOf(st) }))
+        .map { fu =>
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }.sum
+      finally pool.shutdownNow()
+    }
   }
+
+  /** Write `df` as parquet at `path` while computing the given AGGREGATE
+    * metrics IN THE SAME JOB via `observe` (CollectMetrics). This is the
+    * single-pass form of the maintenance cycles' persist/count/write
+    * triple: the old shape paid one job to materialize the cache, one per
+    * bookkeeping aggregate, and one to write — and the persist pinned the
+    * cached plan's shuffle partitioning, defeating AQE's small-partition
+    * coalescing, so a tiny delta still wrote one file per shuffle
+    * partition (32 near-empty files whose footers every verify then had
+    * to read). One observed write = one pass over the data, no cache
+    * memory, and AQE-coalesced output file counts that scale with the
+    * data instead of the partition config. Returns the observed metrics
+    * row keyed by each metric's alias (a metric over zero rows yields
+    * count 0 / sum NULL, exactly like any empty aggregate). */
+  private[graft] def writeParquetObserved(df: DataFrame, path: String,
+      metrics: Seq[org.apache.spark.sql.Column],
+      partitionBy: Seq[String] = Nil): Map[String, Any] = {
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+    obs.get
+  }
+
+  /** A LONG metric off a [[writeParquetObserved]] row; NULL (an aggregate
+    * over zero rows) reads as `orElse`. */
+  private[graft] def observedLong(row: Map[String, Any], key: String,
+      orElse: Long = 0L): Long =
+    row.get(key) match {
+      case Some(n: Number) => n.longValue()
+      case _ => orElse
+    }
 
   /** Default single-writer lease expiry. A maintenance run expected to
     * outlive this (a 100 TB compaction) should pass a larger `staleMs`
