@@ -101,14 +101,12 @@ object IncrementalSession {
       .drop("__graft_prev")
     local.persist()
     try {
-    // -- stitch: per-user batch summary joined against the O(users) state.
-    // The batch row count rides the same aggregate (`__rows`), so the
-    // empty-delta check, the interleave check, and the stitch all come
-    // from ONE job over the persisted batch — the old separate count()
-    // was a full extra pass (guide §1.2).
+    // -- stitch: per-user batch summary joined against the O(users) state
+    // (the empty-delta and interleave gates ride the OUT WRITE below —
+    // no separate checks pass over the batch)
     val summary = local.groupBy(u.as("__u"))
       .agg(min(ts).as("__first"), max(col(tsCol)).as("__last"),
-        max(col("__graft_local")).as("__n"), count(lit(1)).as("__rows"))
+        max(col("__graft_local")).as("__n"))
     val joined = state match {
       case Some(st) => summary.join(st, summary("__u") === st(userCol), "left")
       case None => summary.withColumn(LastTsCol, lit(null).cast("long"))
@@ -119,33 +117,64 @@ object IncrementalSession {
       when(col(LastTsCol).isNotNull &&
         col("__first") - col(LastTsCol) <= gapMicros, 1L).otherwise(0L)
         .as("__merged"),
-      col("__n"), col("__rows"),
+      col("__n"),
       // a batch event BEFORE the user's last seen ts would have needed to
       // relabel history — reject the batch instead of mislabeling it
       (col(LastTsCol).isNotNull && col("__first") < col(LastTsCol))
         .as("__violates"))
     val adjusted = adjusted0.persist()
     try {
-    val checks = adjusted.agg(sum(col("__rows")).as("__total"),
-      max(when(col("__violates"), col("__u"))).as("__bad")).collect()(0)
-    val nBatch = if (checks.isNullAt(0)) 0L else checks.getLong(0)
-    // an empty delta is a NORMAL day, not an error: commit a no-op (no
-    // batch dir, state untouched) so a quiet-day nightly run succeeds and
-    // subsequent batches are unaffected
-    if (nBatch == 0) { onStep("committed"); return 0L }
-    val bad = if (checks.isNullAt(1)) None else Some(checks.get(1))
+    // -- write out WHILE checking, verify, then commit --------------------
+    // The empty-delta and interleave gates ride the out write itself via
+    // observe() (the same one-pass shape as RollupStore's observed
+    // ingest, guide §1.2): every out row carries its user's __violates
+    // flag through the stitch join, so ONE job computes the session ids,
+    // writes them, and aggregates the gates — the old separate checks
+    // collect was a full extra pass over the batch plus its own AQE
+    // job round-trips. The batch dir is marker-less until commit, so a
+    // violating or empty delta just deletes the unpublished dir — readers
+    // never saw it, exactly like the old refuse-before-writing path.
+    //
+    // Output file sizing (guide §6): the windowed batch is PERSISTED, so
+    // its partitioning is pinned at the session shuffle count and AQE
+    // cannot coalesce the write — a 32-core session wrote 32 near-empty
+    // files per daily batch, then the footer verify, the commit renames
+    // and the next compaction's scan all paid per-file overhead 32 times.
+    // Coalesce the write to one partition per
+    // `spark.sql.files.maxPartitionBytes` of the batch's estimated bytes
+    // (the same scale-adaptive rule as RollupStore.autoFoldPartitions).
+    // The estimate precedes materialization, so it can run high (a
+    // filter over a cached log estimates at the log's size) — coalesce
+    // is capped by the actual partition count, so an overestimate
+    // degrades to the pre-round file count, never below it.
+    val outParts = RollupStore.autoFoldPartitions(
+      local.queryExecution.optimizedPlan.stats.sizeInBytes,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val outPath = new org.apache.hadoop.fs.Path(batchPath, "out")
+    val m = graft.sources.Sinks.writeParquetObserved(
+      local.join(adjusted.select(col("__u"), col("__base"), col("__merged"),
+          col("__violates")),
+          u === col("__u"))
+        .withColumn("session_id",
+          col("__graft_local") + col("__base") - col("__merged"))
+        .drop("__u", "__base", "__merged", "__graft_local")
+        .coalesce(outParts),
+      outPath.toString,
+      Seq(count(lit(1)).as("n"),
+        max(when(col("__violates"), u)).as("bad")),
+      dropCols = Seq("__violates"))
+    val nBatch = graft.sources.Sinks.observedLong(m, "n")
+    // an empty delta is a NORMAL day, not an error: commit a no-op (the
+    // unpublished dir is removed, state untouched) so a quiet-day nightly
+    // run succeeds and subsequent batches are unaffected
+    if (nBatch == 0) {
+      fs.delete(batchPath, true); onStep("committed"); return 0L
+    }
+    val bad = m.get("bad").filter(_ != null)
+    if (bad.nonEmpty) fs.delete(batchPath, true)
     require(bad.isEmpty,
       s"batch interleaves in time with history for user $bad; " +
         "incremental sessionize requires per-user time-ordered batches")
-
-    // -- write out + new state, verify, then commit ----------------------
-    val outPath = new org.apache.hadoop.fs.Path(batchPath, "out")
-    local.join(adjusted.select(col("__u"), col("__base"), col("__merged")),
-        u === col("__u"))
-      .withColumn("session_id",
-        col("__graft_local") + col("__base") - col("__merged"))
-      .drop("__u", "__base", "__merged", "__graft_local")
-      .write.mode("overwrite").parquet(outPath.toString)
     val updated = adjusted.select(col("__u").as(userCol),
       unix_micros(col("__last")).as(LastTsCol),
       (col("__base") - col("__merged") + col("__n")).as(SessionsCol))
@@ -155,10 +184,22 @@ object IncrementalSession {
           st(userCol) === col("__u"), "left_anti"))
       case None => updated
     }
-    newState.write.mode("overwrite")
+    // the state carries EVERY user ever seen, not just this batch's — a
+    // quiet day's tiny batch must not coalesce a year of accumulated
+    // state into one file, so its sizing adds the previous state's own
+    // on-disk bytes (one driver metadata call)
+    val stateParts = RollupStore.autoFoldPartitions(
+      BigInt(prev.map { case (_, p) =>
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p, "state"))
+          .getLength }.getOrElse(0L)) +
+        local.queryExecution.optimizedPlan.stats.sizeInBytes,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    newState.coalesce(stateParts).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(batchPath, "state").toString)
     // post-write verify from the files' FOOTERS (complete-file row counts,
-    // no re-scan of what was just written — Sinks.parquetRowCount)
+    // no re-scan of what was just written — Sinks.parquetRowCount); the
+    // observed count and the footers come from independent machinery, so
+    // write loss still shows as their disagreement
     val written = graft.sources.Sinks.parquetRowCount(fs, outPath,
       spark.sessionState.newHadoopConf())
     require(written == nBatch,
@@ -226,7 +267,13 @@ object IncrementalSession {
         new org.apache.hadoop.fs.Path(p, "out"), hconf) }.sum
     val k = committed.last._1 + 1
     val batchPath = new org.apache.hadoop.fs.Path(base, s"batch_$k")
-    all.repartition(targetPartitions).write.mode("overwrite")
+    // coalesce, not repartition: the fold is pure LAYOUT (union the out
+    // dirs into <= targetPartitions files) and the scan's splits are
+    // already the right rows — a repartition here moved every byte
+    // through a full shuffle (plus the keyless round-robin's
+    // sort-before-repartition, SPARK-23207) only to land them in files
+    // again (guide §2.4: an exchange that exists only to make layout).
+    all.coalesce(targetPartitions).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(batchPath, "out").toString)
     // the latest state IS the post-fold state: it already reflects every
     // folded batch (each append writes the COMPLETE per-user state) — so

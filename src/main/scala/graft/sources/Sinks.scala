@@ -531,9 +531,14 @@ object Sinks {
     * count 0 / sum NULL, exactly like any empty aggregate). */
   private[graft] def writeParquetObserved(df: DataFrame, path: String,
       metrics: Seq[org.apache.spark.sql.Column],
-      partitionBy: Seq[String] = Nil): Map[String, Any] = {
+      partitionBy: Seq[String] = Nil,
+      dropCols: Seq[String] = Nil): Map[String, Any] = {
     val obs = org.apache.spark.sql.Observation()
+    // dropCols are gate-only inputs (e.g. a per-row violation flag): the
+    // metrics see them, the files must not — the observe node sits below
+    // the project, so the same single job serves both
     val w = df.observe(obs, metrics.head, metrics.tail: _*)
+      .drop(dropCols: _*)
       .write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
