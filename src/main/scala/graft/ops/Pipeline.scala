@@ -203,7 +203,7 @@ object Pipeline {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
       idCol: String = "doc_id", textCol: String = "text",
       benchTextCol: String = "text", expectedGrams: Long = 4L << 20,
-      fpp: Double = 0.01, maxLiteralBytes: Long = 8L << 20): DataFrame = {
+      fpp: Double = 0.01, maxLiteralBytes: Long = 64L << 10): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     // NON-distinct and NOT persisted, deliberately: bloom inserts are
@@ -212,7 +212,20 @@ object Pipeline {
     // Dropping the distinct removes a bench-gram shuffle and a cache fill;
     // the bench side is instead scanned twice map-only (bloom + semi join).
     val benchGrams = explodedGrams(benchmark, benchTextCol, None, n)
+    // The bloom build aggregates ONE full-size filter PER PARTITION and
+    // merges them (expectedGrams=4M at 1% fpp is ~4.8 MB of bits each) —
+    // on a session with 32 scan partitions over a small benchmark that is
+    // ~150 MB of bitmap allocation + OR-merging for a kilobyte of grams.
+    // Coalesce the gram stream to partitions sized from the benchmark's
+    // own byte estimate (the autoFoldPartitions rule): a small suite
+    // builds exactly one filter with no merge at all, a 10⁹-gram suite
+    // keeps one partition per maxPartitionBytes of input. Map-only
+    // hashing loses nothing from the narrower stage.
+    val benchParts = RollupStore.autoFoldPartitions(
+      benchmark.queryExecution.optimizedPlan.stats.sizeInBytes,
+      corpus.sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val bloom = benchGrams.select(xxhash64(col("__gram")).as("__h"))
+      .coalesce(benchParts)
       .stat.bloomFilter("__h", math.max(expectedGrams, 1L), fpp)
     val bloomBits = {
       val out = new java.io.ByteArrayOutputStream()
@@ -220,13 +233,18 @@ object Pipeline {
       out.toByteArray
     }
     // two shipping shapes for the same probe, both codegen'd in the scan
-    // projection: a small filter rides the plan as a literal (simplest, and
-    // canonicalization/task-binary costs are negligible at ~5 MB); a filter
+    // projection: a small filter rides the plan as a literal; a filter
     // above `maxLiteralBytes` ships once per executor as a broadcast
     // variable — a GB-class literal would otherwise live on the driver
     // inside the expression tree, be byte-compared during plan
     // canonicalization, and serialize into every stage's task binary
     // (round-9 ADVICE; the 10⁹-gram design point is ~1.2 GB of bits).
+    // The threshold is 64 KB, NOT "whatever fits a task binary": a binary
+    // literal is also STRINGIFIED by every plan description the listener
+    // bus asks for — driver sampling showed ~50% of this operator's
+    // driver time in Literal.toString/verboseStringWithOperatorId
+    // formatting the default filter's 4.8 MB of bits, per action, even
+    // with the UI off (guide §7.3 frames; measured round 21).
     val hashExpr = org.apache.spark.sql.graftbridge.ColumnBridge.expression(
       xxhash64(col("__gram")))
     val mightContain = org.apache.spark.sql.graftbridge.ColumnBridge.column(

@@ -336,18 +336,22 @@ object RollupStore {
       onStep("recovered")
       val pending = recovered.collect { case (g, _, live)
           if !ingestId.exists(
-            GenerationalBatches.seenIngestIds(fs, live).contains) => g }
+            GenerationalBatches.seenIngestIds(fs, live).contains) =>
+        (g, live) }
       if (pending.isEmpty) {
         fs.delete(stage, true); onStep("committed-all"); return 0L
       }
       onStep("staged")
       var appended = 0L
-      for (g <- pending) {
+      for ((g, committed) <- pending) {
         val gdir = new Path(base, grainDirName(grainCol, g))
-        // recover again at commit time: batch numbering must see any
-        // crashed-dir cleanup recover() performs
-        val committed = GenerationalBatches.recover(fs, gdir,
-          cleanupDelayMs)
+        // batch numbering reuses the recover() pass above: its cleanup
+        // already ran, the grain stripes are held for the whole op, and
+        // this loop touches each grain once — a second recover per grain
+        // re-listed the same dirs and re-read the same markers for an
+        // answer that cannot have changed under the lease (a crashed
+        // RETRY's own first recover reaps any marker-less batch_k this
+        // run leaves behind)
         val k = committed.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
         val batchPath = new Path(gdir, s"batch_$k")
         val dataPath = new Path(batchPath, "states")
