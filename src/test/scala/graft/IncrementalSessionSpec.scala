@@ -134,6 +134,12 @@ class IncrementalSessionSpec extends AnyFunSuite {
         "user_id", "ts", GapUs)
     }
     assert(e.getMessage.contains("time-ordered"))
+    // the gates ride the out WRITE (round 21): the rejected batch's
+    // unpublished dir must be deleted, not merely left marker-less for
+    // recover() to reap — the on-disk state after a reject is identical
+    // to the pre-write refusal's
+    assert(!new java.io.File(base, "batch_1").exists(),
+      "a rejected batch left its unpublished dir behind")
     // the rejected batch left no residue; a valid one still lands
     IncrementalSession.appendBatch(df(Seq((1L, 200 * M))), base,
       "user_id", "ts", GapUs)
