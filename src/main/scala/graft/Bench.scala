@@ -80,10 +80,25 @@ object Bench {
     val mine = new java.io.File(sfDir).getName
     val byName =
       new java.io.File(recorded).getName == mine || ("sf" + recorded) == mine
-    if (byName && recorded.contains('/') && sfDir.contains('/'))
-      new java.io.File(recorded).getAbsolutePath ==
-        new java.io.File(sfDir).getAbsolutePath
-    else byName
+    if (byName && recorded.contains('/') && sfDir.contains('/')) {
+      // CANONICAL paths (ADVICE r20): getAbsolutePath does no
+      // normalization or symlink resolution, so a prior record of the
+      // SAME dataset written via a symlinked, relative, or
+      // '..'-containing SPARK_GRAFT_SF_DIR would be silently rejected —
+      // an empty baseline, no probes, no warning. Canonicalization can
+      // throw on IO errors; fall back to the absolute form then.
+      def canon(p: String) =
+        try new java.io.File(p).getCanonicalPath
+        catch { case _: java.io.IOException =>
+          new java.io.File(p).getAbsolutePath }
+      val ok = canon(recorded) == canon(sfDir)
+      if (!ok)
+        System.err.println(s"[bench] baseline record for '$recorded' " +
+          s"matches this run's sf by NAME but not by canonical path " +
+          s"('$sfDir') — record skipped, round-over-round adjudication " +
+          "may run without it")
+      ok
+    } else byName
   }
 
   /** The floor anchor a query tracks, out of a record's pair: the
@@ -136,6 +151,15 @@ object Bench {
         if (a.isNaN || a <= 0) Double.NaN else e._1 / a
       }
       val anchored = cands.filter(e => !ratio(e).isNaN)
+      // TRANSITIONAL BIAS, documented (ADVICE r20): when a floor2-family
+      // query's candidates mix pre-round-20 records (floor1 only) with
+      // round-20+ records (floor2), each candidate's selection ratio uses
+      // its OWN record's tracked anchor — so the "hardest to beat" pick
+      // is skewed by this host's floor2/floor1 scale (~1.25×) until the
+      // pre-r20 records age out of the newest-three window. The
+      // SUBSEQUENT comparison is always same-kind ([[coherentAnchors]]),
+      // so only which entry wins selection is affected, and the skew errs
+      // toward keeping the quieter-host record — the firing direction.
       val best =
         if (anchored.nonEmpty) anchored.minBy(ratio)
         else if (cands.nonEmpty) cands.minBy(_._1)
@@ -225,18 +249,36 @@ object Bench {
     // capture: q78 min 4.29 / max 12.41 on untouched code). Harness
     // plumbing only — the queries and their oracles are unchanged, and
     // Verify keeps Spark's default temp checkpoint location.
-    val ckptBase: Option[java.io.File] = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) {
-        val d = new java.io.File(shm,
-          s"graft_bench_ckpt_${ProcessHandle.current().pid()}")
-        if (d.mkdirs() || d.isDirectory) Some(d) else None
-      } else None
-    }
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(deleteRec))
       f.delete()
       ()
+    }
+    val ckptBase: Option[java.io.File] = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        // sweep siblings of DEAD benches first (ADVICE r20): the shutdown
+        // hook never runs under SIGKILL/OOM, so a killed bench would
+        // otherwise occupy ramdisk forever — only dirs whose pid is no
+        // longer alive are touched, a concurrent live bench keeps its own
+        Option(shm.listFiles()).getOrElse(Array.empty).foreach { f =>
+          val n = f.getName
+          if (n.startsWith("graft_bench_ckpt_"))
+            n.drop("graft_bench_ckpt_".length).toLongOption.foreach { pid =>
+              if (!ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+                deleteRec(f)
+            }
+        }
+        // and only redirect checkpoints here when the ramdisk has real
+        // headroom — every streaming run writes WAL/state deltas into it,
+        // and filling /dev/shm fails queries in a far more confusing way
+        // than the default temp location's slower fsync
+        val d = new java.io.File(shm,
+          s"graft_bench_ckpt_${ProcessHandle.current().pid()}")
+        if (shm.getUsableSpace > 256L * 1024 * 1024 &&
+            (d.mkdirs() || d.isDirectory)) Some(d)
+        else None
+      } else None
     }
     // shutdown hook, not finally: the error path exits via sys.exit(1)
     ckptBase.foreach(d => Runtime.getRuntime.addShutdownHook(

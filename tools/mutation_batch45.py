@@ -85,8 +85,16 @@ def run(mid, fname, suites, desc, old, new):
             verdict = "killed (compile)"
         elif "All tests passed" in out or ", failed 0," in out:
             verdict = "SURVIVED"
-        else:
+        elif r.returncode != 0 and (", failed " in out or "*** FAILED ***" in out):
+            # real test failures under the mutant: the intended kill signal
             verdict = "killed"
+        else:
+            # neither a pass marker, a compile failure, nor test failures:
+            # an aborted suite, an sbt crash, or an OOM proves nothing
+            # about the mutant — report it as such instead of counting it
+            # toward the kill rate (ADVICE r20)
+            verdict = ("INCONCLUSIVE (aborted)" if "aborted" in out.lower()
+                       else f"INCONCLUSIVE (rc={r.returncode}, no test/compile failure marker)")
     finally:
         p.write_text(orig)
     print(f"{mid}: {verdict}  — {desc}", flush=True)
