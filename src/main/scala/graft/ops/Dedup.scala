@@ -202,20 +202,43 @@ object Dedup {
     *
     * Scale shape: digest the batch, LEFT ANTI join against the stored
     * digests (32-byte keys, corpus bodies never read), append O(new)
-    * rows. The anti-join result is materialized BEFORE the write so the
-    * append never races its own scan of `path`. */
+    * rows. The append STAGES to a sibling directory and publishes by
+    * file rename (round 21, guide §1.2): the anti-join reads the same
+    * directory the append lands in, so appending in place needed a full
+    * persist + count materialization first — one extra job and a cache
+    * fill per batch just to fence the write off its own scan. Writing
+    * the anti-join result to `<path>.append_tmp` decouples scan from
+    * publish, so the staged write is the batch's ONLY job; the renames
+    * are driver metadata ops. Same sibling-staging pattern (and the
+    * same rename caveats on object stores) as `Sinks.compactParquet`;
+    * a crash mid-publish leaves at most a partial set of visible new
+    * files — the same exposure as a crashed in-place append job commit
+    * — and the stale tmp dir is reaped by the next append. */
   def appendExactDigestIndex(newDocs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
     val batchIdx = exactDigestIndex(newDocs, idCol, textCol)
+    val dst = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     val toAppend =
-      if (new java.io.File(path).isDirectory)
+      if (fs.exists(dst))
         batchIdx.join(spark.read.parquet(path).select("text_hash"),
-          Seq("text_hash"), "left_anti").persist()
+          Seq("text_hash"), "left_anti")
       else batchIdx
-    toAppend.count() // materialize off the stored files before appending
-    toAppend.write.mode("append").parquet(path)
-    toAppend.unpersist()
+    val stage = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + ".append_tmp")
+    fs.delete(stage, true)
+    toAppend.write.mode("overwrite").parquet(stage.toString)
+    fs.mkdirs(dst)
+    for (st <- fs.listStatus(stage)
+         if st.isFile && st.getPath.getName.endsWith(".parquet")) {
+      val to = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
+      if (!fs.rename(st.getPath, to))
+        throw new java.io.IOException(
+          s"could not publish staged append file ${st.getPath} to $to")
+    }
+    fs.delete(stage, true)
+    ()
   }
 
   /** Per-document cross-corpus repeated-passage statistics at word-n-gram
