@@ -47,7 +47,8 @@ object Bench {
     * the record's own two floor anchors (NaN when absent — records from
     * before round 20 carry no `floor2_sec`). */
   private[graft] final case class BenchRec(
-      queries: Map[String, Double], floor: Double, floor2: Double)
+      queries: Map[String, Double], floor: Double, floor2: Double,
+      fsMode: String = "unknown")
 
   /** Parse a bench record — either the BENCH_DETAIL.json line or a
     * driver BENCH_r*.json tail (already unescaped). The queries object
@@ -64,7 +65,12 @@ object Bench {
     def lastNum(key: String): Double =
       ("\"" + key + "\":(-?[\\d.]+)").r.findAllMatchIn(text).toSeq
         .lastOption.map(_.group(1).toDouble).getOrElse(Double.NaN)
-    BenchRec(qs, lastNum("floor_sec"), lastNum("floor2_sec"))
+    // the record's filesystem regime: stamped since round 22; records
+    // from before the stamp parse as "unknown" (transitional — they are
+    // still accepted as baselines, documented in [[baselineRecords]])
+    val fsMode = "\"fs_mode\":\"(\\w+)\"".r.findAllMatchIn(text).toSeq
+      .lastOption.map(_.group(1)).getOrElse("unknown")
+    BenchRec(qs, lastNum("floor_sec"), lastNum("floor2_sec"), fsMode)
   }
 
   /** Does a record's recorded sf match this run's sf dir? Accepts a
@@ -100,6 +106,29 @@ object Bench {
       ok
     } else byName
   }
+
+  /** FS-REGIME GUARD (VERDICT r21 #5, same-kind rule as coherentAnchors):
+    * a record measured under the OTHER local filesystem is not this run's
+    * baseline — the round-21 A/B showed up to 3.8x per-query movement
+    * from the FS alone (q97 3.17 vs 0.83 s), so mixing regimes in one
+    * query's candidate set would fire spurious probes or mask real
+    * movement. Records from before the fs_mode stamp parse as "unknown"
+    * and are ACCEPTED (transitional: refusing them would empty the
+    * baseline for the first stamped round; they age out of the
+    * newest-three window). Cold-scan records are never baselines for the
+    * (cached-protocol) comparison runs. */
+  private[graft] def regimeOk(recName: String, text: String, rec: BenchRec,
+      runFsMode: String, warn: String => Unit = System.err.println): Boolean =
+    if (text.contains("\"cold_scans\":true")) {
+      warn(s"[bench] baseline record $recName is a cold-scans capture — " +
+        "skipped")
+      false
+    } else if (rec.fsMode != "unknown" && rec.fsMode != runFsMode) {
+      warn(s"[bench] baseline record $recName was measured under " +
+        s"fs_mode=${rec.fsMode}, this run is $runFsMode — record skipped " +
+        "(FS regimes must not mix in one baseline)")
+      false
+    } else true
 
   /** The floor anchor a query tracks, out of a record's pair: the
     * parallel-shaped families take `floor2` when the record carries one
@@ -197,7 +226,8 @@ object Bench {
       entries: Seq[(String, Double)], unstable: Seq[String],
       errors: Seq[(String, String)], floor: Option[Double],
       floor2: Option[Double], sfName: String,
-      dropErrors: Boolean, maxUnstable: Int): String = {
+      dropErrors: Boolean, maxUnstable: Int,
+      fsMode: String = "unknown", coldScans: Boolean = false): String = {
     def numC(v: Double): String = if (v.isNaN) "-1" else jf(s"%.${prec}f", v)
     val cQs = entries.map { case (k, v) => "\"" + short(k) + "\":" + numC(v) }
       .mkString("{", ",", "}")
@@ -215,7 +245,9 @@ object Bench {
     val cFloor = floor.map(f => ",\"floor_sec\":" + jf("%.4f", f))
       .getOrElse("") +
       floor2.map(f => ",\"floor2_sec\":" + jf("%.4f", f)).getOrElse("")
-    s"""{"metric":"total","value":${jf("%.2f", total)},"unit":"sec","queries":$cQs$cFloor,"unstable":$cUnstable$cErr,"sf":"$sfName"}"""
+    val cMode = s""","fs_mode":"$fsMode"""" +
+      (if (coldScans) ",\"cold_scans\":true" else "")
+    s"""{"metric":"total","value":${jf("%.2f", total)},"unit":"sec","queries":$cQs$cFloor,"unstable":$cUnstable$cErr$cMode,"sf":"$sfName"}"""
   }
 
   private[graft] val CompactBudget = 1850
@@ -293,17 +325,16 @@ object Bench {
     // without libhadoop.so every local file create forks a shell chmod
     // and writes a .crc sibling — per lease, marker, manifest, parquet
     // part, and streaming WAL/state delta. Production filesystems
-    // (HDFS/S3A) have neither cost; see FastLocalFileSystem. Verify
-    // sets the same pair, so the oracle gate covers this configuration.
+    // (HDFS/S3A) have neither cost; see FastLocalFileSystem. Verify and
+    // QueryJobProfile resolve the SAME mode through HarnessFs, so the
+    // oracle gate covers exactly this configuration in either mode.
     // SPARK_GRAFT_LOCAL_FS=stock opts back into Hadoop's default local
     // filesystem — the same-host A/B switch behind the round-21 numbers.
-    val builderFs =
-      if (sys.env.get("SPARK_GRAFT_LOCAL_FS").contains("stock")) builder0
-      else builder0
-        .config("spark.hadoop.fs.file.impl",
-          "graft.sources.FastLocalFileSystem")
-        .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
-          "graft.sources.FastLocalFs")
+    // The active mode is stamped into every emitted record (`fs_mode`)
+    // so cross-record comparisons never silently mix regimes (VERDICT
+    // r21 #5).
+    val fsMode = graft.sources.HarnessFs.mode
+    val builderFs = graft.sources.HarnessFs.configure(builder0)
     val spark = ckptBase.fold(builderFs)(d => builderFs
       .config("spark.sql.streaming.checkpointLocation", d.getAbsolutePath))
       .getOrCreate()
@@ -311,12 +342,22 @@ object Bench {
     // warmup: spin up executors/codegen, and cache the shared input tables —
     // Spark's cache manager matches by logical plan, so the Tables.load
     // calls inside every query read the in-memory columnar copy instead of
-    // re-scanning parquet per query
+    // re-scanning parquet per query. SPARK_GRAFT_BENCH_COLD_SCANS=1 skips
+    // the table cache (VERDICT r21 #6): every query then re-scans parquet,
+    // so the record puts the scan-inclusive cost of each family on the
+    // books; the cached protocol stays the round-over-round comparison
+    // default (it predates round 21, applies identically to both sides of
+    // every comparison, and mirrors the Rust baseline's in-memory
+    // measurement). A cold record never overwrites the comparison
+    // baseline: it is stamped `cold_scans` and written to
+    // BENCH_DETAIL_COLD.json, which baselineRecords never reads.
+    val coldScans = sys.env.get("SPARK_GRAFT_BENCH_COLD_SCANS").contains("1")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for (t <- graft.sources.Tables.names) {
-      try graft.sources.Tables.load(spark, sfDir, t).cache().count()
-      catch { case _: Throwable => () }
-    }
+    if (!coldScans)
+      for (t <- graft.sources.Tables.names) {
+        try graft.sources.Tables.load(spark, sfDir, t).cache().count()
+        catch { case _: Throwable => () }
+      }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // optional comma-separated substring filter for targeted local runs,
     // e.g. SPARK_GRAFT_BENCH_ONLY=q23,q21 — the driver never sets it
@@ -434,7 +475,8 @@ object Bench {
           .exists(m => sfMatches(m.group(1), sfDir))
         if (sfOk) {
           val rec = parseQueriesAndFloor(text)
-          if (rec.queries.nonEmpty) out += detail.getName -> rec
+          if (rec.queries.nonEmpty && regimeOk(detail.getName, text, rec, fsMode))
+            out += detail.getName -> rec
         }
       }
       // newest-first, stopping after three USABLE records — an unusable
@@ -457,7 +499,9 @@ object Bench {
           .lastOption.exists(m => sfMatches(m.group(1), sfDir))
         if (sfOk) {
           val rec = parseQueriesAndFloor(text)
-          if (rec.queries.nonEmpty) { out += f.getName -> rec; tailSlots -= 1 }
+          if (rec.queries.nonEmpty && regimeOk(f.getName, text, rec, fsMode)) {
+            out += f.getName -> rec; tailSlots -= 1
+          }
         }
       }
       out.toSeq
@@ -679,7 +723,9 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$ratios$frel$errJson$probesJson,"sf":"$sfDir"}"""
+    val modeJson = s""","fs_mode":"$fsMode"""" +
+      (if (coldScans) ",\"cold_scans\":true" else "")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$runsJson$ratios$frel$errJson$probesJson$modeJson,"sf":"$sfDir"}"""
     println(detail)
     // the driver's bench capture keeps only the LAST 2000 chars of output
     // (BENCH_r09.json: "tail": 2000) — the detailed line above is ~10 KB,
@@ -690,7 +736,8 @@ object Bench {
     // writing it would clobber the committed full-suite baseline that
     // the composite baseline (and the judge) read
     if (!isProbe && only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      try java.nio.file.Files.write(java.nio.file.Paths.get(
+        if (coldScans) "BENCH_DETAIL_COLD.json" else "BENCH_DETAIL.json"),
         (detail + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     // COMPACT line BUDGET (the r18 lesson): the driver keeps the last
@@ -711,7 +758,7 @@ object Bench {
     val errList = errors.toSeq
     def rung(prec: Int, dropErrors: Boolean, maxUnstable: Int)(): String =
       compactJson(prec, total, entries, unstableList, errList,
-        floor, floor2, sfName, dropErrors, maxUnstable)
+        floor, floor2, sfName, dropErrors, maxUnstable, fsMode, coldScans)
     val compact = fitCompact(Seq(
       rung(2, dropErrors = false, maxUnstable = Int.MaxValue) _,
       rung(1, dropErrors = false, maxUnstable = Int.MaxValue) _,

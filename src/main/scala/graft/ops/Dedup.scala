@@ -220,14 +220,38 @@ object Dedup {
     val batchIdx = exactDigestIndex(newDocs, idCol, textCol)
     val dst = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    // the anti-join gate checks for at least one DATA file, not bare dir
+    // existence (round-22 ADVICE): a crash between mkdirs(dst) and the
+    // first publish rename leaves an empty dst, and reading that as "an
+    // index exists" makes spark.read.parquet throw schema-inference
+    // errors forever after — an empty dir means "no index yet"
+    def hasData =
+      fs.exists(dst) && fs.listStatus(dst).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
     val toAppend =
-      if (fs.exists(dst))
+      if (hasData)
         batchIdx.join(spark.read.parquet(path).select("text_hash"),
           Seq("text_hash"), "left_anti")
       else batchIdx
-    val stage = new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + ".append_tmp")
-    fs.delete(stage, true)
+    // per-attempt-unique stage dir (round-22 ADVICE): a FIXED sibling
+    // made two concurrent appends delete each other's staged files
+    // mid-write; with a UUID suffix attempts never share a stage. A
+    // crashed attempt's leftover stage is reaped only once it is STALE
+    // (mtime older than the lease-stale horizon) — a live concurrent
+    // writer's stage is never touched.
+    val stagePrefix = dst.getName + ".append_tmp-"
+    val parent = dst.getParent
+    if (parent != null && fs.exists(parent)) {
+      val staleBefore =
+        System.currentTimeMillis() - graft.sources.Sinks.DefaultLeaseStaleMs
+      fs.listStatus(parent)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(stagePrefix) &&
+          st.getModificationTime < staleBefore)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    val stage = new org.apache.hadoop.fs.Path(path.stripSuffix("/") +
+      ".append_tmp-" + java.util.UUID.randomUUID().toString)
     toAppend.write.mode("overwrite").parquet(stage.toString)
     fs.mkdirs(dst)
     for (st <- fs.listStatus(stage)

@@ -82,6 +82,33 @@ class FastLocalFileSystem extends LocalFileSystem(new NioRawLocalFileSystem) {
   }
 }
 
+/** The ONE place the harness mains (Bench, Verify, QueryJobProfile)
+  * resolve which local filesystem their session runs — round-22 ADVICE:
+  * Bench honored `SPARK_GRAFT_LOCAL_FS=stock` as the A/B switch while
+  * Verify and QueryJobProfile hardcoded the fast pair, so benching the
+  * stock config ran its oracle gate and profiler under a DIFFERENT
+  * filesystem than the one being timed. All three now call this helper,
+  * so the gate and the profiler always cover exactly the configuration
+  * the bench times, in either mode. */
+object HarnessFs {
+  /** "fast" (default) or "stock" — the value every emitted bench record
+    * stamps as `fs_mode`, so cross-record comparisons can refuse to mix
+    * filesystem regimes. */
+  def mode: String =
+    if (sys.env.get("SPARK_GRAFT_LOCAL_FS").contains("stock")) "stock"
+    else "fast"
+
+  /** Apply the mode's filesystem pair to a session builder. */
+  def configure(b: org.apache.spark.sql.SparkSession.Builder)
+      : org.apache.spark.sql.SparkSession.Builder =
+    if (mode == "stock") b
+    else b
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.FastLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.FastLocalFs")
+}
+
 /** `AbstractFileSystem` face of the same thing, for the `FileContext` API
   * — Structured Streaming's `CheckpointFileManager` resolves `file://`
   * through `fs.AbstractFileSystem.file.impl`, NOT `fs.file.impl`, so the

@@ -21,16 +21,16 @@ object QueryJobProfile {
     val names = args.filter(_.startsWith("q"))
     require(names.nonEmpty, "usage: QueryJobProfile [sfDir] q58 q107 ...")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // filesystem mode resolved by the same helper as Bench/Verify, so
+    // the profiler measures the regime actually being benched (the
+    // stock A/B mode included — round-22 ADVICE)
+    val spark = graft.sources.HarnessFs.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
-      .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem")
-      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
-        "graft.sources.FastLocalFs")
+        "1000000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -200,6 +200,53 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.compositeBaseline(Seq.empty).isEmpty)
   }
 
+  // ---- round 22: filesystem-regime stamping and the mixing refusal -----
+
+  test("parseQueriesAndFloor reads the fs_mode stamp; unstamped records parse as unknown") {
+    val stamped =
+      """{"queries":{"q01":0.5},"floor_sec":0.12,"fs_mode":"fast","sf":"sf0.1"}"""
+    assert(Bench.parseQueriesAndFloor(stamped).fsMode == "fast")
+    val stock =
+      """{"queries":{"q01":0.5},"floor_sec":0.12,"fs_mode":"stock","sf":"sf0.1"}"""
+    assert(Bench.parseQueriesAndFloor(stock).fsMode == "stock")
+    // pre-round-22 records carry no stamp
+    val legacy = """{"queries":{"q01":0.5},"floor_sec":0.12,"sf":"sf0.1"}"""
+    assert(Bench.parseQueriesAndFloor(legacy).fsMode == "unknown")
+  }
+
+  test("regimeOk refuses a mixed-FS record, accepts same-mode and unstamped, and refuses cold-scan captures (VERDICT r21 #5/#6)") {
+    def rec(fs: String) = Bench.BenchRec(Map("q01" -> 0.5), 0.12,
+      Double.NaN, fs)
+    var warned = Seq.empty[String]
+    val w = (m: String) => warned :+= m
+    // a stock-mode record under a fast-mode run: REFUSED, with a warning
+    assert(!Bench.regimeOk("BENCH_rX.json", "{}", rec("stock"), "fast", w))
+    assert(warned.exists(_.contains("must not mix")))
+    // same regime on both sides: accepted
+    assert(Bench.regimeOk("BENCH_rX.json", "{}", rec("fast"), "fast", w))
+    assert(Bench.regimeOk("BENCH_rX.json", "{}", rec("stock"), "stock", w))
+    // transitional: an unstamped (pre-r22) record is accepted
+    assert(Bench.regimeOk("BENCH_rX.json", "{}", rec("unknown"), "fast", w))
+    // a cold-scans capture is never a baseline for cached-protocol runs
+    assert(!Bench.regimeOk("BENCH_DETAIL_COLD.json",
+      """{"queries":{},"cold_scans":true}""", rec("fast"), "fast", w))
+  }
+
+  test("compactJson stamps fs_mode (and cold_scans only when set) and the stamp round-trips through the parser") {
+    val line = Bench.compactJson(2, 1.0, mkEntries(3), Seq.empty, Seq.empty,
+      Some(0.1), Some(0.2), "sf0.1", dropErrors = false,
+      maxUnstable = Int.MaxValue, fsMode = "fast", coldScans = false)
+    assert(line.contains("\"fs_mode\":\"fast\"") &&
+      !line.contains("cold_scans"))
+    assert(Bench.parseQueriesAndFloor(line).fsMode == "fast")
+    val cold = Bench.compactJson(2, 1.0, mkEntries(3), Seq.empty, Seq.empty,
+      Some(0.1), Some(0.2), "sf0.1", dropErrors = false,
+      maxUnstable = Int.MaxValue, fsMode = "stock", coldScans = true)
+    assert(cold.contains("\"cold_scans\":true"))
+    assert(!Bench.regimeOk("x", cold, Bench.parseQueriesAndFloor(cold),
+      "stock", _ => ()))
+  }
+
   // ---- round 20: compact line degrade ladder ---------------------------
 
   private def mkEntries(n: Int): Seq[(String, Double)] =

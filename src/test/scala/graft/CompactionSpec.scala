@@ -102,6 +102,35 @@ class CompactionSpec extends AnyFunSuite {
     assert(probe.filter(!col("is_dup")).count() === 0)
   }
 
+  test("appendExactDigestIndex: empty dst dir and stale/fresh sibling stages") {
+    import spark.implicits._
+    val dir = graft.sources.Sinks.scratchDir("append_stage") + "/d"
+    graft.sources.Sinks.clearDir(dir)
+    // a crash between mkdirs(dst) and the first publish rename leaves an
+    // EMPTY dst: the next append must treat it as "no index yet", not
+    // wedge on schema inference over zero data files
+    assert(new java.io.File(dir).mkdirs())
+    val docs = (0 until 50).map(i => (i.toLong, s"t ${i % 10}"))
+      .toDF("doc_id", "text")
+    // plant one STALE leftover stage (crashed prior attempt) and one
+    // FRESH one (a live concurrent writer): the append must reap only
+    // the stale one
+    val stale = new java.io.File(dir + ".append_tmp-stale")
+    val fresh = new java.io.File(dir + ".append_tmp-fresh")
+    assert(stale.mkdirs() && fresh.mkdirs())
+    assert(stale.setLastModified(
+      System.currentTimeMillis() - 2 * graft.sources.Sinks.DefaultLeaseStaleMs))
+    graft.ops.Dedup.appendExactDigestIndex(docs, dir)
+    assert(spark.read.parquet(dir).count() === 10)
+    assert(!stale.exists(), "stale leftover stage was not reaped")
+    assert(fresh.exists(), "a FRESH (possibly live) sibling stage was deleted")
+    fresh.delete()
+    // per-attempt stages never linger after a successful append
+    assert(Option(new java.io.File(dir).getParentFile.listFiles()).get
+      .forall(f => !f.getName.startsWith("d.append_tmp-")),
+      "successful append left its own stage behind")
+  }
+
   test("property: ANY id-ordered batch split builds the same index as one shot") {
     import spark.implicits._
     // random corpora with heavy text duplication, random ordered split

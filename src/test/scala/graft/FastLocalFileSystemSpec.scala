@@ -114,6 +114,38 @@ class FastLocalFileSystemSpec extends AnyFunSuite {
     } finally fs.close()
   }
 
+  test("Spark WRITES through FastLocalFileSystem (committer + task files): no .crc anywhere, identical read-back") {
+    // round-22 ADVICE: the roundtrip test above never exercised Spark's
+    // real WRITE path through the fast fs (the shared session holds the
+    // stock fs in Hadoop's scheme-keyed cache). DataFrameWriter options
+    // are merged into the write job's Hadoop conf, and disabling the
+    // file:// cache makes every resolution honor fs.file.impl — so the
+    // committer's _temporary handling, task-file creates, and commit
+    // renames all run through FastLocalFileSystem here.
+    val spark = GraftSpark.spark
+    import spark.implicits._
+    val dir = new java.io.File(tmpDir(), "pq_fast").getAbsolutePath
+    val rows = (1 to 500).map(i => (i.toLong, s"v$i", i * 0.5))
+    rows.toDF("id", "s", "x").write
+      .option("fs.file.impl", classOf[FastLocalFileSystem].getName)
+      .option("fs.file.impl.disable.cache", "true")
+      .mode("overwrite").parquet(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val files = walk(new java.io.File(dir))
+    assert(files.exists(_.getName.endsWith(".parquet")),
+      "write produced no parquet files")
+    // the stock ChecksumFileSystem writes a .crc sibling per created
+    // file; zero .crc siblings is the proof the fast fs handled the
+    // creates (writeChecksum off)
+    assert(!files.exists(_.getName.endsWith(".crc")),
+      s"checksum sidecars present: ${files.map(_.getName).filter(_.endsWith(".crc"))}")
+    val back = spark.read.parquet(dir).as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(back.toSeq === rows)
+  }
+
   test("raw delegate reports the scheme and stays a RawLocalFileSystem") {
     val fs = new NioRawLocalFileSystem
     fs.initialize(new URI("file:///"), new Configuration())
