@@ -173,6 +173,36 @@ object SparkEntry {
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+  /** [[harnessRow]] plus `noDataMicroBatches` OFF — for the UPDATE-mode
+    * streaming contract rows (q71/q72/q78–q81) and the immediate-append
+    * dedup (q82), whose output a no-data micro-batch can never change:
+    * their stateful operators emit ONLY from data batches (every
+    * `hasTimedOut` branch returns `Iterator.empty`, and
+    * `dropDuplicatesWithinWatermark` emits first occurrences in the
+    * arriving batch), so the engine's watermark-driven idle batches after
+    * each data batch only fire state-expiry timeouts that, under the
+    * harness's multi-year horizons, can never be armed below the
+    * watermark anyway. Profiled (round 22, guide §1.2): each idle batch
+    * costs a full micro-batch cycle — planning, offset/commit WAL, one
+    * state-store commit per partition per stateful op — ~0.2–0.5 s here,
+    * HALF the micro-batches of a 2-data-batch feed. The APPEND-mode rows
+    * (q77/q83) keep the default: their final emission IS a no-data batch
+    * (the sentinel advances the watermark, the idle batch flushes).
+    * Production guidance unchanged: the knob trades state-GC latency for
+    * per-batch overhead and is safe exactly when emission never depends
+    * on idle-time watermark passage (SCALE.md, Streaming). */
+  private def harnessRowNoIdle(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    harnessRow { (s, dir) =>
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try fn(s, dir)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- 2.1 sessionize ------------------------------------------------
@@ -2051,7 +2081,7 @@ object SparkEntry {
     // production path reads a real source); the horizon is set wide so the
     // forgetting contract is not in play — these rows pin EQUALITY with
     // batch semantics, the lateness/horizon contracts are unit-tested.
-    "q71_stream_seq_count" -> harnessRow { (s, dir) =>
+    "q71_stream_seq_count" -> harnessRowNoIdle { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q71_stream_seq_count", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -2081,7 +2111,7 @@ object SparkEntry {
         s.catalog.dropTempView(name)
       }
     },
-    "q72_stream_next_node" -> harnessRow { (s, dir) =>
+    "q72_stream_next_node" -> harnessRowNoIdle { (s, dir) =>
       val ev = boundedForStreamHarness(
         assertTieFreePerUserTs(events(s, dir), "q72_stream_next_node", dir),
         "q72_stream_next_node", dir)
@@ -2169,7 +2199,7 @@ object SparkEntry {
     // streaming retention vs the q02 oracle: per-user O(1) OR-mask state in
     // update mode. The anchor-gated flags are monotone (the mask only
     // accumulates), so each user's final emission is the per-flag max.
-    "q78_stream_retention" -> harnessRow { (s, dir) =>
+    "q78_stream_retention" -> harnessRowNoIdle { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q78_stream_retention", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -2205,7 +2235,7 @@ object SparkEntry {
     // final emission is the per-user max. conds=0 events (signup/error)
     // still flow so every user emits, matching the oracle's DISTINCT-user
     // completion.
-    "q79_stream_funnel" -> harnessRow { (s, dir) =>
+    "q79_stream_funnel" -> harnessRowNoIdle { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q79_stream_funnel", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -2240,7 +2270,7 @@ object SparkEntry {
     // "(?1).*(?2)" view->purchase): per-user packed buffer + the batch
     // pattern engine per micro-batch, with a match LATCH that drops the
     // buffer (O(1) state once matched). matched is monotone -> max.
-    "q80_stream_seq_match" -> harnessRow { (s, dir) =>
+    "q80_stream_seq_match" -> harnessRowNoIdle { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q80_stream_seq_match", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -2275,7 +2305,7 @@ object SparkEntry {
     // step timestamps; with a time-ordered feed the latched match IS the
     // batch first match. matched_ts is null-until-latched then constant,
     // so max over the guarded elements selects the final emission.
-    "q81_stream_seq_match_events" -> harnessRow { (s, dir) =>
+    "q81_stream_seq_match_events" -> harnessRowNoIdle { (s, dir) =>
       val ev = boundedForStreamHarness(events(s, dir), "q81_stream_seq_match_events", dir)
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -2318,7 +2348,7 @@ object SparkEntry {
     // no timestamp; which COPY survives is the operator's arbitrary choice
     // within a batch, so the contract row pins digest-level exactly-once,
     // and StreamingSpec pins first-wins ordering on crafted feeds).
-    "q82_stream_exact_dedup" -> harnessRow { (s, dir) =>
+    "q82_stream_exact_dedup" -> harnessRowNoIdle { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = s.sqlContext
@@ -2419,6 +2449,12 @@ object SparkEntry {
       val d = Tables.load(s, dir, "documents")
       val idx = ops.OpCaches.track(
         ops.Dedup.minhashIndex(d.filter(col("doc_id") % 10 =!= 0)).persist())
+      // materialize the index EAGERLY: each micro-batch's probe references
+      // it from three parallel broadcast subtrees (banding + two verify
+      // stages), and a lazy persist lets batch 1's three subtrees race the
+      // unpopulated cache — profiled as three CONCURRENT ~0.8 s jobs each
+      // recomputing the full index sketch (round 22, guide §1.2/§5)
+      idx.count()
       val rows = d.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1)
@@ -2743,6 +2779,10 @@ object SparkEntry {
       // live-built one must be persisted to stand in for it (14 s -> ~2 s)
       val idx = ops.OpCaches.track(
         ops.Dedup.minhashIndex(d.filter(col("doc_id") % 10 =!= 0)).persist())
+      // eager materialization, same rationale as q84: the probe's three
+      // parallel index subtrees must read a POPULATED cache, not race to
+      // fill it with three redundant sketch computations (round 22)
+      idx.count()
       ops.Dedup.minhashLshJoinAgainst(
         d.filter(col("doc_id") % 10 === 0), idx, threshold = 0.8)
         .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6).as("jaccard"))
@@ -2813,7 +2853,13 @@ object SparkEntry {
     // end-to-end (q68 only covers the nCells=1 exact regime)
     "q69_semdedup_cells" -> { (s, _) =>
       val dim = 8
-      val fixture = s.range(200).select(col("id").as("vec_id"),
+      // one partition for a 200-row fixture (round 22, VERDICT r21 #3): a
+      // bare s.range(200) splits into one ~6-row partition PER CORE, and
+      // every Lloyd-iteration job over the persisted base then pays 32
+      // task launches for microseconds of work each — measured as q69
+      // running ~2x SLOWER at 32 cores than at 8. Partitioning follows
+      // the data (200 rows), not the machine.
+      val fixture = s.range(0, 200, 1, 1).select(col("id").as("vec_id"),
         array((0 until dim).map { j =>
           when(pmod(col("id"), lit(4)) === j, lit(1.0)).otherwise(lit(0.0)) +
             ((col("id") * 31 + lit(j * 17)) % 7 - 3).cast("double") / 200.0

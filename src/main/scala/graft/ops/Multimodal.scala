@@ -42,7 +42,16 @@ object Multimodal {
     * ingest. */
   def demoTable(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(n).map { i =>
+    // partition count sized by the fixture's BYTES, not the session's core
+    // count (round 22, VERDICT r21 #3): a bare spark.range(n) splits into
+    // defaultParallelism partitions, so the q57/q64/q66 fixture writes one
+    // near-empty parquet file per core — 32 files for ~90 KB at local[32],
+    // 4x fewer at local[8], per-file costs repaid by every downstream scan
+    // (the measured INVERSE core scaling: 32 cores ~2x slower than 8).
+    // ~330 bytes/row upper bound (Magic + max payload + scalars).
+    val parts = graft.sources.Sinks.autoFoldPartitions(BigInt(n) * 330L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    spark.range(0, n, 1, parts).map { i =>
       val id = i
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"

@@ -362,11 +362,14 @@ object RollupStore {
         if (!fs.rename(part, dataPath))
           throw new java.io.IOException(
             s"could not move staged grain '$g' into $dataPath")
-        val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
-          conf)
-        require(written == counts(g),
-          s"grain '$g' wrote $written of ${counts(g)} staged rows; " +
-            s"batch_$k left uncommitted")
+        // no footer RE-read after the rename (round 22, guide §1.2): the
+        // write-loss check is observed-rows-vs-staged-footers, already
+        // done above over the stage dir under this op's guard lease; the
+        // rename is a metadata move of those same verified files (and
+        // throws on failure), so re-parsing every footer per grain bought
+        // a second copy of the same number — one footer pass per ingest,
+        // not two
+        val written = counts(g)
         onStep("written")
         GenerationalBatches.commit(fs, batchPath, Seq.empty,
           ingestId.toSet)
@@ -822,9 +825,11 @@ object RollupStore {
       // row count — the old persist + per-grain count() pass cached the
       // whole folded result and paid a second aggregate job for counts
       // the staged files' own FOOTERS already record per grain. Write
-      // loss shows as sum(staged footers) != observed total (checked
-      // BEFORE any grain commits); rename loss as a post-rename footer
-      // count that disagrees with the same files' pre-rename count.
+      // loss shows as sum(staged footers) != observed total, checked
+      // BEFORE any grain commits; the per-grain rename of those verified
+      // files is a metadata move that throws on failure (round 22: the
+      // post-rename footer re-read that re-parsed the same numbers is
+      // gone).
       val observedTotal = graft.sources.Sinks.observedLong(
         graft.sources.Sinks.writeParquetObserved(
           folded.withColumn(StageHexCol, hex(col(grainCol).cast("string"))),
@@ -851,11 +856,12 @@ object RollupStore {
         if (!fs.rename(part, dataPath))
           throw new java.io.IOException(
             s"could not move staged fold for grain '$g' into $dataPath")
-        val written = graft.sources.Sinks.parquetRowCount(fs, dataPath,
-          conf)
-        require(written == stagedCounts(g),
-          s"grain '$g' compaction wrote $written of ${stagedCounts(g)} " +
-            s"folded rows; batch_$k left uncommitted, batches intact")
+        // write loss was already caught above (observed fold total vs the
+        // staged footers, before any grain commits); the rename moves
+        // those same verified files and throws on failure, so a per-grain
+        // footer RE-read after it re-parsed the same numbers (round 22,
+        // guide §1.2 — one footer pass per compaction, not two)
+        val written = stagedCounts(g)
         onStep("written")
         GenerationalBatches.commit(fs, batchPath,
           committed.map(_._2.getName),
@@ -1413,12 +1419,8 @@ object RollupStore {
     * Input bytes come from the scan's own file statistics (the
     * FileIndex already stat'ed every file — no extra RPCs). */
   private[graft] def autoFoldPartitions(totalBytes: BigInt,
-      bytesPerPartition: Long): Int = {
-    require(bytesPerPartition > 0,
-      s"bytesPerPartition must be positive, got $bytesPerPartition")
-    val want = (totalBytes + bytesPerPartition - 1) / bytesPerPartition
-    want.max(1).min(4096).toInt
-  }
+      bytesPerPartition: Long): Int =
+    graft.sources.Sinks.autoFoldPartitions(totalBytes, bytesPerPartition)
 
   /** Resolve a fold's partition count: explicit when positive, AUTO
     * from the scan's size statistics when 0 (see
